@@ -1,0 +1,143 @@
+"""Typed parquet IO: empty-fallback reads and versioned state commits.
+
+Reference S4 (src/plugins/common/s3.py:88-106): a missing state file
+yields a typed EMPTY DataFrame, not an error. Reference S5 (:108-117)
+overwrites the same file it just read — safe in eager pandas, but
+self-clobbering under Spark's lazy evaluation (SURVEY.md §4.4.1). The
+StateStore therefore commits each state generation to a fresh versioned
+directory and flips a manifest pointer last, giving atomic-ish
+read-own-output cycles plus time-travel for free.
+
+Paths are generic Hadoop-FS paths: local in tests, ``s3a://`` in
+production (credentials are Hadoop S3A config, not engine code —
+reference S8 is boto3 session wiring we deliberately do not port).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..schemas import empty_df, require_columns
+
+
+def read_parquet_or_empty(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """S4 — schema'd parquet scan; missing path → typed empty frame.
+
+    Always passes the explicit schema so the scan never infers and the
+    empty case is shape-identical (reference s3.py:98-101,
+    opensky/transformers.py:62-63).
+    """
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(jvm_path):
+        return empty_df(spark, schema)
+    return spark.read.schema(schema).parquet(path)
+
+
+class StateStore:
+    """Versioned keyed-state parquet store with manifest-swap commits.
+
+    Layout::
+
+        <root>/_MANIFEST.json          -> {"version": "<dirname>"}
+        <root>/v_<uuid>/part-*.parquet
+
+    ``read`` resolves the manifest; ``commit`` writes a brand-new
+    directory then atomically rewrites the manifest. The previous
+    generation stays readable throughout, fixing the reference's
+    read-then-overwrite hazard (SURVEY.md §4.4.1) and its non-atomic
+    two-output commit: pipeline.py stages the fact append first and
+    commits state last.
+    """
+
+    MANIFEST = "_MANIFEST.json"
+
+    def __init__(self, spark: SparkSession, root: str, schema: StructType) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.schema = schema
+
+    # -- hadoop fs helpers (work for file:// and s3a:// alike) ----------
+    def _fs_and_path(self, path: str):
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+        fs = jvm_path.getFileSystem(self.spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        return fs, jvm_path
+
+    def _read_manifest(self) -> str | None:
+        fs, mpath = self._fs_and_path(f"{self.root}/{self.MANIFEST}")
+        if not fs.exists(mpath):
+            return None
+        stream = fs.open(mpath)
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)  # noqa: SLF001
+            )
+        finally:
+            stream.close()
+        return json.loads(data.decode("utf-8"))["version"]
+
+    def _write_manifest(self, version: str) -> None:
+        fs, mpath = self._fs_and_path(f"{self.root}/{self.MANIFEST}")
+        tmp = f"{self.root}/{self.MANIFEST}.tmp-{uuid.uuid4().hex}"
+        fs_tmp, tpath = self._fs_and_path(tmp)
+        out = fs_tmp.create(tpath, True)
+        try:
+            out.write(json.dumps({"version": version}).encode("utf-8"))
+        finally:
+            out.close()
+        # HDFS/local rename is atomic; S3A rename is copy+delete but the
+        # manifest is a single small object so the window is minimal.
+        fs.delete(mpath, False)
+        fs.rename(tpath, mpath)
+
+    # -- public API -----------------------------------------------------
+    def read(self) -> DataFrame:
+        """Current state generation, or a typed empty frame if none."""
+        version = self._read_manifest()
+        if version is None:
+            return empty_df(self.spark, self.schema)
+        df = self.spark.read.schema(self.schema).parquet(f"{self.root}/{version}")
+        return require_columns(df, [f.name for f in self.schema.fields])
+
+    def commit(self, df: DataFrame) -> str:
+        """Write ``df`` as the next generation and flip the manifest."""
+        version = f"v_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(f"{self.root}/{version}")
+        self._write_manifest(version)
+        return version
+
+    def versions(self) -> list[str]:
+        fs, rpath = self._fs_and_path(self.root)
+        if not fs.exists(rpath):
+            return []
+        out = []
+        for status in fs.listStatus(rpath):
+            name = status.getPath().getName()
+            if name.startswith("v_"):
+                out.append(name)
+        return sorted(out)
+
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop all but the newest ``keep`` generations (by mtime)."""
+        fs, _ = self._fs_and_path(self.root)
+        current = self._read_manifest()
+        stats = []
+        for status in fs.listStatus(self._fs_and_path(self.root)[1]):
+            name = status.getPath().getName()
+            if name.startswith("v_") and name != current:
+                stats.append((status.getModificationTime(), name))
+        stats.sort(reverse=True)
+        for _, name in stats[max(keep - 1, 0):]:
+            fs.delete(self._fs_and_path(f"{self.root}/{name}")[1], True)
+
+
+def local_path(path: str) -> str:
+    """Normalize a filesystem path for local testing."""
+    return path if "://" in path else f"file://{os.path.abspath(path)}"

@@ -1,0 +1,105 @@
+"""IO-layer tests: empty-fallback reads, versioned state commits, sinks.
+
+Mirrors the reference's connector tests (src/tests/plugins/common/
+test_s3.py:38-84 — round-trip, NoSuchKey→empty) without the moto mock:
+paths are local Hadoop-FS paths, the same code path as s3a:// URIs.
+"""
+
+import datetime as dt
+
+import pytest
+
+from aircraftutilization_etl_spark.errors import InvalidSource
+from aircraftutilization_etl_spark.schemas import (
+    SOURCE_SCHEMA,
+    empty_df,
+    require_columns,
+)
+from aircraftutilization_etl_spark.sources.parquet_io import (
+    StateStore,
+    read_parquet_or_empty,
+)
+from aircraftutilization_etl_spark.sources.sinks import append_facts, retention_purge
+
+
+def test_read_missing_path_yields_typed_empty(spark, tmp_path):
+    df = read_parquet_or_empty(spark, str(tmp_path / "nope"), SOURCE_SCHEMA)
+    assert df.count() == 0
+    assert df.schema == SOURCE_SCHEMA
+
+
+def test_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "rt")
+    src = spark.createDataFrame(
+        [("a23456", 1712338235, 18.41, 6.11, 0, 1712338235, "climb", False)],
+        SOURCE_SCHEMA,
+    )
+    src.write.parquet(path)
+    back = read_parquet_or_empty(spark, path, SOURCE_SCHEMA)
+    assert back.collect() == src.collect()
+
+
+def test_require_columns_raises(spark):
+    df = spark.createDataFrame([("a", 1)], "icao24 string, last_contact int")
+    with pytest.raises(InvalidSource):
+        require_columns(df, [f.name for f in SOURCE_SCHEMA.fields])
+
+
+def test_state_store_empty_then_commit_then_read(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "state"), SOURCE_SCHEMA)
+    assert store.read().count() == 0  # missing manifest → typed empty
+
+    gen1 = spark.createDataFrame(
+        [("a23456", 1, 2.0, 3.0, 0, 1, "climb", True)], SOURCE_SCHEMA
+    )
+    store.commit(gen1)
+    assert store.read().count() == 1
+
+    # read-own-output cycle: derive gen2 FROM the store's own read —
+    # the reference's self-clobbering hazard (SURVEY.md §4.4.1)
+    current = store.read()
+    gen2 = current.withColumn("last_contact", current["last_contact"] + 1)
+    store.commit(gen2)
+    row = store.read().first()
+    assert row["last_contact"] == 2
+    assert len(store.versions()) == 2
+
+
+def test_state_store_vacuum(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "state"), SOURCE_SCHEMA)
+    for i in range(4):
+        store.commit(
+            spark.createDataFrame(
+                [("x", i, 0.0, 0.0, 0, i, None, True)], SOURCE_SCHEMA
+            )
+        )
+    store.vacuum(keep=2)
+    assert store.read().first()["last_contact"] == 3  # current survives
+    assert len(store.versions()) <= 2
+
+
+def test_append_facts_skips_empty(spark, tmp_path):
+    from aircraftutilization_etl_spark.schemas import COMPLETE_FLIGHTS_SCHEMA
+
+    path = str(tmp_path / "facts")
+    assert append_facts(empty_df(spark, COMPLETE_FLIGHTS_SCHEMA), path) is False
+
+
+def test_append_facts_partitions_by_date_and_ttl(spark, tmp_path):
+    from aircraftutilization_etl_spark.schemas import COMPLETE_FLIGHTS_SCHEMA
+
+    path = str(tmp_path / "facts")
+    facts = spark.createDataFrame(
+        [
+            ("old999", 10, dt.datetime(2020, 1, 1, 12), None, None, None, None, None, None),
+            ("new111", 20, dt.datetime(2026, 8, 1, 12), None, None, None, None, None, None),
+        ],
+        COMPLETE_FLIGHTS_SCHEMA,
+    )
+    assert append_facts(facts, path) is True
+    dropped = retention_purge(
+        spark, path, retention_days=365, now=dt.datetime(2026, 8, 13, tzinfo=dt.timezone.utc)
+    )
+    assert dropped == ["landed_date=2020-01-01"]
+    remaining = spark.read.parquet(path)
+    assert [r["icao24"] for r in remaining.collect()] == ["new111"]
