@@ -1,0 +1,201 @@
+"""Embedding similarity search over array<float> columns.
+
+Two execution strategies, chosen by what dominates:
+
+- **Column-expression kernels** (``cosine_expr`` etc.): JVM higher-order
+  functions (zip_with/aggregate) — fine for per-row scoring and per-cell
+  joins, zero Python.
+- **Blocked GEMM via mapInPandas**: scoring a corpus against a query set
+  is a matrix multiply; Spark's interpreted lambda evaluation is ~100×
+  slower than BLAS here, so the hot path ships the (small, normalized)
+  query matrix to executors and multiplies Arrow batches with numpy —
+  the one place this engine drops to Python, per the "Pandas UDFs beat
+  built-ins only when built-ins can't express it" rule (SURVEY.md §4.3).
+
+Scale: the corpus is never collected; it streams through mapInPandas
+partition-by-partition, so the plan is scan → gemm-map → (tiny) top-k or
+threshold output. Only the query matrix is broadcast. When the query set
+itself grows beyond broadcast size, the LSH/IVF bucket join (ivf_topk)
+replaces the dense scan.
+
+Determinism: cosines leave the UDF as raw float64 and are rounded to
+6 dp by Spark's HALF_UP ``round`` (same as DuckDB's) before any ranking,
+with id tie-breaks, so results are engine-stable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def norm_expr(vec):
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_expr(a, b):
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, float64 matrix) of a SMALL vector set."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _score_against(query_ids, query_mat_norm, id_col, vec_col, threshold=None,
+                   upper_triangle=False):
+    """mapInPandas kernel: batch GEMM against the broadcast query matrix."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if batch.empty:
+                continue
+            cids = batch[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array(list(batch[vec_col]), dtype=np.float64)
+            sims = _normalize(cmat) @ query_mat_norm.T  # (nb, nq)
+            nb, nq = sims.shape
+            neighbor = np.repeat(cids, nq)
+            query = np.tile(query_ids, nb)
+            cos = sims.ravel()
+            mask = query != neighbor
+            if upper_triangle:
+                mask &= query < neighbor
+            if threshold is not None:
+                mask &= cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "query_id": query[mask],
+                    "neighbor_id": neighbor[mask],
+                    "cosine_raw": cos[mask],
+                }
+            )
+
+    return fn
+
+
+_SCORE_SCHEMA = "query_id long, neighbor_id long, cosine_raw double"
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector over the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
+    ties broken on neighbor id after 6-dp rounding.
+    """
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score_against(qids, _normalize(qmat), id_col, vec_col), _SCORE_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs with cosine ≥ threshold (semantic near-dup).
+
+    The corpus is both query set and stream side; the threshold filter
+    runs inside the GEMM kernel so only hits ever leave the executor.
+    """
+    ids, mat = _collect_matrix(corpus, id_col, vec_col)
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score_against(
+            ids, _normalize(mat), id_col, vec_col,
+            threshold=threshold, upper_triangle=True,
+        ),
+        _SCORE_SCHEMA,
+    )
+    # NOTE the kernel emits (query < neighbor) pairs with query as id_a
+    return scored.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.round("cosine_raw", 6).alias("cosine"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: search only the query's own coarse cell (probe=1).
+
+    The equi-join on the cell id replaces the dense scan — at corpus
+    scale each cell is a co-partitioned bucket, so scoring cost drops by
+    the cell count at the price of recall (the standard IVF trade).
+    Expression-based: per-cell candidate lists are small, so the JVM
+    fold beats a Python round-trip.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all as native
+column expressions (JVM-side, codegen'd; no Python UDFs), designed to run
+over billions of documents: every metric is a per-row map, so the plan is
+scan → project with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space —
+# the same regex DuckDB's RE2 and Java's regex engine agree on.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+ENGLISH_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def normalized_text(col: Column | str = "text") -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def words_expr(col: Column | str = "text") -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_count_expr(col: Column | str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(words_expr(col))
+
+
+def bpe_token_count_expr(col: Column | str = "text") -> Column:
+    """BPE-ish token count via the pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def stopword_ratio_expr(col: Column | str = "text") -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    words = words_expr(col)
+    hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*ENGLISH_STOPWORDS))
+    )
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def punct_ratio_expr(col: Column | str = "text") -> Column:
+    """Punctuation characters per character."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_word_length_expr(col: Column | str = "text") -> Column:
+    words = words_expr(col)
+    return F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score_expr(col: Column | str = "text") -> Column:
+    """Composite [0,1] quality score: length, word shape, punctuation.
+
+    A Gopher/C4-style heuristic: penalize very short docs, extreme mean
+    word lengths and punctuation-heavy text. Deterministic and
+    SQL-expressible so the oracle can replicate it exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tokens = token_count_expr(c)
+    mwl = mean_word_length_expr(c)
+    len_ok = F.when(n_tokens >= 20, F.lit(1.0)).otherwise(n_tokens / F.lit(20.0))
+    word_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio_expr(c) * 5, F.lit(1.0))
+    return F.round((len_ok + word_ok + punct_ok) / 3, 4)
+
+
+def lang_id_expr(col: Column | str = "text") -> Column:
+    """Stopword-hit language heuristic: 'en' when English stopwords make
+    up over 5% of tokens, else 'unknown'. (A real lang-ID model plugs in
+    behind the same column contract.)"""
+    return F.when(stopword_ratio_expr(col) > 0.05, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def fingerprint_expr(col: Column | str = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is engine-portable (identical hex in Spark and DuckDB), which the
+    dedup/minhash operators rely on for their oracles.
+    """
+    return F.md5(normalized_text(col))

@@ -1,0 +1,11 @@
+from .catalog import CATALOG, QueryDef, query
+
+# Importing the modules registers their queries into CATALOG.
+from . import relational  # noqa: E402,F401
+from . import events  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import flight_parity  # noqa: E402,F401
+
+__all__ = ["CATALOG", "QueryDef", "query"]

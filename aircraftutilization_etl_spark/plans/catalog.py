@@ -1,0 +1,77 @@
+"""Query catalog — the engine's public query surface.
+
+Every operator claimed in SURVEY.md §2 (and the scale surface beyond it)
+is exposed as a named query over the driver's synthetic tables, paired
+with an ANSI-SQL oracle that DuckDB runs on the same parquet files
+(TESTDATA.md). The driver compares row counts, schemas and
+order-insensitive value hashes — so every computed column is aliased
+identically on both sides, doubles are rounded at the output edge, and
+integer-typed aggregates are cast to BIGINT in the oracle (DuckDB's
+SUM(int) is HUGEINT).
+
+Queries with no SQL-expressible oracle (oracle=None) get the driver's
+weaker rows-only check and say so in their docstring.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None):
+    """Register a (spark_fn, oracle_sql) pair under ``name``."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = QueryDef(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return wrap
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema'd scan of one synthetic table (never infers beyond parquet
+    footer metadata; Catalyst prunes columns/filters into the scan).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark rejects by
+    default; read it as a nanos long and convert to the engine's µs
+    TimestampType (lossless here: the generator emits µs precision —
+    DuckDB's TIMESTAMP does the same ns→µs truncation).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)

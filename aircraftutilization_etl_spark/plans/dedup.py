@@ -1,0 +1,188 @@
+"""Deduplication queries over the documents table (operators/dedup.py).
+
+Each oracle replicates the Spark pipeline exactly in DuckDB SQL — possible
+because the only hash primitive is md5 (identical hex both engines) and
+MinHash takes lexicographic minima of md5 strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    MINHASH_K,
+    MINHASH_ROWS,
+    doc_shingles,
+    exact_duplicates,
+    minhash_lsh_duplicates,
+    minhash_signatures,
+    shingle_jaccard_pairs,
+    simhash_expr,
+)
+from .catalog import query, table
+
+JACCARD_THRESHOLD = 0.5
+
+# word-3-gram shingle CTE shared by the oracles (mirrors doc_shingles)
+_SHINGLES_SQL = """
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents) t,
+             LATERAL unnest(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id)
+"""
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS representative,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    ORDER BY representative
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the normalized-text fingerprint.
+
+    Scale: one shuffle on a 128-bit key; group sizes are duplicate
+    multiplicities (tiny), so no skew.
+    """
+    d = table(spark, sf_dir, "documents")
+    return exact_duplicates(d).orderBy("representative")
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (3-word shingles, J ≥ 0.5).
+
+    Scale: pairs form only through the equi-join on the shingle — cost is
+    Σ per-shingle freq², bounded by shingle selectivity, never the n²
+    cross product.
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(doc_shingles(d), JACCARD_THRESHOLD)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    minhashes AS (
+        SELECT doc_id, seed, MIN(md5(shingle || '#' || seed)) AS minhash
+        FROM shingles, LATERAL unnest(range(0, {MINHASH_K})) AS s(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // {MINHASH_ROWS} AS band,
+               md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+        FROM minhashes GROUP BY doc_id, seed // {MINHASH_ROWS}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT id_a, id_b, COUNT(*) AS n_common
+        FROM candidates
+          JOIN shingles sa2 ON sa2.doc_id = id_a
+          JOIN shingles sb2 ON sb2.doc_id = id_b AND sb2.shingle = sa2.shingle
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) near-dup pipeline with exact-Jaccard
+    verification at J ≥ 0.5 — the scale path for corpus dedup.
+
+    Scale: signatures are fixed 16 md5s/doc regardless of doc size;
+    candidate generation shuffles on (band, band_key) so only
+    near-identical docs ever meet; verification touches candidates only.
+    """
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_duplicates(d, JACCARD_THRESHOLD).orderBy("id_a", "id_b")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    hashed = "list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> md5(w))"
+    bit_exprs = ",\n           ".join(
+        f"CASE WHEN list_sum(list_transform({hashed}, "
+        f"h -> CASE WHEN substr(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        f"THEN '1' ELSE '0' END"
+        for p in range(bits)
+    )
+    return f"""
+    SELECT doc_id,
+           concat({bit_exprs}) AS simhash
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@query("q_dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (md5-digit votes per bit) — hamming
+    proximity on these detects near-dups; identical prints are dup
+    candidates.
+
+    Scale: per-row map, no shuffle; each bit is one fold over the word
+    array inside codegen.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_expr().alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "q_dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLES_SQL}
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+           MIN(md5(shingle || '#' || seed)) AS minhash
+    FROM shingles, LATERAL unnest(range(0, {MINHASH_K})) AS s(seed)
+    GROUP BY doc_id, seed
+    ORDER BY doc_id, seed
+    """,
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash signature matrix (doc × 16 seeds) — the reusable
+    sketch that LSH banding and Jaccard estimation both consume."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        minhash_signatures(doc_shingles(d))
+        .select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
+        .orderBy("doc_id", "seed")
+    )

@@ -1,0 +1,260 @@
+"""Event-stream queries: sessionization, tumbling windows, JSON, as-of.
+
+The reference's hand-rolled stateful stream (SURVEY.md §2.9) is, in batch
+form, exactly these shapes: session assembly with a gap timeout, window
+bucketing, and as-of ("most recent prior event") lookups. They run on the
+synthetic ``events`` table; the Structured Streaming variants live in
+``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import query, table
+
+SESSION_GAP_MINUTES = 30  # the F1 session-gap concept on the events table
+
+
+@query(
+    "q_events_sessionize",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(CEIL((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0) AS BIGINT)
+               AS duration_minutes
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization — the batch twin of the reference's
+    20-minute inactivity session gap (F1, SURVEY.md §2.9), 30-min gap here.
+
+    Scale: two windows over the same (user_id → ts) partitioning — one
+    shuffle total, then a partial-aggregatable groupBy on the same key.
+    The duration kernel is the U3 ceil-minutes shape.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.ceil(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(60_000_000.0)
+            )
+            .cast("bigint")
+            .alias("duration_minutes"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "q_events_hourly_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch form of
+    the streaming `window(ts, '1 hour')` agg (SURVEY.md §2.9 notes the
+    reference delegates this bucketing to Mongo's hours granularity).
+
+    Scale: window start is a pure column function of ts → ordinary
+    partial-aggregatable groupBy, no windowing machinery.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "q_events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1 ORDER BY k_mod
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON shredding with JVM-side get_json_object (the reference shreds
+    JSON in Python pre-tableification, S2 — here it stays columnar)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@query(
+    "q_events_asof_last_click",
+    """
+    WITH u AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        FROM events WHERE event_type IN ('click', 'error')
+    ),
+    enriched AS (
+        SELECT *,
+               LAST_VALUE(click_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_ts
+        FROM u
+    )
+    SELECT event_id, user_id, ts, last_click_ts,
+           epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+    FROM enriched WHERE event_type = 'error'
+    ORDER BY event_id
+    """,
+)
+def q_events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent prior 'click' before each 'error', per
+    user) via the union-and-last-value plan — Spark has no native as-of
+    join (SURVEY.md §2.4 gap; guide: bucketize or merge_asof).
+
+    Scale: this formulation is a single shuffle on user_id + one ordered
+    window — strictly better than a per-row range probe; it never
+    explodes pairs. The strictly-prior frame (1 PRECEDING) breaks ties
+    deterministically via (ts, event_id) total order.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = u.withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return (
+        enriched.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_events_user_daily_pivot",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS clicks,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchases,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS errors,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0), 2)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    ORDER BY user_id, day
+    """,
+)
+def q_events_user_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity matrix (conditional aggregation pivot)."""
+    e = table(spark, sf_dir, "events")
+
+    def cnt(t):
+        return F.coalesce(
+            F.sum(F.when(F.col("event_type") == t, 1)), F.lit(0)
+        ).cast("bigint")
+
+    return (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            cnt("click").alias("clicks"),
+            cnt("purchase").alias("purchases"),
+            cnt("error").alias("errors"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("purchase_value"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -1,0 +1,151 @@
+"""Embedding similarity queries (operators/similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_expr, cosine_pairs, cosine_topk, ivf_topk
+from .catalog import query, table
+
+TOP_K = 5
+N_QUERIES = 50  # query set: vec_id < 50
+NEAR_DUP_COSINE = 0.35
+
+_COSINE_SQL = (
+    "list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@query(
+    "q_emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, ROUND({_COSINE_SQL}, 6) AS cosine
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 50 query vectors.
+
+    Scale: the normalized query matrix ships to executors; the corpus
+    streams through an Arrow-batched numpy GEMM (mapInPandas) — one scan,
+    no shuffle for scoring, only the per-query top-k reduction. Cosine
+    rounded to 6 dp before ranking for engine determinism.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "q_emb_ivf_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS cell,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, label AS cell,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, ROUND({_COSINE_SQL}, 6) AS cosine
+        FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: probe only the query's coarse cell (the
+    ``label`` column stands in for the k-means cell id).
+
+    Scale: replaces the corpus stream with a per-cell equi-join — scoring
+    work divides by the cell count; the standard recall trade of probe=1.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "q_emb_near_dup_pairs",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= {NEAR_DUP_COSINE}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 — the synthetic embeddings are diffuse, so the threshold sits at the ~99.9th pairwise percentile) — the
+    semantic-dedup member of the dedup family.
+
+    Scale: exact all-pairs via blocked GEMM — the corpus streams once
+    against the broadcast normalized matrix; the threshold filter runs
+    inside the kernel so only hits leave the executors. The LSH/IVF
+    bucketing (q_emb_ivf_topk) is the same operator's sub-quadratic path.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return cosine_pairs(e, NEAR_DUP_COSINE).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_emb_label_centroids",
+    """
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dims AS (SELECT label, i, e[CAST(i AS INT)] AS x
+             FROM v, LATERAL unnest(range(1, 65)) AS u(i))
+    SELECT label, CAST(COUNT(DISTINCT i) AS BIGINT) AS dim,
+           CAST(COUNT(*) / COUNT(DISTINCT i) AS BIGINT) AS n_vectors,
+           ROUND(SUM(x * x) / (COUNT(*) / COUNT(DISTINCT i)), 6) AS mean_sq_norm
+    FROM dims
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell vector stats (count, dimensionality, mean squared norm) —
+    the bookkeeping aggregate an IVF index maintains per cell."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    return (
+        v.select(
+            "label",
+            F.size("e").alias("dim"),
+            F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x).alias("sq"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max(F.col("dim")).cast("bigint").alias("dim"),
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("sq") / F.count(F.lit(1)), 6).alias("mean_sq_norm"),
+        )
+        .select("label", "dim", "n_vectors", "mean_sq_norm")
+        .orderBy("label")
+    )

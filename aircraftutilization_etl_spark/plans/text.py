@@ -1,0 +1,131 @@
+"""Text-analysis queries over the documents table (operators/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    ENGLISH_STOPWORDS,
+    bpe_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    mean_word_length_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+from .catalog import query, table
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+
+# Shared SQL fragments replicating the Spark expressions exactly.
+_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+_MWL = (
+    f"list_sum(list_transform({_WORDS}, w -> length(w)))"
+    f" / greatest(len({_WORDS}), 1)"
+)
+_STOP_RATIO = (
+    f"len(list_filter({_WORDS}, w -> lower(w) IN ({_STOPWORDS_SQL})))"
+    f" / greatest(len({_WORDS}), 1)"
+)
+_PUNCT_RATIO = (
+    "(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
+    " / greatest(length(text), 1)"
+)
+_N_TOKENS = f"len({_WORDS})"
+
+
+@query(
+    "q_text_quality",
+    f"""
+    SELECT doc_id, lang, source,
+           CAST({_N_TOKENS} AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS INT) AS n_bpe_tokens,
+           ROUND({_MWL}, 4) AS mean_word_len,
+           ROUND({_STOP_RATIO}, 4) AS stopword_ratio,
+           ROUND({_PUNCT_RATIO}, 4) AS punct_ratio,
+           ROUND((
+               (CASE WHEN {_N_TOKENS} >= 20 THEN 1.0
+                     ELSE {_N_TOKENS} / 20.0 END)
+             + (CASE WHEN {_MWL} BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+             + (1.0 - least({_PUNCT_RATIO} * 5, 1.0))
+           ) / 3, 4) AS quality_score,
+           CASE WHEN {_STOP_RATIO} > 0.05 THEN 'en' ELSE 'unknown' END
+               AS predicted_lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics: token counts (whitespace + BPE-ish),
+    word-shape, stopword/punctuation ratios, composite quality score,
+    stopword-heuristic language ID.
+
+    Scale: pure per-row map over the scan — no shuffle at any corpus
+    size; all expressions JVM-side (SURVEY.md 'UDFs are the slow path').
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count_expr().cast("int").alias("n_tokens"),
+        bpe_token_count_expr().cast("int").alias("n_bpe_tokens"),
+        F.round(mean_word_length_expr(), 4).alias("mean_word_len"),
+        F.round(stopword_ratio_expr(), 4).alias("stopword_ratio"),
+        F.round(punct_ratio_expr(), 4).alias("punct_ratio"),
+        quality_score_expr().alias("quality_score"),
+        lang_id_expr().alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CAST(length(text) // 100 AS BIGINT) AS len_bucket
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 content fingerprint + length bucketing — the
+    primitive under exact dedup; md5 hex is identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_expr().alias("fingerprint"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.floor(F.length("text") / 100).cast("bigint").alias("len_bucket"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_lang_stats",
+    f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG({_N_TOKENS}), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source) with token averages."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(token_count_expr()), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
