@@ -1,0 +1,210 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media assets are opaque ``BinaryType`` payloads plus a typed metadata
+struct — the standard large-scale layout: bytes stay columnar in parquet,
+metadata is queryable without touching payloads, and Catalyst prunes the
+payload column away for metadata-only queries.
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` kernels: per-partition, vectorized over record batches,
+never materialized on the driver. The actual codec step is STUBBED —
+image/audio libraries are not available in this environment — behind
+``_decode_payload``, a deterministic fake that derives "pixels" from the
+raw bytes. The Spark-side plumbing (schemas, UDF signatures, Arrow batch
+shapes, row-expansion for frame sampling) is real and tested; swapping
+the stub for Pillow/librosa/pyav changes no plan shape.
+
+Scale notes:
+- all kernels are per-row maps — no shuffle; partitioning of the input
+  carries through;
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
+  (payloads are large — size it so batch_size × payload ≲ executor RAM);
+- frame sampling expands rows inside the partition (no explode-shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_METADATA_FIELDS = [
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("codec", StringType()),
+]
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", StructType(MEDIA_METADATA_FIELDS)),
+    ]
+)
+
+FRAME_BYTES = 32  # fake-codec frame size (bytes per frame)
+FEATURE_DIM = 16  # byte-histogram feature dimensionality
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def attach_fake_media(documents: DataFrame) -> DataFrame:
+    """documents → deterministic media-asset table (MEDIA_SCHEMA).
+
+    Stand-in for a real ingest (S3 object scan / tar shards): payload is
+    the utf-8 text bytes, media_type cycles image/audio/video by doc_id,
+    metadata derives from payload length. Pure column expressions — the
+    deterministic fixture both tests and SQL oracles can reproduce.
+    """
+    payload = F.encode(F.col("text"), "utf-8")
+    n_bytes = F.octet_length(F.col("text"))
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.when(media_type == "image", (n_bytes % 64 + 16).cast("int")).alias("width"),
+            F.when(media_type == "image", (n_bytes % 48 + 16).cast("int")).alias("height"),
+            F.when(media_type == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+            F.ceil(n_bytes / FRAME_BYTES).cast("int").alias("n_frames"),
+            F.lit("fake-v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes) -> np.ndarray:
+    """STUB codec — deterministic fake decode.
+
+    A real implementation would dispatch to Pillow (image), librosa/
+    soundfile (audio) or pyav (video) and return pixel/sample arrays.
+    Those libraries are not installed here, so the stub treats the raw
+    bytes as the decoded signal. The call signature and the uint8
+    ndarray contract are what the real codecs would honor.
+    """
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-asset feature vector: L1-normalized ``FEATURE_DIM``-bin byte
+    histogram of the decoded signal (a stand-in for an embedding model).
+
+    mapInPandas kernel: one numpy pass per Arrow batch, no shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                signal = _decode_payload(bytes(payload))
+                if signal.size == 0:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                hist = np.bincount(signal >> 4, minlength=FEATURE_DIM)
+                feats.append((hist / signal.size).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """video assets → one row per sampled frame (every ``every``-th).
+
+    Row-expanding mapInPandas: frames are fixed-size payload slices under
+    the fake codec (a real pyav decode keeps the same output contract).
+    Expansion happens inside the partition — no shuffle, unlike an
+    explode over a pre-built array column which would first materialize
+    every frame.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = -(-len(raw) // FRAME_BYTES)
+                for i in range(0, n_frames, every):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    frames.append(raw[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_index": idxs, "frame": frames}
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        kernel, FRAMES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """image assets → payload re-encoded at (width, height).
+
+    The resample itself is the stubbed codec step: the fake "resize"
+    deterministically truncates/pads the decoded signal to width×height
+    bytes. Metadata is updated for real — downstream metadata-only
+    queries see the new dimensions without decoding.
+    """
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                signal = _decode_payload(bytes(payload))
+                resized = np.resize(signal, target)  # stub resample
+                out.append(resized.tobytes())
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    images = media.filter(F.col("media_type") == "image")
+    resized = images.mapInPandas(kernel, MEDIA_SCHEMA)
+    return resized.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.col("meta.codec").alias("codec"),
+        ),
+    )

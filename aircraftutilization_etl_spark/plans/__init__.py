@@ -6,6 +6,7 @@ from . import events  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 from . import flight_parity  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QueryDef", "query"]

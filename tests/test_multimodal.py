@@ -1,0 +1,93 @@
+"""Multimodal operator tests: schema/batch plumbing with the stub codec."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aircraftutilization_etl_spark.operators.multimodal import (
+    FEATURE_DIM,
+    FRAME_BYTES,
+    MEDIA_SCHEMA,
+    attach_fake_media,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_attach_fake_media_schema_and_metadata(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a" * 100, "en", "s", 100),  # image
+            (1, "b" * 50, "en", "s", 50),    # audio
+            (2, "c" * 70, "en", "s", 70),    # video
+        ],
+    )
+    media = attach_fake_media(docs)
+    # same column names/types (nullability flags may differ on literals)
+    assert media.schema.simpleString() == MEDIA_SCHEMA.simpleString()
+    rows = {r["asset_id"]: r for r in media.collect()}
+    assert rows[0]["media_type"] == "image"
+    assert rows[1]["media_type"] == "audio"
+    assert rows[2]["media_type"] == "video"
+    assert bytes(rows[0]["payload"]) == b"a" * 100
+    assert rows[0]["meta"]["width"] == 100 % 64 + 16
+    assert rows[1]["meta"]["sample_rate"] == 16000
+    assert rows[2]["meta"]["n_frames"] == -(-70 // FRAME_BYTES)
+
+
+def test_extract_features_histogram(spark):
+    # payload of identical bytes -> all mass in one histogram bin
+    docs = _docs(spark, [(0, "aaaa", "en", "s", 4)])
+    feats = extract_features(attach_fake_media(docs)).collect()
+    assert len(feats) == 1
+    vec = feats[0]["features"]
+    assert len(vec) == FEATURE_DIM
+    assert abs(sum(vec) - 1.0) < 1e-9
+    assert vec[ord("a") >> 4] == 1.0
+
+
+def test_sample_frames_expansion(spark):
+    # 270 bytes -> 9 frames of 32 (frame 8 short), sample every 4th: 0,4,8
+    docs = _docs(spark, [(2, "x" * 270, "en", "s", 270)])
+    frames = sample_frames(attach_fake_media(docs), every=4).collect()
+    assert [f["frame_index"] for f in frames] == [0, 4, 8]
+    assert len(bytes(frames[0]["frame"])) == FRAME_BYTES
+    assert len(bytes(frames[2]["frame"])) == 270 - 8 * FRAME_BYTES
+
+
+def test_sample_frames_only_video(spark):
+    docs = _docs(spark, [(0, "img", "en", "s", 3), (1, "aud", "en", "s", 3)])
+    assert sample_frames(attach_fake_media(docs)).count() == 0
+
+
+def test_resize_images_payload_and_meta(spark):
+    docs = _docs(spark, [(0, "small", "en", "s", 5), (2, "vid", "en", "s", 3)])
+    resized = resize_images(attach_fake_media(docs), width=8, height=4)
+    rows = resized.collect()
+    assert len(rows) == 1  # only the image asset
+    assert len(bytes(rows[0]["payload"])) == 32
+    assert rows[0]["meta"]["width"] == 8 and rows[0]["meta"]["height"] == 4
+    # stub resample tiles the signal deterministically
+    assert bytes(rows[0]["payload"]) == np.resize(
+        np.frombuffer(b"small", dtype=np.uint8), 32
+    ).tobytes()
+
+
+def test_metadata_query_prunes_payload(spark):
+    # metadata-only aggregation must not read the payload column
+    docs = _docs(spark, [(i, "t" * (i + 1), "en", "s", i + 1) for i in range(6)])
+    media = attach_fake_media(docs)
+    agg = media.groupBy("media_type").agg(
+        F.sum(F.col("meta.n_frames").cast("bigint")).alias("total_frames")
+    )
+    plan = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan
