@@ -7,12 +7,19 @@ per seeded hash function — a valid uniform min-hash that needs no
 hex→integer conversion.
 
 Scale design (the point of these operators at 100 TB):
-- shingling is a per-row map (no shuffle);
+- shingling is a per-row projection into a per-document shingle array;
+  MinHash signatures cost exactly one map-side-combined shuffle on the
+  doc id (K codegen'd md5 columns + K conditional MIN aggregates);
+- the shingle/word arrays are materialized as intermediate projection
+  columns, never re-derived inside higher-order-function lambdas
+  (a lambda that embeds the split expression re-evaluates it per array
+  element — the quadratic trap this module deliberately avoids; the
+  multi-reference pattern keeps CollapseProject from re-inlining them);
 - pair generation never crosses the full corpus: exact dedup shuffles on
   the fingerprint, LSH shuffles on (band, band_key) buckets, n-gram
   Jaccard shuffles on the shingle — each key-local;
-- verification joins run only over candidate pairs, not the cross
-  product.
+- verification joins run only over candidate pairs (two id-keyed joins
+  against the per-doc shingle arrays + a per-row array_intersect).
 """
 
 from __future__ import annotations
@@ -28,21 +35,55 @@ MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 
 
-def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word-``SHINGLE_N``-grams per document.
+def with_shingle_array(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distribute: bool = True,
+) -> DataFrame:
+    """(id, shingles) — the distinct word-``SHINGLE_N``-grams of each
+    document as one array column, one row per document.
 
-    Documents with fewer than SHINGLE_N words produce no shingles (and
-    therefore never pair) — the same convention as the SQL oracle.
+    Documents with fewer than SHINGLE_N words are dropped (they can never
+    pair) — the same convention as the SQL oracles. Two-step projection:
+    the word array is computed once per row, and the shingle lambda only
+    slices it.
+
+    ``distribute`` repartitions on the id BEFORE the compute-heavy
+    projections: it moves raw text bytes (the smallest the data will
+    ever be) instead of the 16-hash signature matrix, spreads the
+    shingle/hash work across all cores even when the scan is a single
+    small file, and the id-hash partitioning then satisfies the
+    signature groupBy and pre-aligns the verification joins — no second
+    shuffle downstream.
     """
-    words = words_expr(text_col)
+    if distribute:
+        df = df.repartition(F.col(id_col))
+    w = df.select(F.col(id_col), words_expr(text_col).alias("__words"))
     shingle_list = F.transform(
-        F.sequence(F.lit(0), F.size(words) - SHINGLE_N),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_N)),
+        F.sequence(F.lit(0), F.size(F.col("__words")) - SHINGLE_N),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__words"), i + 1, SHINGLE_N)),
     )
-    return (
-        df.filter(F.size(words) >= SHINGLE_N)
-        .select(F.col(id_col), F.explode(shingle_list).alias("shingle"))
-        .distinct()
+    return w.filter(F.size("__words") >= SHINGLE_N).select(
+        id_col, F.array_distinct(shingle_list).alias("shingles")
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exploded (id, shingle) view — for operators that genuinely need
+    the inverted layout (shingle-keyed pair generation).
+
+    ``explode_outer``, deliberately: plain ``explode`` makes Catalyst
+    infer a ``size(shingles) > 0`` filter and push it into the scan,
+    re-inlining the whole shingle construction as a scan predicate
+    (evaluated twice per row, before the repartition spreads the work).
+    The word-count filter already guarantees non-empty arrays, so outer
+    explode is semantically identical here.
+    """
+    return with_shingle_array(df, id_col, text_col).select(
+        id_col, F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -99,45 +140,90 @@ def shingle_jaccard_pairs(
     )
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature per document: for seed i in [0, K), the
-    lexicographic MIN of md5(shingle || '#' || i).
+def with_minhash_signature(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sig) — the K-element MinHash signature array per document.
 
-    One explode (×K) + one groupBy(id, seed) min — all partial-aggregated
-    map-side before the shuffle on the doc id.
+    The K seeded md5s are flat projection columns over the exploded
+    shingle view (whole-stage codegen — higher-order-function lambdas
+    are interpreted per element and ~5× slower for hash-heavy work),
+    then ONE groupBy(id) with K conditional MIN aggregates builds the
+    signature: partial aggregation collapses each partition to one row
+    per document before the single shuffle on the id.
     """
-    seeded = shingles.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed"),
-        "shingle",
+    # explode_outer: see doc_shingles — avoids the inferred size()>0
+    # scan predicate that would re-inline the shingle construction.
+    exploded = shingled.select(
+        id_col, F.explode_outer("shingles").alias("shingle")
     )
-    return (
-        seeded.select(
-            id_col,
-            "seed",
-            F.md5(F.concat_ws("#", "shingle", "seed")).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    hashed = exploded.select(
+        id_col,
+        *[
+            F.md5(F.concat_ws("#", "shingle", F.lit(str(s)))).alias(f"__h{s}")
+            for s in range(MINHASH_K)
+        ],
+    )
+    per_doc = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{s}").alias(f"__mh{s}") for s in range(MINHASH_K)]
+    )
+    return per_doc.select(
+        id_col, F.array(*[f"__mh{s}" for s in range(MINHASH_K)]).alias("sig")
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the K minhashes into MINHASH_BANDS buckets; docs colliding on
-    any band's full key become candidate pairs.
+def minhash_signatures(shingles_or_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature matrix (id, seed, minhash): for seed i in
+    [0, K), the lexicographic MIN of md5(shingle || '#' || i).
 
-    Scale: the join is per (band, band_key) bucket — only near-identical
-    documents collide, so bucket sizes stay tiny even at corpus scale.
+    Accepts either the exploded (id, shingle) view or the array view.
     """
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / MINHASH_ROWS).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws("|", F.array_sort(F.collect_list("minhash")))
-            ).alias("band_key")
+    if "shingles" not in shingles_or_df.columns:
+        shingled = shingles_or_df.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("shingles")
         )
+    else:
+        shingled = shingles_or_df
+    sig = with_minhash_signature(shingled, id_col)
+    return sig.select(id_col, F.posexplode("sig").alias("seed", "minhash"))
+
+
+def lsh_bands(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key) — the signature split into MINHASH_BANDS
+    bands; band_key = md5 of the band's sorted minhashes."""
+    with_sig = with_minhash_signature(shingled, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.array_sort(
+                            F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS)
+                        ),
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
     )
+    return with_sig.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.band_key"
+    )
+
+
+def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs colliding on any band's full key become candidate pairs.
+
+    Scale: the self-join shuffles on (band, band_key) — only
+    near-identical documents collide, so bucket sizes stay tiny even at
+    corpus scale.
+    """
+    # Persist: both self-join sides consume the same banded signatures,
+    # but a broadcast on one side (AQE's choice here — the banded table
+    # is 4 rows/doc of ~50 bytes) would otherwise recompute the whole
+    # shingle→hash subtree twice. The persisted table is signature-sized
+    # (tiny relative to the corpus), not corpus-sized.
+    banded = lsh_bands(shingled, id_col).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -145,6 +231,36 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs via two id-keyed
+    joins against the per-doc shingle arrays and a per-row
+    array_intersect — the verification cost is proportional to the
+    number of candidates, not the corpus size."""
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    joined = joined.withColumn(
+        "n_common", F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -157,37 +273,17 @@ def minhash_lsh_duplicates(
     """MinHash-LSH near-dup pipeline: shingle → minhash → band → candidate
     pairs → exact-Jaccard verification ≥ threshold.
 
-    The verification join runs only over LSH candidates, so the exact
-    Jaccard pass is proportional to the number of near-duplicates, not to
-    the corpus size.
+    Plan shape: one scan derives per-row shingle arrays (one early
+    id-repartition distributes the hash work), bands explode 4 rows/doc
+    into the bucket self-join, and verification touches candidates only.
+    The shingle-array table feeds three consumers (signatures + both
+    verification sides), so it is persisted — MEMORY_AND_DISK, spilling
+    at corpus scale, where a production pipeline would stage it (or the
+    signature matrix) to a table between passes anyway.
     """
-    shingles = doc_shingles(df, id_col, text_col)
-    candidates = lsh_candidate_pairs(minhash_signatures(shingles, id_col), id_col)
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        candidates.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    shingled = with_shingle_array(df, id_col, text_col).persist()
+    candidates = lsh_candidate_pairs(shingled, id_col)
+    return verify_jaccard_pairs(candidates, shingled, threshold, id_col)
 
 
 def simhash_expr(text_col: str = "text", bits: int = 16):
@@ -195,12 +291,18 @@ def simhash_expr(text_col: str = "text", bits: int = 16):
 
     Each word hashes to md5; hex digit p (one per output bit) votes
     +1/−1 by its high bit (digit ≥ 8). Bit p of the fingerprint is 1
-    when the vote sum is positive. Pure column expressions — the per-bit
-    vote is an aggregate over the word array, no shuffle, no UDF.
+    when the vote sum is positive.
+
+    NOTE: prefer ``with_simhash`` — this single-expression form embeds
+    the word-hash array in every per-bit fold, so the md5s are
+    re-evaluated ``bits`` times.
     """
     words = words_expr(text_col)
     hashed = F.transform(words, lambda w: F.md5(w))
+    return _simhash_bits(hashed, bits)
 
+
+def _simhash_bits(hashed, bits: int):
     def bit(p: int):
         # vote_p = Σ_words (digit_p >= '8' ? 1 : -1)
         votes = F.aggregate(
@@ -212,3 +314,21 @@ def simhash_expr(text_col: str = "text", bits: int = 16):
         return F.when(votes > 0, F.lit("1")).otherwise(F.lit("0"))
 
     return F.concat(*[bit(p) for p in range(bits)])
+
+
+def with_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash) with the word md5s materialized once per row; the
+    per-bit folds then only re-read the hash array."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(words_expr(text_col), lambda w: F.md5(w)).alias("__hashed"),
+    )
+    return hashed.select(
+        id_col, _simhash_bits(F.col("__hashed"), bits).alias(out_col)
+    )

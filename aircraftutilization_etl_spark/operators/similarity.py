@@ -53,11 +53,26 @@ def cosine_expr(a, b):
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
-    """Driver-side (ids, float64 matrix) of a SMALL vector set."""
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    """Driver-side (ids, float64 matrix) of a SMALL vector set.
+
+    Arrow-path toPandas + np.stack — one columnar transfer, no per-row
+    Python object churn.
+    """
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, mat
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan is under-partitioned (a
+    small file reads as one task, serializing the GEMM); at real corpus
+    scale the scan already has ≥ defaultParallelism partitions and this
+    is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -67,30 +82,44 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _score_against(query_ids, query_mat_norm, id_col, vec_col, threshold=None,
-                   upper_triangle=False):
-    """mapInPandas kernel: batch GEMM against the broadcast query matrix."""
+                   upper_triangle=False, partial_k=None):
+    """mapInPandas kernel: batch GEMM against the broadcast query matrix.
+
+    Hits leave the kernel via boolean-matrix ``argwhere`` — never the
+    materialized (nb × nq) id cross product. With ``partial_k`` the
+    kernel additionally pre-reduces each query's candidates to the rows
+    that can still reach the global top-k: everything within 1e-6 (the
+    output rounding quantum) of the batch's k-th best raw cosine — a
+    map-side combine for the top-k reduction, provably lossless under
+    the 6-dp-rounded final ordering.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if batch.empty:
                 continue
             cids = batch[id_col].to_numpy(dtype=np.int64)
-            cmat = np.array(list(batch[vec_col]), dtype=np.float64)
+            cmat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
             sims = _normalize(cmat) @ query_mat_norm.T  # (nb, nq)
-            nb, nq = sims.shape
-            neighbor = np.repeat(cids, nq)
-            query = np.tile(query_ids, nb)
-            cos = sims.ravel()
-            mask = query != neighbor
+            keep = query_ids[None, :] != cids[:, None]
             if upper_triangle:
-                mask &= query < neighbor
+                keep &= query_ids[None, :] < cids[:, None]
             if threshold is not None:
-                mask &= cos >= threshold
+                keep &= sims >= threshold
+            if partial_k is not None:
+                masked = np.where(keep, sims, -np.inf)  # (nb, nq)
+                nb = masked.shape[0]
+                if nb > partial_k:
+                    kth = np.partition(masked, nb - partial_k, axis=0)[
+                        nb - partial_k
+                    ]  # per-query k-th best in this batch
+                    keep &= sims >= kth[None, :] - 1e-6
+            rows, cols = np.nonzero(keep)
             yield pd.DataFrame(
                 {
-                    "query_id": query[mask],
-                    "neighbor_id": neighbor[mask],
-                    "cosine_raw": cos[mask],
+                    "query_id": query_ids[cols],
+                    "neighbor_id": cids[rows],
+                    "cosine_raw": sims[rows, cols],
                 }
             )
 
@@ -113,8 +142,9 @@ def cosine_topk(
     ties broken on neighbor id after 6-dp rounding.
     """
     qids, qmat = _collect_matrix(queries, id_col, vec_col)
-    scored = corpus.select(id_col, vec_col).mapInPandas(
-        _score_against(qids, _normalize(qmat), id_col, vec_col), _SCORE_SCHEMA
+    scored = _ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+        _score_against(qids, _normalize(qmat), id_col, vec_col, partial_k=k),
+        _SCORE_SCHEMA,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -141,7 +171,7 @@ def cosine_pairs(
     runs inside the GEMM kernel so only hits ever leave the executor.
     """
     ids, mat = _collect_matrix(corpus, id_col, vec_col)
-    scored = corpus.select(id_col, vec_col).mapInPandas(
+    scored = _ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         _score_against(
             ids, _normalize(mat), id_col, vec_col,
             threshold=threshold, upper_triangle=True,

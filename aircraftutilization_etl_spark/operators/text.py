@@ -65,29 +65,41 @@ def mean_word_length_expr(col: Column | str = "text") -> Column:
     ) / F.greatest(F.size(words), F.lit(1))
 
 
-def quality_score_expr(col: Column | str = "text") -> Column:
+def quality_score_expr(
+    col: Column | str = "text",
+    *,
+    n_tokens: Column | None = None,
+    mwl: Column | None = None,
+    punct: Column | None = None,
+) -> Column:
     """Composite [0,1] quality score: length, word shape, punctuation.
 
     A Gopher/C4-style heuristic: penalize very short docs, extreme mean
     word lengths and punctuation-heavy text. Deterministic and
     SQL-expressible so the oracle can replicate it exactly.
+
+    Pass pre-materialized ``n_tokens``/``mwl``/``punct`` columns when
+    combining with other metrics over the same text so the underlying
+    arrays are computed once per row (see q_text_quality).
     """
     c = F.col(col) if isinstance(col, str) else col
-    n_tokens = token_count_expr(c)
-    mwl = mean_word_length_expr(c)
+    n_tokens = token_count_expr(c) if n_tokens is None else n_tokens
+    mwl = mean_word_length_expr(c) if mwl is None else mwl
+    punct = punct_ratio_expr(c) if punct is None else punct
     len_ok = F.when(n_tokens >= 20, F.lit(1.0)).otherwise(n_tokens / F.lit(20.0))
     word_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    punct_ok = F.lit(1.0) - F.least(punct_ratio_expr(c) * 5, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct * 5, F.lit(1.0))
     return F.round((len_ok + word_ok + punct_ok) / 3, 4)
 
 
-def lang_id_expr(col: Column | str = "text") -> Column:
+def lang_id_expr(
+    col: Column | str = "text", *, stop_ratio: Column | None = None
+) -> Column:
     """Stopword-hit language heuristic: 'en' when English stopwords make
     up over 5% of tokens, else 'unknown'. (A real lang-ID model plugs in
     behind the same column contract.)"""
-    return F.when(stopword_ratio_expr(col) > 0.05, F.lit("en")).otherwise(
-        F.lit("unknown")
-    )
+    ratio = stopword_ratio_expr(col) if stop_ratio is None else stop_ratio
+    return F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unknown"))
 
 
 def fingerprint_expr(col: Column | str = "text") -> Column:

@@ -18,7 +18,8 @@ from ..operators.dedup import (
     minhash_lsh_duplicates,
     minhash_signatures,
     shingle_jaccard_pairs,
-    simhash_expr,
+    with_shingle_array,
+    with_simhash,
 )
 from .catalog import query, table
 
@@ -163,7 +164,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     array inside codegen.
     """
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_expr().alias("simhash")).orderBy("doc_id")
+    return with_simhash(d).orderBy("doc_id")
 
 
 @query(
@@ -182,7 +183,7 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch that LSH banding and Jaccard estimation both consume."""
     d = table(spark, sf_dir, "documents")
     return (
-        minhash_signatures(doc_shingles(d))
+        minhash_signatures(with_shingle_array(d))
         .select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
         .orderBy("doc_id", "seed")
     )

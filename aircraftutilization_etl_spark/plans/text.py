@@ -68,17 +68,35 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; all expressions JVM-side (SURVEY.md 'UDFs are the slow path').
     """
     d = table(spark, sf_dir, "documents")
-    return d.select(
+    # Layered projection: each raw metric (notably the interpreted
+    # stopword fold) is evaluated once per row; the output layer only
+    # rounds/derives. Multi-reference of the raw aliases keeps
+    # CollapseProject from re-inlining them.
+    raw = d.select(
         "doc_id",
         "lang",
         "source",
-        token_count_expr().cast("int").alias("n_tokens"),
-        bpe_token_count_expr().cast("int").alias("n_bpe_tokens"),
-        F.round(mean_word_length_expr(), 4).alias("mean_word_len"),
-        F.round(stopword_ratio_expr(), 4).alias("stopword_ratio"),
-        F.round(punct_ratio_expr(), 4).alias("punct_ratio"),
-        quality_score_expr().alias("quality_score"),
-        lang_id_expr().alias("predicted_lang"),
+        token_count_expr().alias("__n_tokens"),
+        bpe_token_count_expr().alias("__n_bpe"),
+        mean_word_length_expr().alias("__mwl"),
+        stopword_ratio_expr().alias("__stop"),
+        punct_ratio_expr().alias("__punct"),
+    )
+    return raw.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("__n_tokens").cast("int").alias("n_tokens"),
+        F.col("__n_bpe").cast("int").alias("n_bpe_tokens"),
+        F.round("__mwl", 4).alias("mean_word_len"),
+        F.round("__stop", 4).alias("stopword_ratio"),
+        F.round("__punct", 4).alias("punct_ratio"),
+        quality_score_expr(
+            n_tokens=F.col("__n_tokens"),
+            mwl=F.col("__mwl"),
+            punct=F.col("__punct"),
+        ).alias("quality_score"),
+        lang_id_expr(stop_ratio=F.col("__stop")).alias("predicted_lang"),
     ).orderBy("doc_id")
 
 
