@@ -1,0 +1,123 @@
+"""Dedup operator unit tests on hand-built corpora with known outcomes."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from aircraftutilization_etl_spark.operators.dedup import (
+    MINHASH_K,
+    doc_shingles,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_lsh_duplicates,
+    minhash_signatures,
+    shingle_jaccard_pairs,
+    with_shingle_array,
+    with_simhash,
+)
+
+DOCS = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS)
+
+
+class TestShingles:
+    def test_known_shingles(self, spark):
+        df = _docs(spark, [(1, "a b c d")])
+        rows = with_shingle_array(df).collect()
+        assert sorted(rows[0]["shingles"]) == ["a b c", "b c d"]
+
+    def test_short_docs_dropped(self, spark):
+        df = _docs(spark, [(1, "one two"), (2, "one two three")])
+        assert [r["doc_id"] for r in with_shingle_array(df).collect()] == [2]
+
+    def test_shingles_distinct(self, spark):
+        df = _docs(spark, [(1, "x y x y x y")])  # repeated 3-grams
+        rows = doc_shingles(df).collect()
+        shingles = [r["shingle"] for r in rows]
+        assert len(shingles) == len(set(shingles)) == 2  # 'x y x', 'y x y'
+
+
+class TestExactDuplicates:
+    def test_groups_by_normalized_text(self, spark):
+        df = _docs(
+            spark,
+            [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        )
+        rows = {r["representative"]: r for r in exact_duplicates(df).collect()}
+        assert rows[1]["n_docs"] == 2  # case/whitespace-insensitive group
+        assert rows[3]["n_docs"] == 1
+        expected = hashlib.md5(b"hello world").hexdigest()
+        assert rows[1]["fingerprint"] == expected
+
+
+class TestJaccard:
+    def test_hand_computed_jaccard(self, spark):
+        # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e}
+        # J = 1 / 3
+        df = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+        pairs = shingle_jaccard_pairs(doc_shingles(df), threshold=0.3).collect()
+        assert len(pairs) == 1
+        p = pairs[0]
+        assert (p["id_a"], p["id_b"]) == (1, 2)
+        assert abs(p["jaccard"] - 1 / 3) < 1e-6
+
+    def test_threshold_excludes(self, spark):
+        df = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+        assert shingle_jaccard_pairs(doc_shingles(df), threshold=0.5).count() == 0
+
+
+class TestMinHashLSH:
+    def test_signature_shape_and_determinism(self, spark):
+        df = _docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4")])
+        sig = minhash_signatures(with_shingle_array(df)).collect()
+        assert len(sig) == 2 * MINHASH_K
+        by_doc = {}
+        for r in sig:
+            by_doc.setdefault(r["doc_id"], {})[r["seed"]] = r["minhash"]
+        assert by_doc[1] == by_doc[2]  # identical docs, identical signatures
+        assert sorted(by_doc[1]) == list(range(MINHASH_K))
+
+    def test_identical_docs_are_candidates(self, spark):
+        df = _docs(
+            spark,
+            [(1, "p q r s t"), (2, "p q r s t"), (3, "entirely different words here")],
+        )
+        pairs = lsh_candidate_pairs(with_shingle_array(df)).collect()
+        assert (1, 2) in {(p["id_a"], p["id_b"]) for p in pairs}
+
+    def test_full_pipeline_finds_exact_dup(self, spark):
+        df = _docs(
+            spark,
+            [(1, "p q r s t"), (2, "p q r s t"), (3, "a completely other doc")],
+        )
+        out = minhash_lsh_duplicates(df, threshold=0.9).collect()
+        assert len(out) == 1
+        assert (out[0]["id_a"], out[0]["id_b"], out[0]["jaccard"]) == (1, 2, 1.0)
+
+
+class TestSimHash:
+    def test_identical_text_identical_print(self, spark):
+        df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma")])
+        rows = [r["simhash"] for r in with_simhash(df).collect()]
+        assert rows[0] == rows[1]
+        assert len(rows[0]) == 16
+        assert set(rows[0]) <= {"0", "1"}
+
+    def test_single_word_matches_md5_bits(self, spark):
+        df = _docs(spark, [(1, "hello")])
+        print_ = with_simhash(df).collect()[0]["simhash"]
+        h = hashlib.md5(b"hello").hexdigest()
+        expected = "".join("1" if c >= "8" else "0" for c in h[:16])
+        assert print_ == expected
+
+    def test_near_text_close_in_hamming(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        df = _docs(spark, [(1, base), (2, base + "extra"), (3, "zz yy xx ww vv")])
+        prints = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+        ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+        assert ham(prints[1], prints[2]) <= ham(prints[1], prints[3])

@@ -1,0 +1,86 @@
+"""Similarity operator unit tests with hand-computed cosines."""
+
+from __future__ import annotations
+
+import math
+
+from aircraftutilization_etl_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+
+EMB = "vec_id long, embedding array<float>, label int"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, EMB)
+
+
+def test_cosine_topk_hand_computed(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),   # query
+            (1, [1.0, 0.0], 0),   # cosine 1.0
+            (2, [1.0, 1.0], 0),   # cosine 1/sqrt(2)
+            (3, [0.0, 1.0], 0),   # cosine 0.0
+            (4, [-1.0, 0.0], 0),  # cosine -1.0
+        ],
+    )
+    out = cosine_topk(corpus.filter("vec_id = 0"), corpus, k=3).collect()
+    got = [(r["neighbor_id"], r["cosine"], r["rank"]) for r in out]
+    assert got == [
+        (1, 1.0, 1),
+        (2, round(1 / math.sqrt(2), 6), 2),
+        (3, 0.0, 3),
+    ]
+
+
+def test_cosine_topk_tie_breaks_on_neighbor_id(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (5, [2.0, 0.0], 0),  # cosine 1.0 (scale-invariant)
+            (3, [3.0, 0.0], 0),  # cosine 1.0
+        ],
+    )
+    out = cosine_topk(corpus.filter("vec_id = 0"), corpus, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(3, 1), (5, 2)]
+
+
+def test_cosine_topk_excludes_self(spark):
+    corpus = _vecs(spark, [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)])
+    out = cosine_topk(corpus.filter("vec_id = 0"), corpus, k=5).collect()
+    assert [r["neighbor_id"] for r in out] == [1]
+
+
+def test_cosine_pairs_threshold_and_order(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.1], 0),   # cos(1,2) ~ 0.995
+            (3, [0.0, 1.0], 0),   # cos(1,3) = 0, cos(2,3) ~ 0.0995
+        ],
+    )
+    out = cosine_pairs(corpus, threshold=0.9).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)  # always id_a < id_b
+    expected = 1.0 / math.sqrt(1 + 0.01)
+    assert abs(p["cosine"] - expected) < 1e-6
+
+
+def test_ivf_searches_own_cell_only(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [1.0, 0.0], 7),   # same cell, cosine 1.0
+            (2, [1.0, 0.0], 8),   # perfect match but other cell -> unseen
+        ],
+    )
+    out = ivf_topk(corpus.filter("vec_id = 0"), corpus, k=5).collect()
+    assert [r["neighbor_id"] for r in out] == [1]

@@ -1,0 +1,74 @@
+"""Text operator unit tests — expression-level truth tables."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from aircraftutilization_etl_spark.operators.text import (
+    bpe_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    mean_word_length_expr,
+    normalized_text,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "one two  three", token_count_expr()) == 3
+    assert _one(spark, "  padded  ", token_count_expr()) == 1
+
+
+def test_bpe_token_count(spark):
+    # 'abc', '123', ',', 'def' -> 4
+    assert _one(spark, "abc123, def", bpe_token_count_expr()) == 4
+
+
+def test_mean_word_length(spark):
+    assert _one(spark, "ab abcd", mean_word_length_expr()) == 3.0
+
+
+def test_punct_ratio(spark):
+    # "a,b!" -> 2 punct of 4 chars
+    assert _one(spark, "a,b!", punct_ratio_expr()) == 0.5
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, "the cat sat", stopword_ratio_expr()) == 1 / 3
+    assert _one(spark, "cat sat mat", stopword_ratio_expr()) == 0.0
+
+
+def test_lang_id(spark):
+    english = "the cat sat on the mat and it is a cat"
+    assert _one(spark, english, lang_id_expr()) == "en"
+    assert _one(spark, "gato perro casa", lang_id_expr()) == "unknown"
+
+
+def test_quality_score_bounds_and_known_value(spark):
+    # 3 tokens, mwl=3, no punct: len_ok=3/20, word_ok=1, punct_ok=1
+    expected = round((3 / 20 + 1.0 + 1.0) / 3, 4)
+    assert _one(spark, "cat sat mat", quality_score_expr()) == expected
+    long_clean = " ".join(["word"] * 30)
+    assert _one(spark, long_clean, quality_score_expr()) == 1.0
+
+
+def test_normalized_text_and_fingerprint(spark):
+    assert _one(spark, "  A   B\tC ", normalized_text()) == "a b c"
+    got = _one(spark, "Hello   World", fingerprint_expr())
+    assert got == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_fingerprint_distinguishes(spark):
+    a = _one(spark, "text one", fingerprint_expr())
+    b = _one(spark, "text two", fingerprint_expr())
+    assert a != b
