@@ -180,7 +180,9 @@ def transform_complete(classified_complete: DataFrame, metadata: DataFrame) -> D
     complete = complete.join(F.broadcast(metadata), on="icao24", how="left")
     # C5 (NaN→None) is a no-op in Spark: nulls are native (SURVEY.md §2.5).
     complete = complete.withColumn(
-        "built", F.to_timestamp(F.col("built"), "yyyy-MM-dd")
+        # try_to_timestamp: invalid strings -> null under ANSI mode too,
+        # matching the reference's try/except -> None
+        "built", F.try_to_timestamp(F.col("built"), F.lit("yyyy-MM-dd"))
     )
     return complete.select(
         "icao24",

@@ -1,0 +1,178 @@
+"""Relational-surface extensions: grouping sets, exact percentiles,
+ranking windows, range frames, lateral explode (SURVEY.md §2.8 — the
+operators the reference never needed but the engine must expose).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import query, table
+
+
+@query(
+    "q_grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): per (flag,status),
+    per flag, and grand total in one pass — one shuffle, each input row
+    expanded into its grouping-set copies map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           ROUND(median(l_quantity), 4) AS med,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles + median per group.
+
+    Scale note: exact percentiles sort each group's values; at 100 TB the
+    approx_percentile sketch (t-digest, mergeable map-side) is the right
+    tool — exposed as the same call shape, kept exact here so the DuckDB
+    oracle can hash-match.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+            F.round(F.median("l_quantity"), 4).alias("med"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+                "price_p90"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_ntile_customer_value",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(NTILE(4) OVER w AS INT) AS balance_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family (ntile / percent_rank / cume_dist) over
+    account balance within nation — one shuffle on the partition key,
+    per-partition sort, no second pass."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q_range_frame_order_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch_days
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_30d_total
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 datediff('day', DATE '1992-01-01', o_orderdate) AS epoch_days
+          FROM orders)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_range_frame_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per customer, each order's trailing
+    30-day spend — range frames are the time-window primitive that row
+    frames can't express when orders cluster unevenly."""
+    o = table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.alias("epoch_days"))
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q_top_words",
+    """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral word explode + frequency top-k — the generate/limit
+    pattern (TakeOrderedAndProject caps the sort at k rows per
+    partition, so the full word distribution is never globally sorted).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim("text"), "\\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )

@@ -206,7 +206,9 @@ def enrich_completed(completed: DataFrame, metadata: DataFrame) -> DataFrame:
     aircraft dimension + built parse — identical output shape to the
     batch ``transform_complete`` (operators/flight.py)."""
     out = completed.join(F.broadcast(metadata), on="icao24", how="left")
-    out = out.withColumn("built", F.to_timestamp(F.col("built"), "yyyy-MM-dd"))
+    out = out.withColumn(
+        "built", F.try_to_timestamp(F.col("built"), F.lit("yyyy-MM-dd"))
+    )
     return out.select(
         "icao24",
         "flight_duration_minutes",

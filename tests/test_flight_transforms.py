@@ -214,6 +214,26 @@ def test_transform_complete_unmatched_metadata_is_null(spark):
     assert row["flight_duration_minutes"] == 154
 
 
+def test_transform_complete_unparseable_built_is_null(spark):
+    """T3 strict parse: malformed built strings → null, never an error —
+    Spark 4 ANSI mode would throw from plain to_timestamp (regression
+    guard for the try_to_timestamp fix)."""
+    landing = make_source(
+        spark,
+        [dict(icao24="65432a", last_contact=1712338215, velocity=0.0,
+              vertical_rate=0.0, takeoff_at=1712329013,
+              flight_last_contact=1712338215, flight_trajectory="descend",
+              is_first_contact=False)],
+    ).selectExpr("*", "'landing' AS flight_status")
+    metadata = spark.createDataFrame(
+        [("65432a", "AB-CDE", "B737", "BOEING", "o", "op", "never-built")],
+        METADATA_SCHEMA,
+    )
+    row = transform_complete(landing, metadata).first().asDict()
+    assert row["built"] is None
+    assert row["model"] == "B737"
+
+
 def test_classify_and_split_disjoint(spark):
     """F3 — every row lands on exactly one side of the split."""
     source = make_source(
