@@ -1,9 +1,12 @@
+import tempfile
+
 import pytest
 from pyspark.sql import SparkSession
 
 
 @pytest.fixture(scope="session")
 def spark():
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
     session = (
         SparkSession.builder.master("local[4]")
         .appName("aircraftutilization-etl-spark-tests")
@@ -11,6 +14,7 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.warehouse.dir", warehouse)
         .getOrCreate()
     )
     yield session

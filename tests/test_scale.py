@@ -1,0 +1,75 @@
+"""Scale-pattern tests: salted joins are result-identical and actually
+spread hot keys; bucketed tables join without exchanges."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from aircraftutilization_etl_spark.operators.scale import (
+    colocated_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+def _plan(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key 1 dominates
+    skewed = spark.createDataFrame(
+        [(1, f"e{i}") for i in range(500)] + [(2, "x"), (3, "y")],
+        "k long, payload string",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (4, "unmatched")], "k long, label string"
+    )
+    plain = skewed.join(small, "k").select("k", "payload", "label")
+    salted = salted_join(skewed, small, "k").select("k", "payload", "label")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_left_outer(spark):
+    skewed = spark.createDataFrame([(1, "a"), (9, "b")], "k long, v string")
+    small = spark.createDataFrame([(1, "hit")], "k long, label string")
+    rows = {
+        r["k"]: r["label"]
+        for r in salted_join(skewed, small, "k", how="left").collect()
+    }
+    assert rows == {1: "hit", 9: None}
+
+
+def test_salting_spreads_hot_key(spark):
+    skewed = spark.createDataFrame(
+        [(1, f"e{i}") for i in range(200)], "k long, payload string"
+    )
+    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(8)).cast("int")
+    n_subkeys = skewed.withColumn("s", salt).select("k", "s").distinct().count()
+    assert n_subkeys >= 6  # one hot key becomes ~8 disjoint join keys
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    left = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") + 1)
+    write_bucketed(left, "t_bucketed_left", "id", 4, sort_col="id")
+    write_bucketed(right, "t_bucketed_right", "id", 4, sort_col="id")
+    try:
+        joined = colocated_join(spark, "t_bucketed_left", "t_bucketed_right", "id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan  # co-located: shuffle paid at write
+        assert joined.count() == 1000
+        # contrast: the same join on raw frames needs exchanges
+        raw_plan = _plan(left.join(right, "id"))
+        assert "Exchange" in raw_plan or "Broadcast" in raw_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_left")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_right")
