@@ -1,0 +1,81 @@
+"""Event-time windowed aggregation with watermarking.
+
+The reference delegates all time-bucketed analytics to its Mongo
+time-series collection (SURVEY.md §2.9 last row: hours granularity at
+the sink, db.py:46-53). The engine-native realization aggregates in
+Spark itself: event-time tumbling windows with a watermark bounding
+state and admitting bounded late data — the missing member of the §2.9
+feature map (the session kernel covers custom stateful processing;
+this covers declarative windowed aggregation).
+
+Scale: the windowed agg is a standard partial-aggregated shuffle on
+(window, keys); the watermark caps state at (watermark horizon /
+window length) windows per key, independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per (hour, event_type) counts and value sums over an event stream.
+
+    Late events within ``watermark`` still update their window; older
+    ones are dropped and the window's state is finalized — the
+    declarative replacement for the sink-side bucketing the reference
+    leaned on.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_hourly_rollup(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    processing_time: str | None = None,
+):
+    """Append-mode hourly rollup to parquet: a window's row is emitted
+    once, when the watermark passes its end (finalized aggregates, the
+    semantics a time-series store gives you per bucket).
+
+    ``processing_time`` selects a periodic trigger; default is
+    availableNow (drain and stop). Note availableNow can coalesce all
+    pending files into one batch, which also collapses watermark
+    advancement — tests that depend on per-batch watermark progression
+    use the periodic trigger.
+    """
+    rollup = hourly_event_counts(events_stream, watermark)
+    writer = (
+        rollup.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,98 @@
+"""Watermarked windowed-aggregation streaming tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pandas as pd
+
+from aircraftutilization_etl_spark.streaming.events_stream import (
+    run_hourly_rollup,
+)
+
+BASE = dt.datetime(2024, 4, 5, 10, 0, 0)
+
+
+def _write_batch(path, rows, order):
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects ns parquet
+    pdf.to_parquet(path)
+    os.utime(path, (1_700_000_000 + order, 1_700_000_000 + order))
+
+
+def test_hourly_rollup_with_late_and_dropped_events(spark, tmp_path):
+    in_dir = tmp_path / "events_in"
+    in_dir.mkdir()
+    h = dt.timedelta(hours=1)
+    # batch 0: events in hour 10 and 11
+    _write_batch(
+        in_dir / "b0.parquet",
+        order=0,
+        rows=[
+            (1, BASE + dt.timedelta(minutes=5), "click", 1.0),
+            (2, BASE + dt.timedelta(minutes=40), "click", 2.0),
+            (3, BASE + h, "view", 5.0),
+        ],
+    )
+    # batches 1-2 advance the watermark far past hour 11 (the wm a batch
+    # filters with can lag one batch behind the reported value); batch 3
+    # then sends a too-late hour-10 event that must be dropped; batch 4
+    # just advances time again.
+    _write_batch(
+        in_dir / "b1.parquet",
+        order=1,
+        rows=[(4, BASE + dt.timedelta(hours=5), "click", 1.0)],
+    )
+    _write_batch(
+        in_dir / "b2.parquet",
+        order=2,
+        rows=[(5, BASE + dt.timedelta(hours=6), "click", 1.0)],
+    )
+    _write_batch(
+        in_dir / "b3.parquet",
+        order=3,
+        rows=[(6, BASE + dt.timedelta(minutes=50), "click", 100.0)],  # too late
+    )
+    _write_batch(
+        in_dir / "b4.parquet",
+        order=4,
+        rows=[(7, BASE + dt.timedelta(hours=7), "click", 1.0)],
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    q = run_hourly_rollup(
+        stream,
+        out_path=str(tmp_path / "rollup"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        watermark="2 hours",
+        processing_time="1 second",  # per-batch watermark progression
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            progress = q.lastProgress
+            if progress and progress["batchId"] >= 5 and progress[
+                "numInputRows"
+            ] == 0:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "rollup"))
+    rows = [tuple(r) for r in out.collect()]
+    # hour-10 click window finalized exactly once, WITHOUT the too-late
+    # event 6 (no second emission for the same window either)
+    hour10_clicks = [r for r in rows if r[0] == BASE and r[1] == "click"]
+    assert hour10_clicks == [(BASE, "click", 2, 3.0)]
+    assert (BASE + h, "view", 1, 5.0) in rows
+    # hour-17 window not emitted: watermark has not passed its end
+    assert not any(r[0] == BASE + dt.timedelta(hours=7) for r in rows)
