@@ -112,7 +112,11 @@ def shingle_jaccard_pairs(
     Pairs are generated only for documents sharing at least one shingle
     (equi-join on the shingle), then scored exactly:
     J = |A∩B| / (|A|+|B|−|A∩B|).
+
+    The shingle table feeds three consumers (sizes + both join sides),
+    so it is persisted for the duration of the plan.
     """
+    shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -140,25 +144,40 @@ def shingle_jaccard_pairs(
     )
 
 
+def rotation_expr(h, seed: int):
+    """Seeded hash variant: the md5 hex rotated left by 2·seed chars.
+
+    One strong 128-bit hash per shingle, K cheap rotations instead of K
+    md5 computations (16× less hashing over the corpus). Each rotation
+    leads with a different 8-hex window of the digest, giving K distinct
+    lexicographic orderings for the min-hash. seed 0 is the identity.
+    """
+    if seed == 0:
+        return h
+    cut = 2 * seed
+    return F.concat(F.substring(h, cut + 1, 32), F.substring(h, 1, cut))
+
+
 def with_minhash_signature(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, sig) — the K-element MinHash signature array per document.
 
-    The K seeded md5s are flat projection columns over the exploded
-    shingle view (whole-stage codegen — higher-order-function lambdas
-    are interpreted per element and ~5× slower for hash-heavy work),
-    then ONE groupBy(id) with K conditional MIN aggregates builds the
-    signature: partial aggregation collapses each partition to one row
-    per document before the single shuffle on the id.
+    One md5 per shingle in a flat codegen projection (higher-order
+    lambdas are interpreted per element and ~5× slower for hash work),
+    K rotation columns derive the seeded orderings, then ONE groupBy(id)
+    with K conditional MIN aggregates builds the signature: partial
+    aggregation collapses each partition to one row per document before
+    the single shuffle on the id.
     """
     # explode_outer: see doc_shingles — avoids the inferred size()>0
     # scan predicate that would re-inline the shingle construction.
     exploded = shingled.select(
         id_col, F.explode_outer("shingles").alias("shingle")
     )
-    hashed = exploded.select(
+    base = exploded.select(id_col, F.md5("shingle").alias("__h"))
+    hashed = base.select(
         id_col,
         *[
-            F.md5(F.concat_ws("#", "shingle", F.lit(str(s)))).alias(f"__h{s}")
+            rotation_expr(F.col("__h"), s).alias(f"__h{s}")
             for s in range(MINHASH_K)
         ],
     )
@@ -172,7 +191,8 @@ def with_minhash_signature(shingled: DataFrame, id_col: str = "doc_id") -> DataF
 
 def minhash_signatures(shingles_or_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """MinHash signature matrix (id, seed, minhash): for seed i in
-    [0, K), the lexicographic MIN of md5(shingle || '#' || i).
+    [0, K), the lexicographic MIN over shingles of
+    rotate(md5(shingle), 2·i hex chars).
 
     Accepts either the exploded (id, shingle) view or the array view.
     """

@@ -2,7 +2,8 @@
 
 Each oracle replicates the Spark pipeline exactly in DuckDB SQL — possible
 because the only hash primitive is md5 (identical hex both engines) and
-MinHash takes lexicographic minima of md5 strings.
+the K seeded minhash orderings are hex rotations of one md5, expressed
+with substr/concat on both sides.
 """
 
 from __future__ import annotations
@@ -57,7 +58,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicities (tiny), so no skew.
     """
     d = table(spark, sf_dir, "documents")
-    return exact_duplicates(d).orderBy("representative")
+    return exact_duplicates(d)  # driver compare is order-insensitive
 
 
 @query(
@@ -87,8 +88,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product.
     """
     d = table(spark, sf_dir, "documents")
-    pairs = shingle_jaccard_pairs(doc_shingles(d), JACCARD_THRESHOLD)
-    return pairs.orderBy("id_a", "id_b")
+    # no final orderBy: a global sort samples its child, re-executing
+    # the pair pipeline; the driver compare is order-insensitive
+    return shingle_jaccard_pairs(doc_shingles(d), JACCARD_THRESHOLD)
 
 
 @query(
@@ -96,7 +98,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_SQL},
     minhashes AS (
-        SELECT doc_id, seed, MIN(md5(shingle || '#' || seed)) AS minhash
+        SELECT doc_id, seed,
+               MIN(substr(md5(shingle), CAST(seed * 2 + 1 AS INT), 32)
+                   || substr(md5(shingle), 1, CAST(seed * 2 AS INT))) AS minhash
         FROM shingles, LATERAL unnest(range(0, {MINHASH_K})) AS s(seed)
         GROUP BY doc_id, seed
     ),
@@ -130,12 +134,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4×4) near-dup pipeline with exact-Jaccard
     verification at J ≥ 0.5 — the scale path for corpus dedup.
 
-    Scale: signatures are fixed 16 md5s/doc regardless of doc size;
+    Scale: one md5 per shingle with 16 rotation-derived orderings;
+    signatures are a fixed 16 strings/doc regardless of doc size;
     candidate generation shuffles on (band, band_key) so only
     near-identical docs ever meet; verification touches candidates only.
     """
     d = table(spark, sf_dir, "documents")
-    return minhash_lsh_duplicates(d, JACCARD_THRESHOLD).orderBy("id_a", "id_b")
+    return minhash_lsh_duplicates(d, JACCARD_THRESHOLD)
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -164,7 +169,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     array inside codegen.
     """
     d = table(spark, sf_dir, "documents")
-    return with_simhash(d).orderBy("doc_id")
+    return with_simhash(d)
 
 
 @query(
@@ -172,7 +177,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_SQL}
     SELECT doc_id, CAST(seed AS BIGINT) AS seed,
-           MIN(md5(shingle || '#' || seed)) AS minhash
+           MIN(substr(md5(shingle), CAST(seed * 2 + 1 AS INT), 32)
+               || substr(md5(shingle), 1, CAST(seed * 2 AS INT))) AS minhash
     FROM shingles, LATERAL unnest(range(0, {MINHASH_K})) AS s(seed)
     GROUP BY doc_id, seed
     ORDER BY doc_id, seed
@@ -185,5 +191,4 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         minhash_signatures(with_shingle_array(d))
         .select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
-        .orderBy("doc_id", "seed")
     )

@@ -119,7 +119,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").cast("bigint").alias("payload_bytes"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
-    ).orderBy("asset_id")
+    )
 
 
 @query("q_media_feature_extract", None)
@@ -136,4 +136,4 @@ def q_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_l1"
         ),
         F.size("features").alias("dim"),
-    ).orderBy("asset_id")
+    )

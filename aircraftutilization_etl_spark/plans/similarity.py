@@ -46,9 +46,7 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp before ranking for engine determinism.
     """
     e = table(spark, sf_dir, "embeddings")
-    return cosine_topk(
-        e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K
-    ).orderBy("query_id", "rank")
+    return cosine_topk(e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K)
 
 
 @query(
@@ -80,9 +78,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     work divides by the cell count; the standard recall trade of probe=1.
     """
     e = table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K
-    ).orderBy("query_id", "rank")
+    return ivf_topk(e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K)
 
 
 @query(
@@ -110,7 +106,7 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing (q_emb_ivf_topk) is the same operator's sub-quadratic path.
     """
     e = table(spark, sf_dir, "embeddings")
-    return cosine_pairs(e, NEAR_DUP_COSINE).orderBy("id_a", "id_b")
+    return cosine_pairs(e, NEAR_DUP_COSINE)
 
 
 @query(

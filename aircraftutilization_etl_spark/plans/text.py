@@ -97,7 +97,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             punct=F.col("__punct"),
         ).alias("quality_score"),
         lang_id_expr(stop_ratio=F.col("__stop")).alias("predicted_lang"),
-    ).orderBy("doc_id")
+    )  # no orderBy: global sort would re-run the metrics for sampling
 
 
 @query(
@@ -120,7 +120,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_expr().alias("fingerprint"),
         F.length("text").cast("bigint").alias("text_len"),
         F.floor(F.length("text") / 100).cast("bigint").alias("len_bucket"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
