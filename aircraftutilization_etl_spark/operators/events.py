@@ -1,0 +1,98 @@
+"""Event-stream operators: sessionization and as-of join.
+
+These are the reusable batch forms of the reference's hand-rolled
+stateful stream concepts (SURVEY.md §2.9): session assembly with a gap
+timeout (F1) and "most recent prior fact" lookups. Spark has no native
+as-of join (§2.4 gap list); the union-and-last-value formulation here is
+one shuffle + one ordered window — it never materializes candidate
+pairs, unlike a range-join probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gaps-and-islands session assignment: adds ``session_seq`` (1-based
+    per key), a new session starting whenever the gap to the previous
+    event exceeds ``gap_minutes``.
+
+    Scale: both windows share one (key → ts) partitioning — a single
+    shuffle; the running SUM is computed in the same sort pass.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag(ts_col).over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    flagged = df.withColumn("__is_start", is_start)
+    return flagged.withColumn(
+        "session_seq",
+        F.sum("__is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__is_start")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """pandas ``merge_asof``-style join: each left row gets the right
+    side's most recent values at-or-before (``inclusive``) / strictly
+    before its timestamp, per ``on`` key.
+
+    Plan: tag sides → union → last(ignorenulls) over an ordered window →
+    keep left rows. One shuffle on the key, no pair explosion — the
+    scalable as-of formulation (a range join would score every candidate
+    pair). Right values come back as ``asof_<name>``; rows with no prior
+    right match hold nulls.
+    """
+    if value_cols is None:
+        value_cols = tuple(
+            c for c in right.columns if c not in (on, ts_col)
+        )
+    # side ordering at equal timestamps decides inclusivity:
+    # right-before-left (0 < 1) + frame ..-1  -> right@ts == left@ts counts
+    # left-before-right (0 < 1 flipped)       -> strictly-before semantics
+    right_side, left_side = (0, 1) if inclusive else (1, 0)
+    l_tagged = left.withColumn("__side", F.lit(left_side))
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(right_side).alias("__side"),
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == left_side)
+    for c in value_cols:
+        out = out.withColumn(f"asof_{c}", F.col(f"__carry_{c}")).drop(
+            f"__carry_{c}"
+        )
+    return out.drop("__side")

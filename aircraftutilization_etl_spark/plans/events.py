@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.events import sessionize
 from .catalog import query, table
 
 SESSION_GAP_MINUTES = 30  # the F1 session-gap concept on the events table
@@ -57,24 +58,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The duration kernel is the U3 ceil-minutes shape.
     """
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
-    flagged = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_start"),
-    )
-    numbered = flagged.withColumn(
-        "session_seq",
-        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    numbered = sessionize(
+        e.select("user_id", "ts", "event_id", "value"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_minutes=SESSION_GAP_MINUTES,
+        order_cols=("event_id",),
     )
     return (
         numbered.groupBy("user_id", "session_seq")

@@ -1,0 +1,82 @@
+"""Sessionize / as-of join operator unit tests with hand-built streams."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from aircraftutilization_etl_spark.operators.events import asof_join, sessionize
+
+BASE = dt.datetime(2024, 4, 5, 10, 0, 0)
+
+
+def _m(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def test_sessionize_gap_splits(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", _m(0), 1),
+            ("u1", _m(10), 2),   # within 30-min gap -> same session
+            ("u1", _m(50), 3),   # 40-min gap -> new session
+            ("u2", _m(0), 4),    # other key -> own session numbering
+        ],
+        "user_id string, ts timestamp, event_id long",
+    )
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", 30, ("event_id",)).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_boundary_gap_is_same_session(spark):
+    # exactly 30 minutes is NOT > gap -> same session
+    df = spark.createDataFrame(
+        [("u", _m(0), 1), ("u", _m(30), 2)],
+        "user_id string, ts timestamp, event_id long",
+    )
+    out = {r["event_id"]: r["session_seq"]
+           for r in sessionize(df, "user_id", "ts", 30).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_asof_join_inclusive_and_missing(spark):
+    left = spark.createDataFrame(
+        [("u", _m(5), "e1"), ("u", _m(20), "e2"), ("v", _m(1), "e3")],
+        "k string, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [("u", _m(0), 1.0), ("u", _m(20), 2.0), ("u", _m(30), 3.0)],
+        "k string, ts timestamp, price double",
+    )
+    out = {r["name"]: r["asof_price"]
+           for r in asof_join(left, right, on="k").collect()}
+    assert out["e1"] == 1.0   # most recent at-or-before 10:05
+    assert out["e2"] == 2.0   # equal timestamp counts (inclusive)
+    assert out["e3"] is None  # key with no right rows -> null
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    left = spark.createDataFrame(
+        [("u", _m(20), "e2")], "k string, ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [("u", _m(0), 1.0), ("u", _m(20), 2.0)],
+        "k string, ts timestamp, price double",
+    )
+    out = asof_join(left, right, on="k", inclusive=False).collect()
+    assert out[0]["asof_price"] == 1.0  # same-ts right row excluded
+
+
+def test_asof_join_keeps_left_columns_and_count(spark):
+    left = spark.createDataFrame(
+        [("u", _m(i), f"e{i}") for i in range(5)],
+        "k string, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [("u", _m(2), 9.0)], "k string, ts timestamp, price double"
+    )
+    out = asof_join(left, right, on="k")
+    assert out.count() == 5  # left-preserving
+    assert set(out.columns) == {"k", "ts", "name", "asof_price"}
