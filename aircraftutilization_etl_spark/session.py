@@ -1,0 +1,54 @@
+"""Tuned SparkSession builder — the engine's recommended entry point.
+
+One place for the scale-relevant defaults so pipelines, tests and
+benchmarks agree. Everything is overridable via ``extra_conf``; at
+cluster scale the same settings apply, with ``shuffle_partitions``
+raised to ~2-3× total cores and S3A/credentials supplied by the
+platform's Hadoop configuration (reference S8 — deliberately not engine
+code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+RECOMMENDED = {
+    # AQE: runtime join demotion, partition coalescing, skew-join splits
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # deterministic timestamps across engines (oracle parity)
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow lanes for Pandas UDF / mapInPandas / toPandas
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # bound per-batch memory for binary-payload kernels (multimodal)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # ~128 MB scan splits: enough parallelism without tiny-task overhead
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def build_session(
+    app_name: str = "aircraftutilization-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a session with the engine's recommended settings.
+
+    ``master=None`` defers to the environment (spark-submit / cluster
+    manager); local callers pass e.g. ``local[32]`` and a matching
+    ``shuffle_partitions``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in RECOMMENDED.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -21,7 +21,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_top_customers_per_nation",
+    "q_grouping_sets_revenue",
+    "q_percentiles_quantity",
     "q_full_outer_merge",
+    "q_skew_salted_join",
     "q_events_sessionize",
     "q_events_asof_last_click",
     "q_events_hourly_window",
@@ -31,6 +34,7 @@ HEADLINE = [
     "q_text_quality",
     "q_emb_cosine_topk",
     "q_emb_near_dup_pairs",
+    "q_media_feature_extract",
 ]
 
 
