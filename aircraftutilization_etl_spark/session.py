@@ -28,22 +28,43 @@ RECOMMENDED = {
 }
 
 
+# For long-running stateful streams: RocksDB keeps per-key session state
+# off-heap and on local disk (the HDFS-backed default holds the whole map
+# in executor memory — fine for tests, not for millions of keys), and
+# changelog checkpointing ships per-batch deltas instead of full
+# snapshots.
+STREAMING_RECOMMENDED = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
 def build_session(
     app_name: str = "aircraftutilization-etl-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    streaming: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) a session with the engine's recommended settings.
 
     ``master=None`` defers to the environment (spark-submit / cluster
     manager); local callers pass e.g. ``local[32]`` and a matching
-    ``shuffle_partitions``.
+    ``shuffle_partitions``. ``streaming=True`` adds the RocksDB state
+    store for long-running stateful pipelines.
     """
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
-    for k, v in RECOMMENDED.items():
+    conf = dict(RECOMMENDED)
+    if streaming:
+        conf.update(STREAMING_RECOMMENDED)
+    for k, v in conf.items():
         builder = builder.config(k, v)
     if shuffle_partitions is not None:
         builder = builder.config(
