@@ -15,6 +15,7 @@ from ..operators.dedup import (
     MINHASH_K,
     MINHASH_ROWS,
     doc_shingles,
+    duplicate_clusters,
     exact_duplicates,
     minhash_lsh_duplicates,
     minhash_signatures,
@@ -93,10 +94,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(doc_shingles(d), JACCARD_THRESHOLD)
 
 
-@query(
-    "q_dedup_minhash_lsh",
-    f"""
-    WITH {_SHINGLES_SQL},
+# Full LSH pair pipeline as a reusable CTE chain (ends in lsh_pairs) —
+# shared by the pair query and the recursive cluster oracle.
+_LSH_PAIRS_CTES = f"""{_SHINGLES_SQL},
     minhashes AS (
         SELECT doc_id, seed,
                MIN(substr(md5(shingle), CAST(seed * 2 + 1 AS INT), 32)
@@ -120,14 +120,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN shingles sa2 ON sa2.doc_id = id_a
           JOIN shingles sb2 ON sb2.doc_id = id_b AND sb2.shingle = sa2.shingle
         GROUP BY id_a, id_b
-    )
-    SELECT id_a, id_b,
-           ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
-    FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
-    ORDER BY id_a, id_b
+    ),
+    lsh_pairs AS (
+        SELECT id_a, id_b,
+               ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                   AS jaccard
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common)
+              >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM lsh_pairs
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,6 +151,41 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     return minhash_lsh_duplicates(d, JACCARD_THRESHOLD)
+
+
+@query(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+        UNION
+        SELECT id_b, id_a FROM lsh_pairs
+    ),
+    closure(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    )
+    SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+    FROM closure
+    GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS: connected components over the LSH near-dup
+    pairs, each cluster labeled by its smallest doc id (the canonical
+    document a dedup pipeline keeps). Oracle: recursive-CTE transitive
+    closure over the same pairs.
+
+    Scale: bounded-iteration label propagation — one key-partitioned
+    shuffle per round, rounds = cluster diameter (small for near-dup
+    chains); the driver only ever sees the per-round change count.
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(d, JACCARD_THRESHOLD)
+    return duplicate_clusters(pairs).orderBy("doc_id")
 
 
 def _simhash_sql(bits: int = 16) -> str:

@@ -100,6 +100,36 @@ class TestMinHashLSH:
         assert (out[0]["id_a"], out[0]["id_b"], out[0]["jaccard"]) == (1, 2, 1.0)
 
 
+class TestDuplicateClusters:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def test_chain_merges_into_one_cluster(self, spark):
+        from aircraftutilization_etl_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+
+        # chain 1-2-3 plus separate pair 10-11
+        pairs = self._pairs(spark, [(1, 2), (2, 3), (10, 11)])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        from aircraftutilization_etl_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+
+        pairs = self._pairs(spark, [(i, i + 1) for i in range(8)])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == {i: 0 for i in range(9)}
+
+
 class TestSimHash:
     def test_identical_text_identical_print(self, spark):
         df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma")])
