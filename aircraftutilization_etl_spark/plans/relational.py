@@ -92,9 +92,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → top-k.
 
-    Scale: customer is the small side after the segment filter →
-    broadcast into orders; orders→lineitem shuffles on orderkey (both
-    sides co-partitioned by the join key, no skew: orderkey is unique).
+    Scale: customer SCALES WITH SF, so it gets no broadcast hint — AQE
+    broadcasts the filtered side at runtime when it actually fits and
+    demotes to shuffle when it doesn't (a forced hint would OOM at
+    100 TB). orders→lineitem shuffles on orderkey (both sides
+    co-partitioned by the join key, no skew: orderkey is unique).
     Top-k is TakeOrderedAndProject — no global sort. The tie-break on
     l_orderkey makes the limit deterministic for the oracle.
     """
@@ -106,7 +108,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("2000-03-15").cast("timestamp")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -139,9 +141,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table snowflake join with a same-nation constraint.
 
-    Scale: region/nation/supplier/customer are all dimension-sized →
-    broadcast joins stack on the lineitem-orders shuffle join; only one
-    shuffle (orderkey) survives in the whole plan.
+    Scale: only the FIXED-cardinality dims (nation 25, region 5) carry
+    broadcast hints; customer/supplier scale with SF, so their join
+    strategy is AQE's runtime call (broadcast while they fit, shuffle
+    beyond). The lineitem-orders shuffle on orderkey is the one
+    unavoidable big exchange.
     """
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
@@ -151,9 +155,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -457,7 +461,9 @@ def q_cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     statuses = o.select("o_orderstatus").distinct()
     grid = r.crossJoin(statuses)
     counts = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF: no broadcast hint (AQE decides);
+        # nation/region are fixed-size dims.
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(
             F.broadcast(table(spark, sf_dir, "region")),
@@ -762,7 +768,8 @@ def q_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF — join strategy left to AQE
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
