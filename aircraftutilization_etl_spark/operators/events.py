@@ -44,6 +44,42 @@ def sessionize(
     ).drop("__is_start")
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Interval join: all (left, right) pairs with the same key whose
+    timestamps lie within ``window_seconds`` of each other.
+
+    Spark plans a bare |l.ts − r.ts| ≤ w condition as a nested-loop/
+    cartesian per key — quadratic in hot keys. Bucketizing converts it
+    to an equi-join: time is cut into window-sized buckets, the left
+    side explodes into its 3 candidate buckets (previous/own/next), the
+    join runs on (key, bucket), and the exact window predicate filters
+    the survivors. Cost is the equi-join on (key, bucket) — partition-
+    local, shuffle on a composite key, no pair explosion beyond
+    same-bucket candidates.
+    """
+    width = F.lit(window_seconds)
+    l_bucket = F.floor(F.unix_micros(F.col(left_ts)) / (width * 1_000_000))
+    r_bucket = F.floor(F.unix_micros(F.col(right_ts)) / (width * 1_000_000))
+    l = left.withColumn(
+        "__bucket",
+        F.explode(F.array(l_bucket - 1, l_bucket, l_bucket + 1)),
+    )
+    r = right.withColumn("__bucket", r_bucket)
+    lt = F.unix_micros(l[left_ts])
+    rt = F.unix_micros(r[right_ts])
+    joined = l.join(r, [on, "__bucket"]).filter(
+        (rt >= lt - width * 1_000_000) & (rt <= lt + width * 1_000_000)
+    )
+    return joined.drop("__bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

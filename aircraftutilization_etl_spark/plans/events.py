@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.events import sessionize
+from ..operators.events import range_join_bucketed, sessionize
 from .catalog import query, table
 
 SESSION_GAP_MINUTES = 30  # the F1 session-gap concept on the events table
@@ -246,4 +246,66 @@ def q_events_user_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_value"),
         )
         .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "q_events_range_join",
+    """
+    SELECT e.event_id AS error_id,
+           CAST(COUNT(p.event_id) AS BIGINT) AS n_purchases,
+           ROUND(COALESCE(SUM(p.value), 0.0), 2) AS purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts BETWEEN e.ts - INTERVAL 30 MINUTE
+                  AND e.ts + INTERVAL 30 MINUTE
+    GROUP BY e.event_id
+    ORDER BY error_id
+    """,
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within ±30 minutes of each error event,
+    per user — via the BUCKETED range join (equi-join on (user, time
+    bucket) + exact window filter), not the nested-loop plan a bare
+    inequality condition produces (SURVEY.md §2.4 gap: range join).
+
+    The left join semantics (errors with no nearby purchase keep a zero
+    row) come from re-joining the pair counts onto the error set.
+    """
+    e = table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    pairs = range_join_bucketed(
+        errors,
+        purchases,
+        on="user_id",
+        window_seconds=30 * 60,
+        left_ts="error_ts",
+        right_ts="purchase_ts",
+    )
+    counts = pairs.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("purchase_value"),
+    )
+    return (
+        errors.select("error_id")
+        .join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+        .orderBy("error_id")
     )

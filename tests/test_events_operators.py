@@ -41,6 +41,53 @@ def test_sessionize_boundary_gap_is_same_session(spark):
     assert out == {1: 1, 2: 1}
 
 
+def test_range_join_window_boundaries(spark):
+    from aircraftutilization_etl_spark.operators.events import (
+        range_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [("u", _m(60), "L")], "k string, l_ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _m(30), "exact_lower"),   # exactly -30 min: included
+            ("u", _m(90), "exact_upper"),   # exactly +30 min: included
+            ("u", _m(29), "outside_low"),   # excluded
+            ("u", _m(91), "outside_high"),  # excluded
+            ("u", _m(61), "inside"),
+            ("v", _m(60), "other_key"),     # excluded: different key
+        ],
+        "k string, r_ts timestamp, tag string",
+    )
+    out = range_join_bucketed(
+        left, right, on="k", window_seconds=30 * 60,
+        left_ts="l_ts", right_ts="r_ts",
+    )
+    tags = sorted(r["tag"] for r in out.collect())
+    assert tags == ["exact_lower", "exact_upper", "inside"]
+
+
+def test_range_join_no_duplicate_pairs_across_buckets(spark):
+    from aircraftutilization_etl_spark.operators.events import (
+        range_join_bucketed,
+    )
+
+    # right event in the bucket adjacent to the left's own bucket must
+    # appear exactly once despite the 3-bucket candidate explode
+    left = spark.createDataFrame(
+        [("u", _m(59), "L")], "k string, l_ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [("u", _m(61), "R")], "k string, r_ts timestamp, tag string"
+    )
+    out = range_join_bucketed(
+        left, right, on="k", window_seconds=30 * 60,
+        left_ts="l_ts", right_ts="r_ts",
+    )
+    assert out.count() == 1
+
+
 def test_asof_join_inclusive_and_missing(spark):
     left = spark.createDataFrame(
         [("u", _m(5), "e1"), ("u", _m(20), "e2"), ("v", _m(1), "e3")],
