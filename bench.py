@@ -70,19 +70,25 @@ def main() -> int:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    # Best-of-2 per query: the noop sink executes the full plan; the min
+    # Best-of-N per query: the noop sink executes the full plan; the min
     # filters transient host noise (this box shows occasional 5-10x
-    # stalls) without hiding real regressions.
+    # stalls) without hiding real regressions. Two reps normally; when
+    # they disagree by >3x a stall likely spanned one of them, so up to
+    # two extra reps arbitrate.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         qd = CATALOG[name]
-        times = []
-        for _ in range(2):
+        times: list[float] = []
+        while True:
             # a query's own persist() calls must not leak into its rerun
             spark.catalog.clearCache()
             t0 = time.time()
             qd.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             times.append(time.time() - t0)
+            if len(times) >= 2 and (
+                max(times) / max(min(times), 1e-9) <= 3 or len(times) >= 4
+            ):
+                break
         per_query[name] = round(min(times), 3)
 
     total = round(sum(per_query.values()), 3)
