@@ -116,6 +116,49 @@ def test_asof_join_strict_excludes_equal_ts(spark):
     assert out[0]["asof_price"] == 1.0  # same-ts right row excluded
 
 
+def test_asof_join_randomized_against_model(spark):
+    """Seeded-random streams vs an independent scalar model (right rows
+    de-duplicated per (key, ts) so tie order can't differ)."""
+    import random
+
+    from aircraftutilization_etl_spark.operators.events import asof_join
+
+    rng = random.Random(99)
+    keys = ["a", "b", "c"]
+    right_rows = []
+    used = set()
+    for _ in range(40):
+        k, t = rng.choice(keys), rng.randrange(0, 500)
+        if (k, t) in used:
+            continue
+        used.add((k, t))
+        right_rows.append((k, _m(t), float(rng.randrange(100))))
+    left_rows = [
+        (rng.choice(keys), _m(rng.randrange(0, 500)), i) for i in range(60)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "k string, ts timestamp, row_id long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "k string, ts timestamp, price double"
+    )
+
+    def model(k, ts, inclusive):
+        cands = [
+            (t, v) for (kk, t, v) in right_rows
+            if kk == k and (t <= ts if inclusive else t < ts)
+        ]
+        return max(cands)[1] if cands else None
+
+    for inclusive in (True, False):
+        got = {
+            r["row_id"]: r["asof_price"]
+            for r in asof_join(left, right, on="k", inclusive=inclusive).collect()
+        }
+        want = {i: model(k, ts, inclusive) for (k, ts, i) in left_rows}
+        assert got == want
+
+
 def test_asof_join_keeps_left_columns_and_count(spark):
     left = spark.createDataFrame(
         [("u", _m(i), f"e{i}") for i in range(5)],
