@@ -89,8 +89,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100 // COUNT(*)
+                AS BIGINT) AS avg_value_e4
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -101,18 +103,28 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming `window(ts, '1 hour')` agg (SURVEY.md §2.9 notes the
     reference delegates this bucketing to Mongo's hours granularity).
 
+    Monetary outputs use exact integer cents (values are 2-decimal):
+    float SUM is association-order-dependent and ROUND tie-breaking
+    differs between engines, so a rounded double AVG flips its last
+    digit between Spark and the oracle at larger SFs. avg_value_e4 is
+    the average in 1e-4 units via integer division — bit-exact on both.
+
     Scale: window start is a pure column function of ts → ordinary
     partial-aggregatable groupBy, no windowing machinery.
     """
     e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         e.groupBy(
             F.window("ts", "1 hour").start.alias("window_start"), "event_type"
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(cents).alias("total_cents"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT)) * 100"
+                " div count(*) AS BIGINT)"
+            ).alias("avg_value_e4"),
         )
         .orderBy("window_start", "event_type")
     )

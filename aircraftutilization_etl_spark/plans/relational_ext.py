@@ -92,25 +92,46 @@ def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_nationkey,
            CAST(NTILE(4) OVER w AS INT) AS balance_quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume
+           CAST((RANK() OVER w - 1) * 1000000
+                // GREATEST(COUNT(*) OVER p - 1, 1) AS BIGINT) AS pct_rank_ppm,
+           CAST((ROW_NUMBER() OVER w) * 1000000
+                // (COUNT(*) OVER p) AS BIGINT) AS cume_ppm
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+           p AS (PARTITION BY c_nationkey)
     ORDER BY c_custkey
     """,
 )
 def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-window family (ntile / percent_rank / cume_dist) over
-    account balance within nation — one shuffle on the partition key,
-    per-partition sort, no second pass."""
+    """Ranking-window family over account balance within nation — one
+    shuffle on the partition key, per-partition sort, no second pass.
+
+    pct_rank_ppm / cume_ppm are the exact-integer twins of
+    percent_rank()/cume_dist() (parts-per-million via integer division
+    over rank and partition counts): the double-valued originals round
+    onto exact ties — (rank-1)/(n-1) hits values like 0.0640625 — where
+    Spark's HALF_UP and the oracle engine's tie-breaking disagree in the
+    last digit. The ordering key includes the unique c_custkey, so
+    rank == row_number and the integer forms are exactly the SQL
+    functions' semantics.
+    """
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("int").alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.expr(
+            "CAST((rank() OVER (PARTITION BY c_nationkey"
+            " ORDER BY c_acctbal, c_custkey) - 1) * 1000000"
+            " div GREATEST(count(*) OVER (PARTITION BY c_nationkey) - 1, 1)"
+            " AS BIGINT)"
+        ).alias("pct_rank_ppm"),
+        F.expr(
+            "CAST(row_number() OVER (PARTITION BY c_nationkey"
+            " ORDER BY c_acctbal, c_custkey) * 1000000"
+            " div count(*) OVER (PARTITION BY c_nationkey) AS BIGINT)"
+        ).alias("cume_ppm"),
     ).orderBy("c_custkey")
 
 
