@@ -80,8 +80,13 @@ def main() -> int:
         qd = CATALOG[name]
         times: list[float] = []
         while True:
-            # a query's own persist() calls must not leak into its rerun
+            # a query's own persist() calls must not leak into its rerun;
+            # the JVM GC lets the ContextCleaner actually release prior
+            # runs' unreferenced persisted blocks (weak-ref cleanup only
+            # fires after a collection — without it, storage-memory
+            # pressure from dead blocks taxes persist-heavy queries)
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
             t0 = time.time()
             qd.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             times.append(time.time() - t0)
