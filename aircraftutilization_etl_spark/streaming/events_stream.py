@@ -50,6 +50,27 @@ def hourly_event_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming member of the dedup
+    family (operators/dedup.py holds the batch members): at-least-once
+    sources (replayed payloads, retried producers) become exactly-once
+    by key within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    a key's state once the watermark passes its last-seen time — state
+    is bounded by keys-per-horizon, not stream length (a plain
+    dropDuplicates on a stream would grow state forever).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
 def run_hourly_rollup(
     events_stream: DataFrame,
     out_path: str,

@@ -9,6 +9,7 @@ import time
 import pandas as pd
 
 from aircraftutilization_etl_spark.streaming.events_stream import (
+    dedup_stream,
     run_hourly_rollup,
 )
 
@@ -96,3 +97,45 @@ def test_hourly_rollup_with_late_and_dropped_events(spark, tmp_path):
     assert (BASE + h, "view", 1, 5.0) in rows
     # hour-17 window not emitted: watermark has not passed its end
     assert not any(r[0] == BASE + dt.timedelta(hours=7) for r in rows)
+
+
+def test_dedup_stream_drops_replayed_events(spark, tmp_path):
+    in_dir = tmp_path / "dups_in"
+    in_dir.mkdir()
+    # batch 0: events 1,2 ; batch 1: replay of event 1 (same id) + new 3
+    _write_batch(
+        in_dir / "d0.parquet",
+        order=0,
+        rows=[
+            (1, BASE, "click", 1.0),
+            (2, BASE + dt.timedelta(minutes=1), "view", 2.0),
+        ],
+    )
+    _write_batch(
+        in_dir / "d1.parquet",
+        order=1,
+        rows=[
+            (1, BASE, "click", 1.0),  # duplicate within watermark
+            (3, BASE + dt.timedelta(minutes=2), "click", 3.0),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]  # event 1 emitted exactly once
