@@ -344,6 +344,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    n_changed = 0
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -366,6 +367,15 @@ def duplicate_clusters(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # Truncated propagation would silently split one true cluster
+        # into several (diameter > max_iterations) — surface it so
+        # callers can distinguish converged from cut-off output.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            f"iterations ({n_changed} labels still changing); raise "
+            "max_iterations for long duplicate chains"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -97,6 +97,13 @@ def asof_join(
     scalable as-of formulation (a range join would score every candidate
     pair). Right values come back as ``asof_<name>``; rows with no prior
     right match hold nulls.
+
+    Determinism: when several right rows share the same (key, ts), the
+    window's final tie-break is a per-(key, ts) sequence ordered by the
+    value columns themselves, so last() always carries the row that
+    sorts greatest — stable across runs and partitionings (pandas
+    ``merge_asof`` takes the last *input-order* row; Spark frames have
+    no input order, so value-order is the deterministic analogue).
     """
     if value_cols is None:
         value_cols = tuple(
@@ -106,17 +113,23 @@ def asof_join(
     # right-before-left (0 < 1) + frame ..-1  -> right@ts == left@ts counts
     # left-before-right (0 < 1 flipped)       -> strictly-before semantics
     right_side, left_side = (0, 1) if inclusive else (1, 0)
-    l_tagged = left.withColumn("__side", F.lit(left_side))
+    l_tagged = left.withColumn("__side", F.lit(left_side)).withColumn(
+        "__rseq", F.lit(0)
+    )
+    w_seq = Window.partitionBy(on, ts_col).orderBy(
+        *[F.col(c) for c in value_cols]
+    )
     r_tagged = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(right_side).alias("__side"),
+        F.row_number().over(w_seq).alias("__rseq"),
         *[F.col(c).alias(f"asof_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
-        .orderBy(ts_col, "__side")
+        .orderBy(ts_col, "__side", "__rseq")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carried = unioned.select(
@@ -131,4 +144,4 @@ def asof_join(
         out = out.withColumn(f"asof_{c}", F.col(f"__carry_{c}")).drop(
             f"__carry_{c}"
         )
-    return out.drop("__side")
+    return out.drop("__side", "__rseq")

@@ -35,8 +35,24 @@ def salted_join(
     side is replicated once per salt value (explode of a literal range —
     ``n_salts``× a small table, still broadcastable). Joining on
     (key, salt) splits every hot key's rows across ``n_salts`` tasks.
-    Result set is exactly the plain join's.
+
+    Result set is exactly the plain join's ONLY for join types where the
+    replicated (small) side never contributes unmatched rows: inner,
+    left outer, left semi, left anti. For right/full outer an unmatched
+    small-side row would survive once per salt replica (``n_salts``
+    copies), so those types are rejected.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not preserve '{how}' semantics: the small "
+            "side is replicated per salt, so unmatched small-side rows "
+            "would be emitted n_salts times. Use inner/left/semi/anti."
+        )
     salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int")
     left = skewed.withColumn("__salt", salt)
     right = small.withColumn(

@@ -92,19 +92,55 @@ class StateStore:
             out.write(json.dumps({"version": version}).encode("utf-8"))
         finally:
             out.close()
-        # HDFS/local rename is atomic; S3A rename is copy+delete but the
-        # manifest is a single small object so the window is minimal.
-        fs.delete(mpath, False)
-        fs.rename(tpath, mpath)
+        # Atomic replace via FileContext.rename(OVERWRITE) on local/HDFS —
+        # no window where the root has no manifest. Filesystems without an
+        # AbstractFileSystem binding (some object stores) fall back to
+        # delete+rename; read() covers that window by resolving the newest
+        # generation when the manifest is missing but v_* dirs exist.
+        jvm = self.spark._jvm  # noqa: SLF001
+        try:
+            gw = self.spark.sparkContext._gateway  # noqa: SLF001
+            opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+            opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                mpath.toUri(), self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            )
+            fc.rename(tpath, mpath, opts)
+        except Exception:  # pragma: no cover - object-store fallback
+            fs.delete(mpath, False)
+            fs.rename(tpath, mpath)
 
     # -- public API -----------------------------------------------------
     def read(self) -> DataFrame:
-        """Current state generation, or a typed empty frame if none."""
+        """Current state generation, or a typed empty frame if none.
+
+        A missing manifest with existing ``v_*`` generations is a crash
+        artifact (manifest swap interrupted on a non-atomic filesystem),
+        NOT an empty store — silently returning empty state here would
+        restart every in-flight session. Recover by resolving the newest
+        generation by mtime: that is the generation the interrupted
+        commit was publishing.
+        """
         version = self._read_manifest()
         if version is None:
-            return empty_df(self.spark, self.schema)
+            version = self._newest_generation()
+            if version is None:
+                return empty_df(self.spark, self.schema)
         df = self.spark.read.schema(self.schema).parquet(f"{self.root}/{version}")
         return require_columns(df, [f.name for f in self.schema.fields])
+
+    def _newest_generation(self) -> str | None:
+        fs, rpath = self._fs_and_path(self.root)
+        if not fs.exists(rpath):
+            return None
+        newest: tuple[int, str] | None = None
+        for status in fs.listStatus(rpath):
+            name = status.getPath().getName()
+            if name.startswith("v_"):
+                key = (status.getModificationTime(), name)
+                if newest is None or key > newest:
+                    newest = key
+        return newest[1] if newest else None
 
     def commit(self, df: DataFrame) -> str:
         """Write ``df`` as the next generation and flip the manifest."""

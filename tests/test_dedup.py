@@ -129,6 +129,19 @@ class TestDuplicateClusters:
         }
         assert got == {i: 0 for i in range(9)}
 
+    def test_nonconvergence_raises(self, spark):
+        import pytest
+
+        from aircraftutilization_etl_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+
+        # diameter-4 chain can't finish in 1 round → must raise, not
+        # silently return split clusters (ADVICE r1)
+        pairs = self._pairs(spark, [(i, i + 1) for i in range(4)])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(pairs, max_iterations=1).collect()
+
 
 class TestSimHash:
     def test_identical_text_identical_print(self, spark):

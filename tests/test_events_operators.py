@@ -116,6 +116,23 @@ def test_asof_join_strict_excludes_equal_ts(spark):
     assert out[0]["asof_price"] == 1.0  # same-ts right row excluded
 
 
+def test_asof_join_equal_ts_tie_break_deterministic(spark):
+    """Several right rows at the same (key, ts): last() must carry the
+    one that sorts greatest by the value columns, on every run and under
+    any partitioning (ADVICE r1 nondeterminism fix)."""
+    left = spark.createDataFrame(
+        [("u", _m(20), "e")], "k string, ts timestamp, name string"
+    )
+    ties = [("u", _m(10), p) for p in (3.0, 9.0, 1.0, 7.0)]
+    for n_parts in (1, 4):
+        right = spark.createDataFrame(
+            ties, "k string, ts timestamp, price double"
+        ).repartition(n_parts)
+        for _ in range(3):
+            out = asof_join(left, right, on="k").collect()
+            assert out[0]["asof_price"] == 9.0
+
+
 def test_asof_join_randomized_against_model(spark):
     """Seeded-random streams vs an independent scalar model (right rows
     de-duplicated per (key, ts) so tie order can't differ)."""

@@ -78,6 +78,25 @@ def test_state_store_vacuum(spark, tmp_path):
     assert len(store.versions()) <= 2
 
 
+def test_state_store_recovers_from_missing_manifest(spark, tmp_path):
+    """Crash window: manifest gone but generations exist → newest wins.
+
+    Simulates an interrupted manifest swap on a non-atomic filesystem;
+    read() must resolve the newest generation instead of silently
+    dropping all session state (ADVICE r1, parquet_io manifest window).
+    """
+    root = tmp_path / "state"
+    store = StateStore(spark, str(root), SOURCE_SCHEMA)
+    store.commit(
+        spark.createDataFrame([("x", 1, 0.0, 0.0, 0, 1, None, True)], SOURCE_SCHEMA)
+    )
+    store.commit(
+        spark.createDataFrame([("x", 2, 0.0, 0.0, 0, 2, None, True)], SOURCE_SCHEMA)
+    )
+    (root / StateStore.MANIFEST).unlink()  # crash between delete and rename
+    assert store.read().first()["last_contact"] == 2
+
+
 def test_append_facts_skips_empty(spark, tmp_path):
     from aircraftutilization_etl_spark.schemas import COMPLETE_FLIGHTS_SCHEMA
 

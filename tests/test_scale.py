@@ -48,6 +48,16 @@ def test_salted_join_left_outer(spark):
     assert rows == {1: "hit", 9: None}
 
 
+def test_salted_join_rejects_outer_on_replicated_side(spark):
+    import pytest
+
+    skewed = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(2, "b")], "k long, label string")
+    for how in ("right", "full_outer", "full", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(skewed, small, "k", how=how)
+
+
 def test_salting_spreads_hot_key(spark):
     skewed = spark.createDataFrame(
         [(1, f"e{i}") for i in range(200)], "k long, payload string"
