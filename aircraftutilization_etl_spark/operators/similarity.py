@@ -12,11 +12,12 @@ Two execution strategies, chosen by what dominates:
   the one place this engine drops to Python, per the "Pandas UDFs beat
   built-ins only when built-ins can't express it" rule (SURVEY.md §4.3).
 
-Scale: the corpus is never collected; it streams through mapInPandas
-partition-by-partition, so the plan is scan → gemm-map → (tiny) top-k or
-threshold output. Only the query matrix is broadcast. When the query set
-itself grows beyond broadcast size, the LSH/IVF bucket join (ivf_topk)
-replaces the dense scan.
+Scale: the corpus is never collected. For top-k it streams through
+mapInPandas partition-by-partition (scan → gemm-map → tiny top-k); only
+the query matrix is broadcast. For all-pairs (``cosine_pairs``) the
+corpus self-joins as packed blocks — every matrix lives executor-side,
+driver memory is O(1). When the query set itself grows beyond broadcast
+size, the LSH/IVF bucket join (ivf_topk) replaces the dense scan.
 
 Determinism: cosines leave the UDF as raw float64 and are rounded to
 6 dp by Spark's HALF_UP ``round`` (same as DuckDB's) before any ranking,
@@ -81,8 +82,7 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def _score_against(query_ids, query_mat_norm, id_col, vec_col, threshold=None,
-                   upper_triangle=False, partial_k=None):
+def _score_against(query_ids, query_mat_norm, id_col, vec_col, partial_k=None):
     """mapInPandas kernel: batch GEMM against the broadcast query matrix.
 
     Hits leave the kernel via boolean-matrix ``argwhere`` — never the
@@ -102,10 +102,6 @@ def _score_against(query_ids, query_mat_norm, id_col, vec_col, threshold=None,
             cmat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
             sims = _normalize(cmat) @ query_mat_norm.T  # (nb, nq)
             keep = query_ids[None, :] != cids[:, None]
-            if upper_triangle:
-                keep &= query_ids[None, :] < cids[:, None]
-            if threshold is not None:
-                keep &= sims >= threshold
             if partial_k is not None:
                 masked = np.where(keep, sims, -np.inf)  # (nb, nq)
                 nb = masked.shape[0]
@@ -164,26 +160,105 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """All unordered pairs with cosine ≥ threshold (semantic near-dup).
 
-    The corpus is both query set and stream side; the threshold filter
-    runs inside the GEMM kernel so only hits ever leave the executor.
+    Exact all-pairs with NOTHING on the driver: the corpus is hashed
+    into ~``block_rows``-row blocks, each block is packed into a single
+    (ids, normalized float64 matrix) Arrow row executor-side, every
+    block-pair task (i ≤ j) is materialized by exploding block ids, and
+    one applyInPandas GEMM scores each pair of packed blocks. The
+    threshold filter runs inside the kernel so only hits leave the
+    executors.
+
+    Scale: shuffle volume is O(N·B) for B = ceil(N/block_rows) — the
+    unavoidable replication of an exact all-pairs comparison — and each
+    task is a dense (block × block) BLAS multiply, embarrassingly
+    parallel across the B(B+1)/2 block pairs. Driver memory is O(1).
+    For sub-quadratic approximate scoring at extreme N, route through
+    the IVF/LSH bucket join (``ivf_topk``) instead.
     """
-    ids, mat = _collect_matrix(corpus, id_col, vec_col)
-    scored = _ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
-        _score_against(
-            ids, _normalize(mat), id_col, vec_col,
-            threshold=threshold, upper_triangle=True,
-        ),
-        _SCORE_SCHEMA,
+    spark = corpus.sparkSession
+    out_schema = "id_a long, id_b long, cosine double"
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
     )
-    # NOTE the kernel emits (query < neighbor) pairs with query as id_a
-    return scored.select(
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        F.round("cosine_raw", 6).alias("cosine"),
+    n = base.count()  # metadata-cheap over parquet; sizes the block grid
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    n_blocks = -(-n // block_rows)
+    blocked = base.withColumn(
+        "block", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
     )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                "block": pdf["block"].iloc[:1],
+                "ids": [ids.tolist()],
+                "vecs": [mat.ravel().tolist()],
+                "nrows": [len(ids)],
+            }
+        )
+
+    packed = blocked.groupBy("block").applyInPandas(
+        pack, "block int, ids array<long>, vecs array<double>, nrows int"
+    )
+    # block-pair task list: block b serves as the Left of pairs (b, b..B-1)
+    # and the Right of pairs (0..b-1, b); the diagonal gets a single row.
+    as_left = packed.select(
+        F.col("block").alias("bi"),
+        F.explode(F.sequence("block", F.lit(n_blocks - 1))).alias("bj"),
+        F.lit("L").alias("role"),
+        "ids",
+        "vecs",
+        "nrows",
+    )
+    as_right = packed.filter(F.col("block") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("block") - 1)).alias("bi"),
+        F.col("block").alias("bj"),
+        F.lit("R").alias("role"),
+        "ids",
+        "vecs",
+        "nrows",
+    )
+    tasks = as_left.unionByName(as_right)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        def unpack(row):
+            ids = np.asarray(row["ids"], dtype=np.int64)
+            m = np.asarray(row["vecs"], dtype=np.float64).reshape(len(ids), -1)
+            return ids, m
+
+        if len(pdf) == 1:  # diagonal: self-pairs, upper triangle by id
+            ids, m = unpack(pdf.iloc[0])
+            sims = m @ m.T
+            keep = (ids[:, None] < ids[None, :]) & (sims >= threshold)
+            a, b = np.nonzero(keep)
+            return pd.DataFrame(
+                {"id_a": ids[a], "id_b": ids[b], "cosine": sims[a, b]}
+            )
+        by_role = {r["role"]: r for _, r in pdf.iterrows()}
+        lids, lm = unpack(by_role["L"])
+        rids, rm = unpack(by_role["R"])
+        sims = lm @ rm.T
+        a, b = np.nonzero(sims >= threshold)
+        ia, ib = lids[a], rids[b]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": sims[a, b],
+            }
+        )
+
+    scored = tasks.groupBy("bi", "bj").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
+    )
+    return scored.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def ivf_topk(

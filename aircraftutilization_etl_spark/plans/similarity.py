@@ -100,9 +100,10 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 — the synthetic embeddings are diffuse, so the threshold sits at the ~99.9th pairwise percentile) — the
     semantic-dedup member of the dedup family.
 
-    Scale: exact all-pairs via blocked GEMM — the corpus streams once
-    against the broadcast normalized matrix; the threshold filter runs
-    inside the kernel so only hits leave the executors. The LSH/IVF
+    Scale: exact all-pairs via a blocked self-join — the corpus is
+    packed into executor-side (ids, matrix) blocks, block-pair tasks are
+    exploded, and each pair is one dense GEMM with the threshold filter
+    inside the kernel; nothing touches the driver. The LSH/IVF
     bucketing (q_emb_ivf_topk) is the same operator's sub-quadratic path.
     """
     e = table(spark, sf_dir, "embeddings")

@@ -73,6 +73,26 @@ def test_cosine_pairs_threshold_and_order(spark):
     assert abs(p["cosine"] - expected) < 1e-6
 
 
+def test_cosine_pairs_multi_block_matches_single_block(spark):
+    """Tiny block_rows forces many block-pair tasks (diagonal + cross);
+    the blocked self-join must emit exactly the single-block result."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(60)
+    ]
+    corpus = _vecs(spark, rows)
+
+    def key(r):
+        return (r["id_a"], r["id_b"], r["cosine"])
+
+    one = sorted(map(key, cosine_pairs(corpus, 0.5, block_rows=100).collect()))
+    many = sorted(map(key, cosine_pairs(corpus, 0.5, block_rows=7).collect()))
+    assert len(one) > 5  # the threshold actually selects a real subset
+    assert many == one
+
+
 def test_ivf_searches_own_cell_only(spark):
     corpus = _vecs(
         spark,
