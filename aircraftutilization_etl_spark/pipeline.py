@@ -11,8 +11,11 @@ Commit ordering fixes the reference's non-atomic two-output write
 (SURVEY.md §4.4.1): the reference overwrites state then appends facts,
 double-emitting flights if a retry lands between the two. Here facts are
 appended FIRST and the state manifest flips LAST, so a crash before the
-state commit re-runs against the old state generation; exactly-once can
-then be recovered by the idempotent sink key (icao24, landed_at).
+state commit re-runs against the old state generation, and the sink's
+keyed anti-join guard (``append_facts`` dedupe on (icao24, landed_at)
+within the touched date partitions) drops the replayed rows — an
+exactly-once cycle, crash-injection-tested in
+tests/test_pipeline.py::test_crash_between_facts_and_state.
 """
 
 from __future__ import annotations
@@ -40,11 +43,15 @@ class FlightPipeline:
         state_root: str,
         facts_path: str,
         metadata_path: str,
+        keep_generations: int = 5,
     ) -> None:
         self.spark = spark
         self.state = StateStore(spark, state_root, SOURCE_SCHEMA)
         self.facts_path = facts_path
         self.metadata_path = metadata_path
+        # retained state generations: enough to debug/time-travel recent
+        # cycles while bounding storage under the 5-minute cadence
+        self.keep_generations = keep_generations
 
     def run_metadata_etl(self, raw_csv_path: str) -> None:
         """EP3 — daily dimension refresh (reference MetadataETL.etl)."""
@@ -61,7 +68,9 @@ class FlightPipeline:
         states = states_response_to_df(self.spark, states_payload)
         prior = self.state.read()
         merged = merge_states(states, prior, now_epoch=now_epoch)
-        return self.state.commit(merged)
+        version = self.state.commit(merged)
+        self.state.vacuum(keep=self.keep_generations)
+        return version
 
     def run_complete_flights(self) -> bool:
         """EP2 — classify state, emit completed flights, roll state forward.
@@ -71,6 +80,7 @@ class FlightPipeline:
         fans out to two outputs, so the branch point is cached for the
         duration of the two actions.
         """
+        source_version = self.state.current_version()
         source = self.state.read()
         if source.isEmpty():
             logger.warning("Empty source report")
@@ -81,9 +91,16 @@ class FlightPipeline:
         flights = classify_and_split(source, metadata)
         flights.active.cache()
         try:
-            # facts first, state last (see module docstring)
-            append_facts(flights.complete, self.facts_path)
+            # facts first, state last (see module docstring); the batch
+            # id is the SOURCE generation, so a crash-replay of this
+            # cycle re-derives the same id and the sink guard holds
+            append_facts(
+                flights.complete,
+                self.facts_path,
+                batch_id=source_version or "genesis",
+            )
             self.state.commit(flights.active)
+            self.state.vacuum(keep=self.keep_generations)
         finally:
             flights.active.unpersist()
         return True

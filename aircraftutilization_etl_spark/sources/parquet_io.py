@@ -121,13 +121,20 @@ class StateStore:
         generation by mtime: that is the generation the interrupted
         commit was publishing.
         """
+        version = self.current_version()
+        if version is None:
+            return empty_df(self.spark, self.schema)
+        df = self.spark.read.schema(self.schema).parquet(f"{self.root}/{version}")
+        return require_columns(df, [f.name for f in self.schema.fields])
+
+    def current_version(self) -> str | None:
+        """Resolved current generation (manifest, else crash-recovery
+        newest) — also the deterministic batch id for downstream sinks:
+        a replay against the same generation re-derives the same id."""
         version = self._read_manifest()
         if version is None:
             version = self._newest_generation()
-            if version is None:
-                return empty_df(self.spark, self.schema)
-        df = self.spark.read.schema(self.schema).parquet(f"{self.root}/{version}")
-        return require_columns(df, [f.name for f in self.schema.fields])
+        return version
 
     def _newest_generation(self) -> str | None:
         fs, rpath = self._fs_and_path(self.root)

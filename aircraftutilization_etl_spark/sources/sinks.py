@@ -29,22 +29,57 @@ RETENTION_DAYS = 365  # reference db.py:43,52 (expireAfterSeconds = 365 d)
 PARTITION_COLUMN = "landed_date"
 
 
-def append_facts(df: DataFrame, path: str, time_field: str = "landed_at") -> bool:
-    """Append completed-flight facts, partitioned by landing date.
+def append_facts(
+    df: DataFrame,
+    path: str,
+    time_field: str = "landed_at",
+    batch_id: str | None = None,
+    dedupe: bool = True,
+) -> bool:
+    """Exactly-once append of completed-flight facts, partitioned by
+    landing date.
 
     Returns False (and logs) on an empty batch instead of writing —
     reference db.py:63-66. The isEmpty() check is a cheap limit-1 job.
+
+    Exactly-once: a crash between the fact append and the state-manifest
+    flip re-runs the batch against the old state generation, re-deriving
+    the same completed flights. Before writing, the batch is anti-joined
+    on the sink key (icao24, ``time_field``) against the rows already in
+    its own target date partitions, so replays append nothing. The guard
+    scan is partition-pruned to the touched dates (a landing batch
+    touches ~today) and column-pruned to the two key columns — O(recent
+    partitions), not O(sink). ``batch_id`` (the source state generation)
+    is stamped as a lineage column so operators can attribute rows to
+    the run that produced them.
     """
     if df.isEmpty():
         logger.warning("Empty complete flights dataframe")
         return False
-    (
-        df.withColumn(PARTITION_COLUMN, F.to_date(F.col(time_field)))
-        .write.mode("append")
-        .partitionBy(PARTITION_COLUMN)
-        .parquet(path)
-    )
+    out = df.withColumn(PARTITION_COLUMN, F.to_date(F.col(time_field)))
+    if batch_id is not None:
+        out = out.withColumn("batch_id", F.lit(batch_id))
+    if dedupe and _path_exists(df.sparkSession, path):
+        touched = [
+            r[0] for r in out.select(PARTITION_COLUMN).distinct().collect()
+        ]
+        existing = (
+            df.sparkSession.read.parquet(path)
+            .filter(F.col(PARTITION_COLUMN).isin(touched))
+            .select("icao24", time_field)
+        )
+        out = out.join(existing, on=["icao24", time_field], how="left_anti")
+        if out.isEmpty():
+            logger.warning("All facts already present (replayed batch)")
+            return False
+    out.write.mode("append").partitionBy(PARTITION_COLUMN).parquet(path)
     return True
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs.exists(jvm_path)
 
 
 def retention_purge(

@@ -94,6 +94,69 @@ def test_empty_state_complete_flights_noop(pipeline):
     assert pipeline.run_complete_flights() is False
 
 
+def _drive_to_landing(pipeline, tmp_path):
+    """Batches 1-3 of the session arc: climbing, cruising, descending."""
+    meta_csv = tmp_path / "aircraft.csv"
+    cols = (
+        "icao24,registration,manufacturericao,model,owner,operator,built,"
+        "manufacturername,typecode"
+    )
+    meta_csv.write_text(
+        f"{cols}\nab1234,AB-CDE,BOEING,737 NG,Own,Op,2000-02-01,Boeing,B737\n"
+    )
+    pipeline.run_metadata_etl(str(meta_csv))
+    for i, (v, vr) in enumerate([(80.0, 9.0), (240.0, 0.5), (80.0, -5.0)]):
+        t = T0 + 300 * i
+        pipeline.run_active_flights(payload(vector("ab1234", t, v, vr)), now_epoch=t)
+        pipeline.run_complete_flights()
+
+
+def test_crash_between_facts_and_state(pipeline, spark, tmp_path, monkeypatch):
+    """Exactly-once: crash AFTER the fact append but BEFORE the state
+    flip, then retry — the landed flight must appear exactly once.
+
+    This is the at-least-once window the round-1 verdict flagged: the
+    retry re-runs against the old state generation and re-derives the
+    same completed flight; the sink's (icao24, landed_at) anti-join
+    guard must swallow the replay.
+    """
+    _drive_to_landing(pipeline, tmp_path)
+    # batch 4: slow + level after descend → landing
+    t3 = T0 + 900
+    pipeline.run_active_flights(payload(vector("ab1234", t3, 5.0, 0.0)), now_epoch=t3)
+
+    real_commit = pipeline.state.commit
+
+    def crash_commit(df):
+        raise RuntimeError("injected crash between facts append and state flip")
+
+    monkeypatch.setattr(pipeline.state, "commit", crash_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.run_complete_flights()
+    # facts were appended, state was NOT rolled forward
+    assert spark.read.parquet(str(tmp_path / "facts")).count() == 1
+    assert pipeline.state.read().filter("icao24 = 'ab1234'").count() > 0
+
+    monkeypatch.setattr(pipeline.state, "commit", real_commit)
+    assert pipeline.run_complete_flights() is True  # replay runs, sink dedupes
+    facts = spark.read.parquet(str(tmp_path / "facts"))
+    assert facts.count() == 1
+    assert facts.first()["batch_id"] is not None
+    # and the state finally rolled forward: the landed aircraft left
+    assert pipeline.state.read().filter("icao24 = 'ab1234'").count() == 0
+
+
+def test_state_generations_stay_bounded(pipeline):
+    """vacuum() is wired into the run loop: generations don't accumulate."""
+    for i in range(8):
+        t = T0 + 300 * i
+        pipeline.run_active_flights(
+            payload(vector("aaa111", t, 100.0, 0.0)), now_epoch=t
+        )
+        pipeline.run_complete_flights()
+    assert len(pipeline.state.versions()) <= pipeline.keep_generations
+
+
 def test_absent_aircraft_keeps_state_until_ttl(pipeline, spark):
     # batch 1: two aircraft
     pipeline.run_active_flights(
