@@ -47,10 +47,27 @@ CATALOG: dict[str, QueryDef] = {}
 
 
 def query(name: str, oracle: str | None):
-    """Register a (spark_fn, oracle_sql) pair under ``name``."""
+    """Register a (spark_fn, oracle_sql) pair under ``name``.
+
+    The registered callable bootstraps the session confs the catalog's
+    reads rely on (``ensure_runtime_confs`` — idempotent, applied
+    uniformly at the API boundary rather than as a per-query side
+    effect) before delegating to the query body.
+    """
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        CATALOG[name] = QueryDef(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
+        import functools
+
+        from ..session import ensure_runtime_confs
+
+        @functools.wraps(fn)
+        def bootstrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        CATALOG[name] = QueryDef(
+            name=name, spark=bootstrapped, oracle=oracle, doc=fn.__doc__ or ""
+        )
         return fn
 
     return wrap
@@ -69,7 +86,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # requires spark.sql.legacy.parquet.nanosAsLong=true — a session
+        # conf (session.RECOMMENDED), not something this read mutates
         df = spark.read.parquet(path)
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

@@ -87,6 +87,42 @@ def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_percentiles_approx", None)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per group — the 100 TB path.
+
+    ``approx_percentile`` builds a mergeable quantile sketch map-side
+    (partial aggregation), so no task ever buffers a group's full value
+    list — the memory hazard that makes exact percentiles a scale-killer
+    on a fact table. Accuracy 10000 bounds rank error at 1/10000.
+
+    Rows-only driver check: sketch outputs are implementation-defined,
+    so no cross-engine value oracle exists; the approx-vs-exact error
+    bound is pinned by tests/test_plans.py instead. Column shape matches
+    q_percentiles_quantity (the exact, oracle-checked twin).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.approx_percentile("l_quantity", F.lit(0.25), acc), 4
+            ).alias("q25"),
+            F.round(
+                F.approx_percentile("l_quantity", F.lit(0.5), acc), 4
+            ).alias("med"),
+            F.round(
+                F.approx_percentile("l_quantity", F.lit(0.75), acc), 4
+            ).alias("q75"),
+            F.round(
+                F.approx_percentile("l_extendedprice", F.lit(0.9), acc), 4
+            ).alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query(
     "q_ntile_customer_value",
     """

@@ -25,7 +25,23 @@ RECOMMENDED = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # ~128 MB scan splits: enough parallelism without tiny-task overhead
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # TIMESTAMP(NANOS) parquet columns (the events table) read as long;
+    # the catalog converts to µs TimestampType explicitly
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Idempotently apply the runtime-settable RECOMMENDED confs to a
+    session the engine did not build (e.g. a harness-provided one).
+
+    Called once at the catalog's API boundary so no individual query
+    carries a hidden conf side effect; sessions built by
+    ``build_session`` already have everything and skip the sets.
+    """
+    for key in ("spark.sql.legacy.parquet.nanosAsLong",):
+        if spark.conf.get(key, None) != RECOMMENDED[key]:
+            spark.conf.set(key, RECOMMENDED[key])
 
 
 # For long-running stateful streams: RocksDB keeps per-key session state

@@ -22,7 +22,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q_top_customers_per_nation",
     "q_grouping_sets_revenue",
-    "q_percentiles_quantity",
+    "q_percentiles_approx",  # sketch path; exact twin stays oracle-only
     "q_full_outer_merge",
     "q_skew_salted_join",
     "q_events_sessionize",
@@ -56,6 +56,7 @@ def main() -> int:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -94,6 +94,32 @@ def test_exact_dedup_single_shuffle(spark):
     assert "partial_min" in plan
 
 
+def test_approx_percentiles_partial_agg_and_accuracy(spark):
+    """The sketch path must (a) pre-aggregate map-side — no per-group
+    value buffering reaches the shuffle — and (b) land within the
+    1/10000 rank-error bound of the exact twin."""
+    from aircraftutilization_etl_spark.plans import CATALOG
+
+    df = CATALOG["q_percentiles_approx"].spark(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "partial_approx_percentile" in plan  # mergeable partial agg
+
+    exact = {
+        r["l_returnflag"]: r.asDict()
+        for r in CATALOG["q_percentiles_quantity"].spark(spark, SF_DIR).collect()
+    }
+    approx = {r["l_returnflag"]: r.asDict() for r in df.collect()}
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        for col in ("q25", "med", "q75", "price_p90"):
+            # generous value tolerance: rank error 1e-4 on these value
+            # distributions stays well within 2% of the exact quantile
+            assert abs(a[col] - e[col]) <= max(0.02 * abs(e[col]), 1e-6), (
+                flag, col, a[col], e[col],
+            )
+
+
 def test_metadata_only_media_query_prunes_payload(spark):
     from aircraftutilization_etl_spark.plans import CATALOG
 
