@@ -20,6 +20,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q18_large_volume_customers",
     "q_top_customers_per_nation",
     "q_grouping_sets_revenue",
     "q_percentiles_approx",  # sketch path; exact twin stays oracle-only
