@@ -4,6 +4,7 @@ from .catalog import CATALOG, QueryDef, query
 from . import relational  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
 from . import relational_tpch  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401

@@ -120,6 +120,44 @@ def test_approx_percentiles_partial_agg_and_accuracy(spark):
             )
 
 
+def test_sketch_queries_partial_agg_and_accuracy(spark):
+    """Sketch aggregates must pre-aggregate map-side (fixed-size sketch
+    state through the shuffle, not key sets) and land near exact
+    distinct counts."""
+    from aircraftutilization_etl_spark.plans import CATALOG
+
+    approx_df = CATALOG["q_approx_distinct_orders"].spark(spark, SF_DIR)
+    assert "partial_approx_count_distinct" in plan_of(approx_df, "simple")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for r in approx_df.collect():
+        e = exact[r["l_returnflag"]]
+        assert abs(r["approx_orders"] - e) <= max(0.05 * e, 2)
+
+    reagg = CATALOG["q_sketch_reaggregation"].spark(spark, SF_DIR)
+    assert "partial_hll_sketch_agg" in plan_of(reagg, "simple")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact_m = {
+        (r["y"], r["m"]): r["n"]
+        for r in o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    rows = reagg.collect()
+    assert len(rows) == len(exact_m)
+    for r in rows:
+        e = exact_m[(r["order_year"], r["order_month"])]
+        # daily-sketch union vs exact monthly distinct: HLL lgK=12 ~1.6%
+        assert abs(r["approx_customers"] - e) <= max(0.05 * e, 3)
+
+
 def test_metadata_only_media_query_prunes_payload(spark):
     from aircraftutilization_etl_spark.plans import CATALOG
 
