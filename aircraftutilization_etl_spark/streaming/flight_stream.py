@@ -46,8 +46,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
+    DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -55,6 +58,8 @@ from pyspark.sql.types import (
 )
 
 from ..operators.flight import INACTIVITY_MAX_MINUTES
+
+TTL_MS = INACTIVITY_MAX_MINUTES * 60 * 1000
 
 # Per-aircraft session state carried between micro-batches — the
 # streaming realization of the reference's source.parquet row
@@ -201,6 +206,139 @@ def completed_flights_stream(states_stream: DataFrame) -> DataFrame:
     )
 
 
+# --- Event-time variant -------------------------------------------------
+#
+# The processing-time kernel above folds events in ARRIVAL order per
+# micro-batch: an ADS-B packet delivered one batch late is folded after
+# later packets, which can mis-classify a landing. At scale (global
+# feeds, relayed ground stations) out-of-order delivery is the norm, so
+# this variant keys everything off EVENT time: incoming rows are buffered
+# in the state store and only folded once the watermark guarantees no
+# earlier packet can still arrive; the 20-minute TTL (F1) becomes an
+# event-time timeout measured against the watermark rather than the
+# wall clock. Lateness tolerance = the watermark delay.
+
+EVENT_TIME_STATE_SCHEMA = StructType(
+    [
+        StructField("takeoff_at", IntegerType()),
+        StructField("flight_last_contact", IntegerType()),
+        StructField("flight_trajectory", StringType()),
+        StructField("first_event_done", BooleanType()),
+        StructField("has_session", BooleanType()),
+        # not-yet-folded events, waiting for the watermark to pass them
+        StructField("buf_last_contact", ArrayType(LongType())),
+        StructField("buf_velocity", ArrayType(DoubleType())),
+        StructField("buf_vertical_rate", ArrayType(DoubleType())),
+    ]
+)
+
+_EMPTY_SESSION = (0, 0, "other", False)
+
+
+def _emissions_pdf(key: str, emissions: list[tuple[int, int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "icao24": [key] * len(emissions),
+            "flight_duration_minutes": [
+                math.ceil((lc - t) / 60) for t, lc in emissions  # U3
+            ],
+            "landed_at": [pd.Timestamp(lc, unit="s") for _, lc in emissions],
+        }
+    )
+
+
+def _update_session_event_time(
+    key: tuple[str],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Event-time update function: buffer until watermark, fold in
+    event-time order, evict 20 event-time minutes after the last packet."""
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_s = wm_ms // 1000
+
+    if state.hasTimedOut:
+        # Watermark passed last-event + TTL: every buffered packet is
+        # final. Fold the tail (it may contain the landing), then evict
+        # whatever session survives — F1 silent TTL eviction.
+        (t, flc, traj, fd, has_sess, bl, bv, br) = state.get
+        session = (t, flc, traj, fd) if has_sess else None
+        tail = sorted(zip(bl or [], bv or [], br or []), key=lambda e: e[0])
+        emissions, _ = fold_events(tail, session)
+        state.remove()
+        if emissions:
+            yield _emissions_pdf(key[0], emissions)
+        return
+
+    if state.exists:
+        (t, flc, traj, fd, has_sess, bl, bv, br) = state.get
+        session = (t, flc, traj, fd) if has_sess else None
+        buf = list(zip(bl or [], bv or [], br or []))
+    else:
+        session, buf = None, []
+
+    for pdf in pdf_iter:
+        for r in pdf.itertuples(index=False):
+            buf.append(
+                (int(r.last_contact), float(r.velocity), float(r.vertical_rate))
+            )
+
+    # Fold only packets the watermark has sealed; keep the rest buffered.
+    ready = sorted((e for e in buf if e[0] <= wm_s), key=lambda e: e[0])
+    pending = [e for e in buf if e[0] > wm_s]
+    emissions, session = fold_events(ready, session)
+
+    if session is None and not pending:
+        if state.exists:
+            state.remove()
+    else:
+        last_event_s = session[1] if session is not None else 0
+        if pending:
+            last_event_s = max(last_event_s, max(e[0] for e in pending))
+        state.update(
+            (session if session is not None else _EMPTY_SESSION)
+            + (
+                session is not None,
+                [e[0] for e in pending],
+                [e[1] for e in pending],
+                [e[2] for e in pending],
+            )
+        )
+        # Spark requires the timeout timestamp to sit above the watermark.
+        state.setTimeoutTimestamp(max(last_event_s * 1000 + TTL_MS, wm_ms + 1))
+
+    if emissions:
+        yield _emissions_pdf(key[0], emissions)
+
+
+def completed_flights_stream_event_time(
+    states_stream: DataFrame, lateness: str = "10 minutes"
+) -> DataFrame:
+    """Event-time realization of :func:`completed_flights_stream`.
+
+    ``lateness`` is the watermark delay: packets up to that much behind
+    the stream's max event time are re-ordered correctly; older ones are
+    dropped by the watermark, mirroring how the reference's 5-minute
+    batch snapshot simply never sees a packet delivered later than the
+    next poll (opensky/transformers.py:85-97).
+
+    Scale: same single hash exchange on icao24 per micro-batch as the
+    processing-time kernel; the buffer adds O(events within the lateness
+    window) per key to the state store — bounded by lateness, not by
+    stream length.
+    """
+    stamped = states_stream.withColumn(
+        "event_time", F.timestamp_seconds("last_contact")
+    ).withWatermark("event_time", lateness)
+    return stamped.groupBy("icao24").applyInPandasWithState(
+        _update_session_event_time,
+        outputStructType=COMPLETED_SCHEMA,
+        stateStructType=EVENT_TIME_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def enrich_completed(completed: DataFrame, metadata: DataFrame) -> DataFrame:
     """J2/T3 on the stream: stream-static broadcast left join with the
     aircraft dimension + built parse — identical output shape to the
@@ -228,11 +366,23 @@ def run_flight_stream(
     facts_path: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    event_time: bool = False,
+    lateness: str = "10 minutes",
+    processing_interval: str = "5 minutes",
 ):
     """Wire the full streaming pipeline to a parquet append sink
     partitioned by landing date (the engine-native realization of the
-    reference's Mongo time-series sink, SURVEY.md S6)."""
-    facts = enrich_completed(completed_flights_stream(states_stream), metadata)
+    reference's Mongo time-series sink, SURVEY.md S6).
+
+    ``event_time=True`` swaps in the watermark-ordered kernel
+    (:func:`completed_flights_stream_event_time`) for feeds where
+    cross-batch packet reordering is expected."""
+    completed = (
+        completed_flights_stream_event_time(states_stream, lateness)
+        if event_time
+        else completed_flights_stream(states_stream)
+    )
+    facts = enrich_completed(completed, metadata)
     facts = facts.withColumn("landed_date", F.to_date("landed_at"))
     writer = (
         facts.writeStream.format("parquet")
@@ -244,5 +394,5 @@ def run_flight_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="5 minutes")
+        writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
