@@ -446,3 +446,563 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# ----------------------------------------------------------------------
+# Remaining TPC-H shapes (Q2/Q6/Q9/Q10/Q12/Q14/Q16/Q17/Q19/Q20/Q22) —
+# with Q1/Q3/Q4(q_order_priority_check)/Q5/Q7/Q8/Q11/Q13/Q15/Q18/Q21
+# above and in plans/relational.py this completes all 22 query shapes.
+# partsupp does not exist in the reduced schema; where TPC-H needs it,
+# a per-(part, supplier) aggregate of lineitem stands in (noted
+# per-query).
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost,
+               s_name, s_acctbal, n_name
+        FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT *, MIN(ps_supplycost) OVER (PARTITION BY ps_partkey)
+                  AS min_cost
+        FROM eu
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey AS partkey,
+           ps_supplycost AS supplycost
+    FROM part JOIN ranked ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: the cheapest regional supplier per qualifying part.
+
+    Shape: correlated scalar MIN subquery (min supply cost for THIS
+    part), realized as a window-min over the supplier-region relation so
+    the cost is evaluated once — a float equality against a re-computed
+    min could silently drop the winner. partsupp stands in as the
+    per-(part, supplier) MIN unit price from lineitem; the unit price is
+    emitted unrounded because both engines derive the identical double
+    from the same rows (no order-sensitive arithmetic).
+
+    Scale: the window runs over the aggregated (part x supplier)
+    relation, never over facts; nation/region broadcast; the partkey
+    window shuffle is also the join key for the part probe, so the
+    exchange is reused.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    ps = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+    eu = (
+        ps.join(s, F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name",
+                "s_acctbal", "n_name")
+    )
+    ranked = eu.withColumn(
+        "min_cost",
+        F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
+    )
+    return (
+        ranked.join(p, F.col("ps_partkey") == p.p_partkey)
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("partkey"),
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue delta from hypothetically dropping discounts —
+    the pure scan-and-aggregate query.
+
+    Scale: every predicate and both referenced columns push into the
+    parquet scan (min/max row-group skipping on l_shipdate); the
+    aggregate is a single partial+final sum with no grouping key, so the
+    exchange carries one row per partition.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on a product line by supplier nation and year.
+
+    Shape: 5-way snowflake grouped by a dimension attribute and a
+    derived year. The reduced schema has no ps_supplycost; cost is
+    modeled as 60% of the part's retail price — the structural point
+    (profit = revenue minus a cost joined in from another table) is
+    unchanged.
+
+    Scale: the part filter prunes BEFORE the fact join (LIKE on a
+    dimension, then broadcast); lineitem shuffles once on orderkey for
+    the orders join; nation broadcast closes the snowflake.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_money(F.sum(amount)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders  ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation  ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a quarter.
+
+    Scale: both fact filters (date on orders, returnflag on lineitem)
+    push to their scans before the orderkey shuffle; top-20 by the
+    ROUNDED revenue (deterministic across engines, custkey tie-break)
+    is TakeOrderedAndProject — no global sort.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _money(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'A'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY linestatus
+    ORDER BY linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: orders bucketed by a lineitem attribute with
+    dual conditional counts of priority classes (l_linestatus stands in
+    for the missing l_shipmode; the returnflag filter for the missing
+    commit/receipt-date lateness predicate).
+
+    Scale: one orderkey shuffle; both CASE sums fold into a single
+    partial aggregation pass.
+    """
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@query(
+    "q14_promo_effect",
+    """
+    SELECT ROUND(
+             100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from promo parts — the
+    conditional-sum ratio over a dimension attribute.
+
+    Scale: one month of lineitem (scan-pruned) broadcast-joins the part
+    dimension; numerator and denominator are two partial sums in one
+    aggregation pass, no second scan.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) bucket, excluding a blacklist subquery
+    (negative-balance suppliers stand in for the complaint-comment
+    NOT IN; the lineitem relationship stands in for partsupp).
+
+    Scale: NOT IN over a never-null key compiles to a broadcast anti
+    join (the blacklist is tiny); COUNT(DISTINCT) expands to the
+    standard two-shuffle expand-then-count, both partial-aggregated.
+    """
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost if small-quantity orders were dropped —
+    the correlated aggregate subquery (per-part average) shape.
+
+    Scale: the correlation is decorrelated by hand exactly as Catalyst
+    would: one partial-aggregated pass computes 0.2*avg(qty) per part,
+    then joins back on partkey. The per-part averages relation is
+    |parts|-sized, so AQE turns the join-back into a broadcast; facts
+    are never shuffled twice.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    cuts = l.groupBy(F.col("l_partkey").alias("cut_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(cuts, l.l_partkey == F.col("cut_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(_money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under a disjunction of conjunctive
+    brand/size/quantity envelopes (container and shipmode, absent from
+    the reduced schema, are dropped from each conjunct).
+
+    Scale: the disjunction straddles both tables, so it can only be
+    evaluated post-join — but its table-local weakenings ARE pushed:
+    Catalyst derives p_brand IN (...) / p_size <= 15 on the part scan
+    and l_quantity BETWEEN 1 AND 30 on the lineitem scan from the OR,
+    shrinking the join inputs before the broadcast.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    env = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(env).agg(
+        _money(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    """
+    SELECT s_name, s_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_13'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 30
+      )
+    ORDER BY s_name, s_suppkey
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who moved significant
+    volume of a named part family — nested IN subqueries with a grouped
+    HAVING inside (shipped volume > 50 stands in for the partsupp
+    availqty comparison).
+
+    Scale: innermost IN is a broadcast semi join of lineitem against the
+    LIKE-filtered part keys; the HAVING aggregates to (suppkey, partkey)
+    grain before the outer semi join, so the probe into supplier is
+    tiny; nation broadcasts.
+    """
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    movers = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    """
+    SELECT n_name AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
+                     'NATION_9', 'NATION_11', 'NATION_13')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY cntry
+    ORDER BY cntry
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: well-funded customers who never ordered, by country
+    (nation stands in for the missing phone-prefix country code).
+
+    Shape: uncorrelated scalar subquery (average positive balance) as a
+    filter bound, plus predicated NOT EXISTS against the fact table
+    (no-urgent-order stands in for never-ordered: the synthetic data
+    gives every customer at least one order).
+
+    Scale: the scalar average is a one-row broadcast, not a driver
+    round-trip; NOT EXISTS is an anti join probing customer (the small
+    side) against distinct order custkeys; both sides of the anti join
+    are column-pruned to the key.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_3", "NATION_5", "NATION_7",
+            "NATION_9", "NATION_11", "NATION_13",
+        )
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("bal_cut")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("bal_cut"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _money(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

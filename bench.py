@@ -20,7 +20,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",  # pure scan+agg: measures pushdown, no shuffle
     "q8_market_share",
+    "q9_product_type_profit",  # widest snowflake in the suite
     "q18_large_volume_customers",
     "q_top_customers_per_nation",
     "q_grouping_sets_revenue",
