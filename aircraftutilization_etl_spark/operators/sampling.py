@@ -1,0 +1,99 @@
+"""Deterministic sampling and dataset-split operators.
+
+Training-data curation at 100 TB needs REPRODUCIBLE selections: a
+train/val split or a per-stratum sample must come out identical across
+reruns, engines, partitionings, and cluster sizes — Spark's built-in
+``df.sample``/``sampleBy`` are seeded per-partition and change with the
+partitioning, so they can't anchor a dataset card. Everything here keys
+off a content hash (md5 of the row key), which is stable everywhere and
+SQL-portable, so the driver's DuckDB oracle can replay the exact
+selection.
+
+Scale properties:
+
+- ``hash_split`` is a narrow projection — zero shuffles, streams with
+  the scan, and any engine that computes md5 places every row in the
+  same split forever (rows added later don't move existing rows).
+- ``stratified_sample`` is one shuffle on the strata columns + a
+  per-stratum top-n (rank over the hash order); no global sort. Skewed
+  strata bound the partition size at |stratum|, the same bound any
+  per-group top-k has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Split thresholds are 4-hex-digit md5 prefixes: 16^4 = 65536 buckets,
+# so requested fractions are honored to ~0.0015%. Comparing the hex
+# PREFIX as a string is equivalent to comparing the bucket number but
+# needs no hex->int conversion, which keeps the expression portable
+# across engines (same form runs in DuckDB).
+_PREFIX_LEN = 4
+_BUCKETS = 16**_PREFIX_LEN
+
+
+def hash_bucket(key: Column, prefix_len: int = _PREFIX_LEN) -> Column:
+    """Stable [0, 16^prefix_len) bucket of a key via its md5 prefix."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, prefix_len), 16, 10
+    ).cast("long")
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, exclusive_upper_hex_prefix)] with cumulative
+    fractions mapped onto md5-prefix space. Fractions must sum to 1."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += frac
+        bound = min(_BUCKETS, round(acc * _BUCKETS))
+        # 'g' sorts above every hex digit, so a full-range bound keeps
+        # the string comparison total (format(16^n) would be n+1 chars
+        # and lexicographically BELOW 'ffff').
+        hex_bound = "g" if bound >= _BUCKETS else format(bound, f"0{_PREFIX_LEN}x")
+        out.append((name, hex_bound))
+    return out
+
+
+def hash_split(
+    df: DataFrame, key: str, splits: dict[str, float], col_name: str = "split"
+) -> DataFrame:
+    """Assign every row to a named split by its key's md5 prefix.
+
+    Deterministic, partitioning-independent, and stable under appends:
+    a row's split depends only on its key. Insertion order of ``splits``
+    fixes the bucket layout, so ('train': .8, 'val': .1, 'test': .1)
+    always carves the same three prefix ranges.
+    """
+    prefix = F.substring(F.md5(F.col(key).cast("string")), 1, _PREFIX_LEN)
+    expr = None
+    for name, bound in reversed(split_thresholds(splits)):
+        expr = (
+            F.lit(name)
+            if expr is None
+            else F.when(prefix < F.lit(bound), F.lit(name)).otherwise(expr)
+        )
+    # reversed() + otherwise-chaining emits WHEN prefix < b1 THEN s1
+    # WHEN prefix < b2 THEN s2 ... ELSE s_last — first matching range wins
+    return df.withColumn(col_name, expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata: list[str], n_per_stratum: int, key: str
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by md5 order
+    of the key (a uniform, reproducible pseudo-order; ties broken by the
+    key itself so duplicate hashes can't make the pick ambiguous)."""
+    order = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(*strata).orderBy(order, F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

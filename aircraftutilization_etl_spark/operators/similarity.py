@@ -164,18 +164,19 @@ def cosine_pairs(
 ) -> DataFrame:
     """All unordered pairs with cosine ≥ threshold (semantic near-dup).
 
-    Exact all-pairs with NOTHING on the driver: the corpus is hashed
-    into ~``block_rows``-row blocks, each block is packed into a single
-    (ids, normalized float64 matrix) Arrow row executor-side, every
-    block-pair task (i ≤ j) is materialized by exploding block ids, and
-    one applyInPandas GEMM scores each pair of packed blocks. The
-    threshold filter runs inside the kernel so only hits leave the
+    Exact all-pairs with NOTHING on the driver: ids are hashed into B
+    blocks, every row is fanned out (via an exploded block-id sequence)
+    to each block-pair task (bi ≤ bj) it participates in, and one
+    applyInPandas GEMM per pair stacks its rows by role and multiplies.
+    The threshold filter runs inside the kernel so only hits leave the
     executors.
 
-    Scale: shuffle volume is O(N·B) for B = ceil(N/block_rows) — the
-    unavoidable replication of an exact all-pairs comparison — and each
-    task is a dense (block × block) BLAS multiply, embarrassingly
-    parallel across the B(B+1)/2 block pairs. Driver memory is O(1).
+    Scale: shuffle volume is O(N·B·d) — the unavoidable replication of
+    an exact all-pairs comparison — against O(N²·d) scoring FLOPs, so
+    larger blocks amortize replication while each task stays a dense
+    BLAS multiply over at most 2·block_rows vectors (~2 MB at d=64).
+    B floors at the core count so small corpora still fan out; the
+    B(B+1)/2 tasks are embarrassingly parallel. Driver memory is O(1).
     For sub-quadratic approximate scoring at extreme N, route through
     the IVF/LSH bucket join (``ivf_topk``) instead.
     """
@@ -187,63 +188,58 @@ def cosine_pairs(
     n = base.count()  # metadata-cheap over parquet; sizes the block grid
     if n == 0:
         return spark.createDataFrame([], out_schema)
-    n_blocks = -(-n // block_rows)
+    # B floors near the core count so small corpora fan out, but never
+    # below ~256 rows/block — a 256x256 GEMM still dwarfs task overhead.
+    n_blocks = max(
+        -(-n // block_rows),
+        min(spark.sparkContext.defaultParallelism, max(1, n // 256)),
+    )
     blocked = base.withColumn(
         "block", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        mat = _normalize(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
-        return pd.DataFrame(
-            {
-                "block": pdf["block"].iloc[:1],
-                "ids": [ids.tolist()],
-                "vecs": [mat.ravel().tolist()],
-                "nrows": [len(ids)],
-            }
-        )
-
-    packed = blocked.groupBy("block").applyInPandas(
-        pack, "block int, ids array<long>, vecs array<double>, nrows int"
-    )
-    # block-pair task list: block b serves as the Left of pairs (b, b..B-1)
-    # and the Right of pairs (0..b-1, b); the diagonal gets a single row.
-    as_left = packed.select(
+    # fan-out: block b is the Left of pairs (b, b..B-1) and the Right of
+    # pairs (0..b-1, b); the diagonal task gets each row exactly once.
+    as_left = blocked.select(
         F.col("block").alias("bi"),
         F.explode(F.sequence("block", F.lit(n_blocks - 1))).alias("bj"),
         F.lit("L").alias("role"),
-        "ids",
-        "vecs",
-        "nrows",
+        "id",
+        "vec",
     )
-    as_right = packed.filter(F.col("block") > 0).select(
+    as_right = blocked.filter(F.col("block") > 0).select(
         F.explode(F.sequence(F.lit(0), F.col("block") - 1)).alias("bi"),
         F.col("block").alias("bj"),
         F.lit("R").alias("role"),
-        "ids",
-        "vecs",
-        "nrows",
+        "id",
+        "vec",
     )
     tasks = as_left.unionByName(as_right)
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        def unpack(row):
-            ids = np.asarray(row["ids"], dtype=np.int64)
-            m = np.asarray(row["vecs"], dtype=np.float64).reshape(len(ids), -1)
-            return ids, m
+        def side(mask):
+            ids = pdf["id"].to_numpy(dtype=np.int64)[mask]
+            mat = _normalize(
+                np.stack(pdf["vec"].to_numpy()[mask]).astype(np.float64)
+            )
+            return ids, mat
 
-        if len(pdf) == 1:  # diagonal: self-pairs, upper triangle by id
-            ids, m = unpack(pdf.iloc[0])
+        if pdf["bi"].iat[0] == pdf["bj"].iat[0]:
+            # diagonal: self-pairs, upper triangle by id
+            ids, m = side(slice(None))
             sims = m @ m.T
             keep = (ids[:, None] < ids[None, :]) & (sims >= threshold)
             a, b = np.nonzero(keep)
             return pd.DataFrame(
                 {"id_a": ids[a], "id_b": ids[b], "cosine": sims[a, b]}
             )
-        by_role = {r["role"]: r for _, r in pdf.iterrows()}
-        lids, lm = unpack(by_role["L"])
-        rids, rm = unpack(by_role["R"])
+        is_left = (pdf["role"] == "L").to_numpy()
+        if is_left.all() or not is_left.any():
+            # partner block hashed empty -> no cross pairs to score
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        lids, lm = side(is_left)
+        rids, rm = side(~is_left)
         sims = lm @ rm.T
         a, b = np.nonzero(sims >= threshold)
         ia, ib = lids[a], rids[b]

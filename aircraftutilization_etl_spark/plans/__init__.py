@@ -7,6 +7,7 @@ from . import relational_tpch  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import text  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401

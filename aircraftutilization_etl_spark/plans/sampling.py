@@ -1,0 +1,95 @@
+"""Catalog queries for deterministic sampling / dataset splits.
+
+The md5-prefix scheme (operators/sampling.py) is deliberately
+SQL-portable: DuckDB's md5() produces the same hex digest, so the
+oracle replays the exact row selection — the strongest possible check
+for a sampling operator, where "roughly the right fraction" would hide
+placement bugs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_split, stratified_sample
+from .catalog import query, table
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "q_split_train_val",
+    """
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM (
+        SELECT lang, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus by
+    doc_id content hash, audited per language.
+
+    The oracle inlines the same md5-prefix thresholds ('cccd' =
+    round(0.8*65536), 'e666' = round(0.9*65536)), so Spark and DuckDB
+    must place every individual document identically — row placement,
+    not just split sizes, is what's checked.
+
+    Scale: the split is a narrow per-row projection (zero shuffles,
+    stable under appends/repartitioning); only the audit aggregation
+    shuffles, on (lang, split) — 15 groups.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", SPLITS)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "q_sample_stratified",
+    """
+    SELECT doc_id, lang, source
+    FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 documents per language, selected by md5 order of
+    doc_id — a reproducible stratified sample whose exact membership the
+    oracle replays row for row.
+
+    Scale: one shuffle on the stratum key, per-stratum top-n via
+    row_number (rank computation streams; no global sort). A skewed
+    stratum costs |stratum| sort work on one partition — the inherent
+    bound for exact per-group selection.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, ["lang"], 20, "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    )

@@ -147,3 +147,75 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "q_text_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * LN((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, dfreq.df ASC, tf.term
+               ) AS rn
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) ranked
+    WHERE rn <= 5
+    ORDER BY doc_id, term
+    """,
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document by TF-IDF (smoothed idf =
+    ln((N+1)/(df+1))).
+
+    Ranking uses the integer-exact key (tf DESC, df ASC, term) — the
+    float tfidf is emitted but never drives row selection, so an
+    engine's last-ulp log() difference can't flip which terms are
+    chosen. df is derived from the tf relation (count of docs containing
+    the term), so the corpus is exploded exactly once.
+
+    Scale: one explode + one (doc_id, term) partial-aggregated shuffle;
+    document frequency and the rank run over the tf relation (corpus
+    vocabulary x docs containing it), never the raw token stream; the
+    1-row corpus count broadcasts.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""Deterministic sampling/split operators (operators/sampling.py).
+
+The contract under test is REPRODUCIBILITY: selections must be a pure
+function of row keys — identical across reruns, partitionings and
+engines — plus exact per-stratum counts and split disjointness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aircraftutilization_etl_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+    split_thresholds,
+    stratified_sample,
+)
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+    )
+
+
+class TestSplitThresholds:
+    def test_cumulative_hex_bounds(self):
+        got = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+        assert got == [("train", "cccd"), ("val", "e666"), ("test", "g")]
+
+    def test_rejects_non_unit_sum(self):
+        with pytest.raises(ValueError, match="sum to 1"):
+            split_thresholds({"a": 0.5, "b": 0.4})
+
+    def test_full_range_bound_sorts_above_hex(self):
+        # 'g' > 'ffff' lexicographically, so the last range is total
+        assert "g" > "ffff"
+
+
+class TestHashSplit:
+    def test_partition_of_rows(self, people):
+        out = hash_split(people, "id", {"train": 0.8, "val": 0.2})
+        counts = dict(
+            out.groupBy("split").count().rdd.map(tuple).collect()
+        )
+        assert sum(counts.values()) == 1000  # total partition, no loss
+        # binomial(1000, .8): 3 sigma ~ 38
+        assert 760 <= counts["train"] <= 840
+
+    def test_stable_under_repartition(self, people):
+        a = hash_split(people, "id", {"train": 0.8, "val": 0.2})
+        b = hash_split(
+            people.repartition(13, "grp"), "id", {"train": 0.8, "val": 0.2}
+        )
+        rows_a = sorted(map(tuple, a.select("id", "split").collect()))
+        rows_b = sorted(map(tuple, b.select("id", "split").collect()))
+        assert rows_a == rows_b
+
+    def test_stable_under_append(self, people, spark):
+        # rows present before an append keep their split afterwards
+        first = hash_split(
+            people.filter(F.col("id") < 500), "id", {"t": 0.5, "v": 0.5}
+        )
+        both = hash_split(people, "id", {"t": 0.5, "v": 0.5})
+        sub = both.filter(F.col("id") < 500)
+        assert sorted(map(tuple, first.collect())) == sorted(
+            map(tuple, sub.collect())
+        )
+
+    def test_no_shuffle_in_plan(self, people):
+        plan = hash_split(
+            people, "id", {"t": 0.5, "v": 0.5}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # narrow projection
+
+
+class TestHashBucket:
+    def test_matches_prefix_ordering(self, spark):
+        df = spark.range(200).select(
+            hash_bucket(F.col("id")).alias("b"),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 4).alias("p"),
+        )
+        rows = df.collect()
+        for r in rows:
+            assert r["b"] == int(r["p"], 16)
+
+
+class TestStratifiedSample:
+    def test_exact_counts_per_stratum(self, people):
+        out = stratified_sample(people, ["grp"], 10, "id")
+        counts = dict(
+            out.groupBy("grp").count().rdd.map(tuple).collect()
+        )
+        assert set(counts.values()) == {10} and len(counts) == 7
+
+    def test_caps_at_stratum_size(self, spark):
+        small = spark.range(5).select(F.col("id"), F.lit(0).alias("grp"))
+        out = stratified_sample(small, ["grp"], 10, "id")
+        assert out.count() == 5
+
+    def test_deterministic_membership(self, people):
+        a = stratified_sample(people, ["grp"], 10, "id").collect()
+        b = stratified_sample(
+            people.repartition(17), ["grp"], 10, "id"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_single_shuffle_plan(self, people):
+        plan = stratified_sample(
+            people, ["grp"], 10, "id"
+        )._jdf.queryExecution().executedPlan().toString()
+        # one exchange for the window partition; range(...) has no scan
+        # exchange, so exactly one Exchange node total
+        assert plan.count("Exchange") == 1
