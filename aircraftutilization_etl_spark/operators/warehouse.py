@@ -1,0 +1,134 @@
+"""Warehouse maintenance operators: mergeable rollups and SCD2 history.
+
+Two patterns every 100 TB analytics store needs and the reference's
+Mongo time-series sink only gestures at (reference
+``src/plugins/scripts/complete_flights/db.py:42-79`` appends hourly
+buckets but can never re-aggregate them):
+
+- **Incremental rollup maintenance** — keep an aggregate table fresh by
+  folding in only the new increment, never rescanning history. Works
+  for any *mergeable* measure set (count/sum/min/max; avg derived at
+  read time as sum/count). The merge is
+  ``union(partial_state, partial_of_increment) -> re-aggregate`` — one
+  shuffle sized by |groups| + |increment groups|, independent of how
+  many base rows history holds. This is the same re-aggregability
+  contract as the sketch rollups (plans/sketches.py), for exact
+  measures.
+
+- **SCD2 (slowly-changing-dimension type 2) history** — turn a change
+  log into effective-dated rows (valid_from / valid_to / is_current),
+  collapsing consecutive no-op changes first. One shuffle on the
+  business key; both window passes share that partitioning and sort
+  order, so Catalyst plans a single Exchange + single Sort.
+
+Scale properties are stated per function; everything is pure JVM
+(whole-stage codegen), zero UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def partial_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Aggregate ``df`` to one row per ``keys`` with mergeable measures.
+
+    Output columns: ``keys..., count_col, sum_<c>, min_<c>, max_<c>``.
+    The result can be merged with any other partial rollup of the same
+    shape via :func:`merge_rollups` without loss — the defining property
+    that makes incremental maintenance exact.
+
+    Scale: one hash-aggregate shuffle on ``keys`` with map-side partial
+    aggregation, so shuffle volume is |distinct keys per task|, not
+    |rows|.
+    """
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in sums]
+    aggs += [F.min(c).alias(f"min_{c}") for c in mins]
+    aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_rollups(
+    states: Sequence[DataFrame],
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Merge partial rollups (same shape, from :func:`partial_rollup`)
+    into one consistent aggregate — the incremental-maintenance step.
+
+    Counts and sums re-add; mins/maxs re-min/max. The union is a
+    zero-cost narrow op; the only shuffle is the final re-aggregate,
+    sized by the number of *groups* touched, never by base-table rows —
+    folding a day's increment into a year's rollup costs the increment,
+    not the year.
+    """
+    if not states:
+        raise ValueError("merge_rollups needs at least one state")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    aggs = [F.sum(count_col).alias(count_col)]
+    aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums]
+    aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in mins]
+    aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in maxs]
+    return merged.groupBy(*keys).agg(*aggs)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Effective-dated type-2 history from a change log.
+
+    ``df`` holds one row per observed (key, attrs) state at ``ts_col``;
+    ``tiebreak`` makes the event order total (e.g. an event id), so the
+    output is deterministic under any partitioning. Consecutive rows
+    whose ``attrs`` are unchanged are collapsed into the earlier row
+    (no-op changes don't open a new version). Output adds:
+
+    - ``valid_from`` — the change timestamp,
+    - ``valid_to`` — next change's timestamp (NULL for the live row),
+    - ``is_current`` — ``valid_to IS NULL``.
+
+    Scale: one shuffle on ``key``; the dedup window and the lead window
+    use the same partitioning and ordering, so the plan has a single
+    Exchange + Sort reused by both Window operators. Per-key state is a
+    single previous row — no buffering of whole partitions beyond the
+    sort itself.
+    """
+    if not attrs:
+        raise ValueError("scd2_history needs at least one tracked attribute")
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    # NULL attribute values compare via null-safe equality; a key's
+    # first row (lag is undefined) always opens a version
+    diff = F.lit(False)
+    for a in attrs:
+        diff = diff | ~F.lag(a).over(w).eqNullSafe(F.col(a))
+    change_flag = (F.row_number().over(w) == 1) | diff
+    changed = df.withColumn("__is_change", change_flag).filter("__is_change")
+    # same partitioning+ordering as w: Catalyst reuses the one
+    # Exchange+Sort for both Window operators (pinned in tests)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__is_change")
+    )

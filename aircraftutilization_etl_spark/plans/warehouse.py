@@ -1,0 +1,148 @@
+"""Catalog queries for warehouse maintenance operators.
+
+``q_incremental_rollup`` proves the engine's incremental-maintenance
+path EXACT: the Spark side folds three separate event batches through
+partial_rollup/merge_rollups, and the oracle is the plain one-shot
+GROUP BY over the whole table — they must hash-match, i.e. maintaining
+the rollup incrementally is indistinguishable from recomputing it.
+
+``q_scd2_user_history`` builds effective-dated dimension history from a
+change log, checked row-for-row against a window-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.warehouse import merge_rollups, partial_rollup, scd2_history
+from .catalog import query, table
+
+# Batch boundaries for the incremental path (events span Jan 2024).
+_CUT1 = "2024-01-20"
+_CUT2 = "2024-01-25"
+
+
+@query(
+    "q_incremental_rollup",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_value,
+           MIN(cents) / 100.0 AS min_value,
+           MAX(cents) / 100.0 AS max_value,
+           ((CAST(SUM(cents) AS BIGINT) * 200 + COUNT(*))
+               // (2 * COUNT(*))) / 10000.0 AS avg_value
+    FROM c
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type rollup maintained INCREMENTALLY: history is
+    split into three batches (pre-Jan-20, Jan-20..24, Jan-25..end), each
+    reduced to a partial rollup, then merged — while the oracle computes
+    the same answer in one shot over all rows. Hash-matching proves the
+    merge path is exact, the contract that lets a 100 TB deployment fold
+    a day's increment into a year's rollup without rescanning the year.
+
+    Scale: each partial is a map-side-combined hash aggregate; the merge
+    shuffles |groups| rows (150 here), never base rows. avg is derived
+    at read time from the mergeable (sum, count) pair.
+
+    The money column is summed as integer cents and the 4-dp average is
+    rounded with integer half-up division — summation order and
+    float-tie artifacts can't perturb the output, so incremental vs
+    one-shot (and Spark vs DuckDB) agree bit-for-bit (the repo's
+    standard tie-free-output discipline).
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("day", F.col("ts").cast("date"))
+        .withColumn(
+            "cents", F.round(F.col("value") * 100, 0).cast("bigint")
+        )
+    )
+    batches = [
+        ev.filter(F.col("ts") < _CUT1),
+        ev.filter((F.col("ts") >= _CUT1) & (F.col("ts") < _CUT2)),
+        ev.filter(F.col("ts") >= _CUT2),
+    ]
+    keys = ["event_type", "day"]
+    partials = [
+        partial_rollup(b, keys, sums=["cents"], mins=["cents"], maxs=["cents"])
+        for b in batches
+    ]
+    merged = merge_rollups(
+        partials, keys, sums=["cents"], mins=["cents"], maxs=["cents"]
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_rows",
+        (F.col("sum_cents") / 100.0).alias("sum_value"),
+        (F.col("min_cents") / 100.0).alias("min_value"),
+        (F.col("max_cents") / 100.0).alias("max_value"),
+        (
+            F.expr("(sum_cents * 200 + n_rows) div (2 * n_rows)") / 10000.0
+        ).alias("avg_value"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "q_scd2_user_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BIGINT) AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 effective-dated history of each user's event-type "state":
+    consecutive same-type events collapse into one version; each version
+    carries valid_from / valid_to / is_current. The oracle replays the
+    exact window logic, so version boundaries match row-for-row.
+
+    Scale: one shuffle on user_id; the collapse window and the lead
+    window share partitioning and sort order, so the physical plan runs
+    a single Exchange + Sort feeding both Window operators (pinned in
+    test_warehouse.py). Per-key memory is one row of look-behind.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_history(
+        ev, key="user_id", attrs=["event_type"], ts_col="ts",
+        tiebreak="event_id",
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("bigint").alias("is_current"),
+    ).orderBy("user_id", "valid_from")

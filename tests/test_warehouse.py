@@ -1,0 +1,143 @@
+"""Warehouse operators: mergeable rollups and SCD2 history."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aircraftutilization_etl_spark.operators.warehouse import (
+    merge_rollups,
+    partial_rollup,
+    scd2_history,
+)
+from tests.conftest import rows_sorted
+
+TS = dt.datetime
+
+
+def _events(spark):
+    rows = [
+        # (key, ts_minute, value)
+        ("a", 1, 10), ("a", 2, 20), ("a", 7, 5),
+        ("b", 1, 100), ("b", 9, 1),
+        ("c", 3, 42),
+    ]
+    return spark.createDataFrame(
+        [(k, TS(2024, 1, 1, 0, m), v) for k, m, v in rows],
+        "key string, ts timestamp, v long",
+    )
+
+
+def test_incremental_rollup_equals_one_shot(spark):
+    ev = _events(spark)
+    one_shot = partial_rollup(
+        ev, ["key"], sums=["v"], mins=["v"], maxs=["v"]
+    )
+    cut = TS(2024, 1, 1, 0, 5)
+    merged = merge_rollups(
+        [
+            partial_rollup(
+                ev.filter(F.col("ts") < cut), ["key"],
+                sums=["v"], mins=["v"], maxs=["v"],
+            ),
+            partial_rollup(
+                ev.filter(F.col("ts") >= cut), ["key"],
+                sums=["v"], mins=["v"], maxs=["v"],
+            ),
+        ],
+        ["key"], sums=["v"], mins=["v"], maxs=["v"],
+    )
+    assert rows_sorted(merged) == rows_sorted(one_shot)
+
+
+def test_merge_is_associative_with_prior_state(spark):
+    """Folding increments one at a time (state <- merge(state, inc))
+    gives the same answer as merging all partials at once — the property
+    a long-lived maintained rollup depends on."""
+    ev = _events(spark)
+    cuts = [TS(2024, 1, 1, 0, 2), TS(2024, 1, 1, 0, 8)]
+    spec = dict(sums=["v"], mins=["v"], maxs=["v"])
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    partials = [partial_rollup(b, ["key"], **spec) for b in batches]
+    all_at_once = merge_rollups(partials, ["key"], **spec)
+    state = partials[0]
+    for inc in partials[1:]:
+        state = merge_rollups([state, inc], ["key"], **spec)
+    assert rows_sorted(state) == rows_sorted(all_at_once)
+
+
+def test_rollup_batch_with_no_rows_for_a_key(spark):
+    """Keys absent from an increment keep their prior state."""
+    ev = _events(spark)
+    spec = dict(sums=["v"], mins=["v"], maxs=["v"])
+    only_c = partial_rollup(
+        ev.filter(F.col("key") == "c"), ["key"], **spec
+    )
+    rest = partial_rollup(
+        ev.filter(F.col("key") != "c"), ["key"], **spec
+    )
+    merged = merge_rollups([only_c, rest], ["key"], **spec)
+    assert rows_sorted(merged) == rows_sorted(
+        partial_rollup(ev, ["key"], **spec)
+    )
+
+
+def _changelog(spark):
+    rows = [
+        # key, seq, state  (runs of equal state must collapse)
+        ("u1", 1, "free"), ("u1", 2, "free"), ("u1", 3, "pro"),
+        ("u1", 4, "pro"), ("u1", 5, "free"),
+        ("u2", 1, "pro"),
+        ("u3", 1, None), ("u3", 2, None), ("u3", 3, "free"),
+    ]
+    return spark.createDataFrame(
+        [(k, s, TS(2024, 1, 1, 0, s), st) for k, s, st in rows],
+        "key string, seq long, ts timestamp, state string",
+    )
+
+
+def test_scd2_collapses_noop_changes_and_dates_versions(spark):
+    hist = scd2_history(
+        _changelog(spark), key="key", attrs=["state"], ts_col="ts",
+        tiebreak="seq",
+    )
+    got = {
+        (r["key"], r["state"], r["valid_from"].minute,
+         r["valid_to"].minute if r["valid_to"] else None, r["is_current"])
+        for r in hist.collect()
+    }
+    assert got == {
+        ("u1", "free", 1, 3, False),
+        ("u1", "pro", 3, 5, False),
+        ("u1", "free", 5, None, True),
+        ("u2", "pro", 1, None, True),
+        # NULL run collapses via null-safe equality, then opens "free"
+        ("u3", None, 1, 3, False),
+        ("u3", "free", 3, None, True),
+    }
+
+
+def test_scd2_deterministic_under_repartition(spark):
+    log = _changelog(spark)
+    a = scd2_history(log, "key", ["state"], "ts", "seq")
+    b = scd2_history(
+        log.repartition(7, "seq"), "key", ["state"], "ts", "seq"
+    )
+    assert rows_sorted(a) == rows_sorted(b)
+
+
+def test_scd2_plan_has_single_exchange_and_sort(spark):
+    """Both window passes must share one shuffle + sort on the key."""
+    hist = scd2_history(
+        _changelog(spark), key="key", attrs=["state"], ts_col="ts",
+        tiebreak="seq",
+    )
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    # AQE wraps the plan; count physical occurrences in the final plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
