@@ -145,3 +145,36 @@ def asof_join(
             f"__carry_{c}"
         )
     return out.drop("__side", "__rseq")
+
+
+def cooccurrence_pairs(
+    df: DataFrame, key: str, item: str, count_alias: str = "n_keys"
+) -> DataFrame:
+    """Item co-occurrence counts: for every unordered pair of distinct
+    items observed under the same key, the number of keys exhibiting
+    both — the recsys/feature-mining primitive (users co-clicking, docs
+    co-citing).
+
+    Shape: ONE shuffle on the key collapses each key to its distinct
+    item set (map-side partial aggregation dedupes before the wire, so
+    a key with a million events but 5 distinct items ships ~5 values,
+    not 10^6); pairs are then generated map-side by a double explode
+    over the sorted set (``item_b > item_a`` canonicalizes and halves
+    the output) and counted with one more shuffle on the pair. Compare
+    the naive distinct + self-join, which costs four exchanges and a
+    sort-merge join. Per-key cost is |vocabulary|^2 — the inherent
+    output size — never |events|^2.
+    """
+    sets = df.groupBy(key).agg(
+        F.sort_array(F.collect_set(item)).alias("__items")
+    )
+    lhs = sets.select(F.explode("__items").alias("item_a"), "__items")
+    pairs = lhs.select(
+        "item_a",
+        F.explode(F.expr("filter(__items, x -> x > item_a)")).alias(
+            "item_b"
+        ),
+    )
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias(count_alias)
+    )

@@ -109,3 +109,44 @@ def fingerprint_expr(col: Column | str = "text") -> Column:
     dedup/minhash operators rely on for their oracles.
     """
     return F.md5(normalized_text(col))
+
+
+# --- PII redaction ---------------------------------------------------------
+#
+# Patterns live in the regex subset Java (Spark) and RE2 (DuckDB) interpret
+# identically: character classes, bounded repetition, alternation — no word
+# boundaries (\b is Unicode-aware in Java but ASCII in RE2, which diverges
+# on accented text), no backreferences, no lookaround. Redaction order is
+# fixed (emails first — they contain digits and dots that the ip/phone
+# patterns could otherwise bite into).
+
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+[0-9][0-9()\\- ]{6,}[0-9]",
+    "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+}
+_PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_count_expr(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind (leftmost non-overlapping, the
+    semantics Java and RE2 share) — audit metric for a dataset card."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii_expr(col: Column | str = "text") -> Column:
+    """Replace every PII match with a typed token (``<EMAIL>`` etc.).
+
+    A per-row map over the text column: zero shuffles, streams with the
+    scan, whole-stage codegen'd. At 100 TB this is the shape you want —
+    redaction cost is one regex pass per pattern per row, embarrassingly
+    parallel, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out

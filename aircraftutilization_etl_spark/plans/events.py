@@ -321,3 +321,33 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+@query(
+    "q_events_cooccurrence",
+    """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM d a
+    JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY item_a, item_b
+    """,
+)
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence: for each unordered pair of event types,
+    how many users exhibit both — the recsys/feature-mining primitive.
+
+    Scale (operators/events.py cooccurrence_pairs): dedupe to
+    (user, type) BEFORE the self-join, bounding per-user fanout at the
+    type vocabulary instead of the event count; both join sides are the
+    same deduped plan, so the physical plan reuses one Exchange.
+    """
+    from ..operators.events import cooccurrence_pairs
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        cooccurrence_pairs(ev, key="user_id", item="event_type")
+        .orderBy("item_a", "item_b")
+    )

@@ -219,3 +219,73 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+_PII_AUG_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example or +1 555-01'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+[0-9][0-9()\\- ]{6,}[0-9]"
+_PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "q_text_pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT)
+               AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g')) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training data: count and redact emails, phone
+    numbers, and IPv4 addresses. Synthetic PII derived from doc_id is
+    appended to each document (the corpus itself is clean), so every row
+    exercises all three patterns; the oracle replays the identical
+    augmentation, counts, and replacement chain, and the md5 of the
+    redacted text must match byte-for-byte — the strongest check a
+    redaction pass can get.
+
+    Patterns stay in the Java/RE2-common regex subset (no word
+    boundaries, no lookaround) so both engines match identically; see
+    operators/text.py PII_PATTERNS. Scale: per-row regex maps, zero
+    shuffles, whole-stage codegen — scan-bound at 100 TB.
+    """
+    from ..operators.text import pii_count_expr, redact_pii_expr
+
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            did.cast("string"),
+            F.lit("@mail.example or +1 555-01"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+            F.lit(" at 10.0."),
+            (did % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        pii_count_expr("t", "email").cast("bigint").alias("n_emails"),
+        pii_count_expr("t", "phone").cast("bigint").alias("n_phones"),
+        pii_count_expr("t", "ipv4").cast("bigint").alias("n_ipv4"),
+        F.md5(redact_pii_expr("t")).alias("redacted_md5"),
+    ).orderBy("doc_id")

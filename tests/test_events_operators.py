@@ -187,3 +187,45 @@ def test_asof_join_keeps_left_columns_and_count(spark):
     out = asof_join(left, right, on="k")
     assert out.count() == 5  # left-preserving
     assert set(out.columns) == {"k", "ts", "name", "asof_price"}
+
+
+def test_cooccurrence_pairs_counts_keys_not_events(spark):
+    from aircraftutilization_etl_spark.operators.events import (
+        cooccurrence_pairs,
+    )
+
+    rows = [
+        # u1 clicks twice + buys: the repeat click must not inflate counts
+        (1, "click"), (1, "click"), (1, "buy"),
+        (2, "click"), (2, "buy"), (2, "view"),
+        (3, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_keys"]
+        for r in cooccurrence_pairs(df, "user_id", "item").collect()
+    }
+    assert got == {
+        ("buy", "click"): 2,
+        ("buy", "view"): 1,
+        ("click", "view"): 1,
+    }
+
+
+def test_cooccurrence_plan_is_two_exchanges_no_join(spark):
+    """One shuffle to per-key sets + one to count pairs; pair generation
+    is map-side (no self-join)."""
+    from aircraftutilization_etl_spark.operators.events import (
+        cooccurrence_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 5, f"t{i % 3}") for i in range(50)],
+        "user_id long, item string",
+    )
+    plan = (
+        cooccurrence_pairs(df, "user_id", "item")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan

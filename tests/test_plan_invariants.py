@@ -43,6 +43,7 @@ PURE_JVM_PREFIXES = (
     "q_cross_", "q_full_", "q_set_", "q_union_", "q_scalar_",
     "q_distinct_", "q_percentiles_", "q_events_", "q_dedup_exact",
     "q_dedup_simhash", "q_flight_", "q_skew_",
+    "q_incremental_", "q_scd2_", "q_profile_",
 )
 
 

@@ -72,3 +72,46 @@ def test_fingerprint_distinguishes(spark):
     a = _one(spark, "text one", fingerprint_expr())
     b = _one(spark, "text two", fingerprint_expr())
     assert a != b
+
+
+def test_pii_redaction_and_counts(spark):
+    from aircraftutilization_etl_spark.operators.text import (
+        pii_count_expr,
+        redact_pii_expr,
+    )
+
+    text = (
+        "Mail a.b+c@ex.co or admin@sub.domain.org, call +44 20-7946 0958,"
+        " host 192.168.0.1 done"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        redact_pii_expr("text").alias("red"),
+        pii_count_expr("text", "email").alias("ne"),
+        pii_count_expr("text", "phone").alias("np"),
+        pii_count_expr("text", "ipv4").alias("ni"),
+    ).collect()[0]
+    assert row["ne"] == 2 and row["np"] == 1 and row["ni"] == 1
+    assert row["red"] == (
+        "Mail <EMAIL> or <EMAIL>, call <PHONE>, host <IPV4> done"
+    )
+
+
+def test_pii_redaction_order_email_wins_over_ipv4(spark):
+    """An address like 10.0.0.7@host.net is one email, and the ipv4
+    pattern must not bite into the local part before email redaction."""
+    from aircraftutilization_etl_spark.operators.text import redact_pii_expr
+
+    df = spark.createDataFrame([("ping 10.0.0.7@host.net ok",)], "text string")
+    assert (
+        df.select(redact_pii_expr("text").alias("r")).collect()[0]["r"]
+        == "ping <EMAIL> ok"
+    )
+
+
+def test_pii_clean_text_untouched(spark):
+    from aircraftutilization_etl_spark.operators.text import redact_pii_expr
+
+    clean = "no pii here, just words and the number 42."
+    df = spark.createDataFrame([(clean,)], "text string")
+    assert df.select(redact_pii_expr("text").alias("r")).collect()[0]["r"] == clean
