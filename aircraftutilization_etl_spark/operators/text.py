@@ -150,3 +150,68 @@ def redact_pii_expr(col: Column | str = "text") -> Column:
             out, PII_PATTERNS[kind], f"<{kind.upper()}>"
         )
     return out
+
+
+def ngram_repetition_expr(
+    col: Column | str = "text", n: int = 5
+) -> Column:
+    """Fraction of within-document n-gram repeats: 1 - distinct/total
+    word n-grams (0.0 when the doc has fewer than ``n`` words).
+
+    The standard boilerplate/templated-text signal in pretraining-data
+    curation. Pure per-row array work (sequence → transform →
+    array_distinct): no shuffle, no Python; cost is O(words) per row.
+    """
+    words = F.transform(words_expr(col), lambda w: F.lower(w))
+    # sequence() must be guarded: Spark's sequence(1, 0) DESCENDS to
+    # [1, 0] rather than returning empty, so short docs are handled by
+    # the when() branch, never by an empty sequence
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) < n, F.lit(0.0)).otherwise(
+        F.round(
+            1.0
+            - F.size(F.array_distinct(grams))
+            / F.size(grams).cast("double"),
+            4,
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram model — the cheap perplexity proxy used to rank documents by
+    'naturalness' in pretraining-data curation (a doc of rare/garbled
+    tokens scores far more negative than one of common words).
+
+    Two-pass shape: (1) one shuffle on the token to build the model
+    (map-side combine ships distinct tokens per task, not instances);
+    (2) tokens join the model on the token key — vocabulary is tiny
+    relative to the corpus, so AQE typically broadcasts it — then one
+    shuffle on the doc id for the per-doc mean. No Python anywhere.
+    Output: (id_col, n_tokens, logprob) with logprob rounded to 4dp at
+    the edge.
+    """
+    words = df.select(
+        id_col,
+        F.explode(
+            F.transform(words_expr(col), lambda w: F.lower(w))
+        ).alias("__w"),
+    )
+    counts = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__t"))
+    model = counts.crossJoin(F.broadcast(total))
+    return (
+        words.join(model, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("__c") / F.col("__t"))), 4
+            ).alias("logprob"),
+        )
+    )

@@ -289,3 +289,75 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count_expr("t", "ipv4").cast("bigint").alias("n_ipv4"),
         F.md5(redact_pii_expr("t")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+_WORDS_LOWER = f"list_transform({_WORDS}, w -> lower(w))"
+_GRAMS5 = (
+    "list_transform(range(1, greatest(len(words) - 4, 0) + 1),"
+    " i -> array_to_string(list_slice(words, i, i + 4), ' '))"
+)
+
+
+@query(
+    "q_text_repetition",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(words) < 5 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(grams))
+                           / CAST(len(grams) AS DOUBLE), 4)
+           END AS rep_ratio
+    FROM (
+        SELECT doc_id, words, {_GRAMS5} AS grams
+        FROM (SELECT doc_id, {_WORDS_LOWER} AS words FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document 5-gram repetition ratio — the boilerplate /
+    templated-text signal for pretraining-data curation (high ratio =
+    repeated blocks, nav chrome, generated spam).
+
+    Scale: pure per-row array expressions (sequence → transform →
+    array_distinct), zero shuffles, streams with the scan. The oracle
+    rebuilds the same gram list in DuckDB list algebra.
+    """
+    from ..operators.text import ngram_repetition_expr
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", ngram_repetition_expr("text", 5).alias("rep_ratio")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_unigram_logprob",
+    """
+    WITH words AS (
+        SELECT doc_id, lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    total AS (SELECT SUM(c) AS t FROM counts)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(c / t)), 4) AS logprob
+    FROM words JOIN counts USING (w) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability of each document under the corpus's
+    own unigram model — the cheap perplexity proxy that ranks documents
+    by naturalness (garbled/rare-token docs score sharply negative).
+
+    Scale (operators/text.py unigram_logprob): one shuffle to build the
+    token model (map-side combine), a vocabulary-sized join AQE can
+    broadcast, one shuffle for the per-doc mean.
+    """
+    from ..operators.text import unigram_logprob
+
+    d = table(spark, sf_dir, "documents")
+    return unigram_logprob(d).orderBy("doc_id")

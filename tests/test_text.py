@@ -115,3 +115,48 @@ def test_pii_clean_text_untouched(spark):
     clean = "no pii here, just words and the number 42."
     df = spark.createDataFrame([(clean,)], "text string")
     assert df.select(redact_pii_expr("text").alias("r")).collect()[0]["r"] == clean
+
+
+def test_ngram_repetition_known_values(spark):
+    from aircraftutilization_etl_spark.operators.text import (
+        ngram_repetition_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),                              # shorter than n -> 0
+            (2, "x y z w v x y z w v x y z w v"),    # cyclic: 5 of 11 distinct
+            (3, "one two three four five"),          # exactly one gram
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", ngram_repetition_expr("text", 5).alias("rep")
+        ).collect()
+    }
+    assert got == {1: 0.0, 2: round(1 - 5 / 11, 4), 3: 0.0, 4: 0.0}
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    import math
+
+    from aircraftutilization_etl_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a a b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    # corpus: a=3, b=2, c=1, total=6
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    lp = lambda *ps: round(sum(math.log(p) for p in ps) / len(ps), 4)
+    assert got == {
+        1: (2, lp(3 / 6, 2 / 6)),
+        2: (3, lp(3 / 6, 3 / 6, 2 / 6)),
+        3: (1, lp(1 / 6)),
+    }
