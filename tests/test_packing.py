@@ -1,0 +1,75 @@
+"""Sequence-packing semantics: greedy fill, oversize handling,
+partitioning-independence."""
+
+from __future__ import annotations
+
+import pytest
+
+from aircraftutilization_etl_spark.operators.packing import (
+    pack_sequences,
+    packing_efficiency,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_greedy_fill_and_offsets(spark):
+    # one bucket (single doc routes per md5, but verify invariants
+    # globally): offsets within a sequence are contiguous and fills
+    # never exceed capacity except for oversized single docs
+    rows = [(i, "w " * (20 * (i % 4 + 1))) for i in range(40)]
+    packed = pack_sequences(_docs(spark, rows), capacity=100).collect()
+    by_seq: dict[tuple, list] = {}
+    for r in packed:
+        by_seq.setdefault((r["bucket"], r["seq_id"]), []).append(r)
+    for members in by_seq.values():
+        members.sort(key=lambda r: r["offset"])
+        fill = 0
+        for m in members:
+            assert m["offset"] == fill
+            fill += m["n_tokens"]
+        assert fill <= 100  # no doc here exceeds capacity
+
+
+def test_oversized_doc_gets_own_sequence(spark):
+    rows = [(1, "w " * 10), (2, "w " * 500), (3, "w " * 10)]
+    packed = pack_sequences(_docs(spark, rows), capacity=100).collect()
+    big = [r for r in packed if r["doc_id"] == 2][0]
+    assert big["offset"] == 0  # oversized doc always opens a sequence
+    peers = [
+        r
+        for r in packed
+        if (r["bucket"], r["seq_id"]) == (big["bucket"], big["seq_id"])
+    ]
+    assert peers == [big]  # and shares it with nobody
+
+
+def test_placement_is_partitioning_independent(spark):
+    rows = [(i, "word " * (i % 7 + 3)) for i in range(60)]
+    df = _docs(spark, rows)
+    a = {tuple(r) for r in pack_sequences(df, capacity=64).collect()}
+    b = {
+        tuple(r)
+        for r in pack_sequences(df.repartition(13), capacity=64).collect()
+    }
+    assert a == b
+
+
+def test_efficiency_audit_exact(spark):
+    rows = [(i, "w " * 50) for i in range(8)]
+    packed = pack_sequences(_docs(spark, rows), capacity=100)
+    audit = packing_efficiency(packed, capacity=100).collect()
+    total_seqs = sum(r["n_sequences"] for r in audit)
+    total_tokens = sum(r["n_tokens"] for r in audit)
+    assert total_tokens == 400
+    for r in audit:
+        assert 0 < r["fill_ppm"] <= 1_000_000
+    # budget is never under-counted: fill over all buckets ≤ capacity·seqs
+    assert total_tokens <= total_seqs * 100
+
+
+def test_capacity_validation(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_docs(spark, [(1, "a b")]), capacity=0)
