@@ -300,3 +300,127 @@ def ivf_topk(
             "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+# --- signed-random-projection (hyperplane) LSH ---------------------------
+
+SRP_PLANES = 8  # total hyperplanes
+SRP_BAND_BITS = 4  # bits per band -> SRP_PLANES // SRP_BAND_BITS bands
+SRP_DIM = 64  # embedding dimensionality of the documents corpus
+
+
+def srp_plane(p: int, dim: int = SRP_DIM) -> list[float]:
+    """Deterministic Rademacher (±1) hyperplane ``p`` — component ``d``
+    is the high bit of md5(f"{p}_{d}")'s first hex char.
+
+    ±1 components are a valid SRP family (sign of a Rademacher
+    projection preserves angles like Gaussian ones do) and, unlike
+    Gaussian draws, are replayable in ANSI SQL, so the DuckDB oracle can
+    derive the identical planes.
+    """
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] >= "8" else -1.0
+        for d in range(dim)
+    ]
+
+
+def with_srp_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = SRP_DIM,
+    n_planes: int = SRP_PLANES,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    """Exploded (id, vec, band, band_key) — one row per (vector, band).
+
+    ``band_key`` concatenates the sign bits of the band's projections
+    (dot rounded to 6 dp first so an engine's last-ulp wobble at the
+    boundary can't flip a bit). All JVM expressions — the plane
+    coefficients are literal arrays, so each projection is a codegen'd
+    fold, no Python.
+    """
+    if n_planes % band_bits:
+        raise ValueError("n_planes must be a multiple of band_bits")
+    v = _as_double(F.col(vec_col))
+    bits = [
+        F.when(
+            F.round(
+                dot_expr(v, F.array(*[F.lit(x) for x in srp_plane(p, dim)])), 6
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*bits[b * band_bits : (b + 1) * band_bits]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(n_planes // band_bits)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(bands).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def srp_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH ANN top-k: candidates are corpus vectors sharing
+    ≥ 1 sign-bit band with the query; exact cosine on candidates only.
+
+    The IVF variant buckets by a precomputed cell id; this one needs no
+    clustering step — buckets fall out of the data itself. Scale shape:
+    corpus band rows stream against the BROADCAST query bands (map-side
+    probe, no corpus shuffle for candidate generation), then one shuffle
+    groups duplicate candidates and one per-query top-k window ranks.
+    Recall tunes with bands × bits like any LSH.
+    """
+    qb = with_srp_bands(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        "band",
+        "band_key",
+    )
+    cb = with_srp_bands(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "band_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair can match in several bands; vectors are identical per
+        # pair so first() is deterministic here
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -5,7 +5,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_expr, cosine_pairs, cosine_topk, ivf_topk
+from ..operators.similarity import (
+    cosine_expr,
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    srp_topk,
+)
 from .catalog import query, table
 
 TOP_K = 5
@@ -146,3 +152,60 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "dim", "n_vectors", "mean_sq_norm")
         .orderBy("label")
     )
+
+
+@query(
+    "q_emb_srp_topk",
+    f"""
+    WITH planes AS (
+        SELECT p, d,
+               CASE WHEN substr(md5(p || '_' || d), 1, 1) >= '8'
+                    THEN 1.0 ELSE -1.0 END AS h
+        FROM range(0, 8) t(p), range(0, 64) u(d)
+    ),
+    plane_vecs AS (SELECT p, list(h ORDER BY d) AS hv FROM planes GROUP BY p),
+    keys AS (
+        SELECT vec_id, p // 4 AS band,
+               string_agg(
+                   CASE WHEN ROUND(list_dot_product(
+                            CAST(embedding AS DOUBLE[]), hv), 6) > 0
+                        THEN '1' ELSE '0' END, '' ORDER BY p) AS band_key
+        FROM embeddings, plane_vecs
+        GROUP BY vec_id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS neighbor_id
+        FROM keys kq JOIN keys kc
+          ON kq.band = kc.band AND kq.band_key = kc.band_key
+        WHERE kq.vec_id < {N_QUERIES} AND kq.vec_id <> kc.vec_id
+    ),
+    q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, ROUND({_COSINE_SQL}, 6) AS cosine
+        FROM cand
+          JOIN q ON q.vec_id = query_id
+          JOIN c ON c.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_emb_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5: candidates share a 4-bit
+    signed-random-projection band with the query (2 bands × 4 bits over
+    md5-derived ±1 planes); exact cosine re-ranks candidates.
+
+    Unlike IVF this needs no precomputed clustering — buckets derive
+    from the data. Scale: corpus band rows probe the broadcast query
+    bands map-side; only candidate pairs shuffle. The oracle rebuilds
+    the identical planes from md5, so bucket membership, candidates and
+    ranks must all agree exactly.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return srp_topk(e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K)

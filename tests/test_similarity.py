@@ -104,3 +104,45 @@ def test_ivf_searches_own_cell_only(spark):
     )
     out = ivf_topk(corpus.filter("vec_id = 0"), corpus, k=5).collect()
     assert [r["neighbor_id"] for r in out] == [1]
+
+
+class TestSrpLsh:
+    def test_identical_vectors_always_collide(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+        rows.append((99, rows[0][1]))  # exact copy of vec 0
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from aircraftutilization_etl_spark.operators.similarity import srp_topk
+
+        got = srp_topk(df.filter("vec_id = 0"), df, k=3).collect()
+        # an identical vector matches every band, scores cosine 1.0
+        assert got[0]["neighbor_id"] == 99 and got[0]["cosine"] == 1.0
+
+    def test_band_keys_partitioning_independent(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from aircraftutilization_etl_spark.operators.similarity import (
+            with_srp_bands,
+        )
+
+        a = {
+            (r["vec_id"], r["band"], r["band_key"])
+            for r in with_srp_bands(df).select(
+                "vec_id", "band", "band_key"
+            ).collect()
+        }
+        b = {
+            (r["vec_id"], r["band"], r["band_key"])
+            for r in with_srp_bands(df.repartition(7)).select(
+                "vec_id", "band", "band_key"
+            ).collect()
+        }
+        assert a == b
+        # 2 bands per vector, 4-bit keys
+        assert all(len(k) == 4 for _, _, k in a)
+        assert len(a) == 100
