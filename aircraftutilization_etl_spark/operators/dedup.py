@@ -427,3 +427,40 @@ def with_simhash(
     return hashed.select(
         id_col, _simhash_bits(F.col("__hashed"), bits).alias(out_col)
     )
+
+
+def novelty_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document content novelty: the fraction of a document's
+    distinct shingles whose FIRST corpus occurrence (minimum id) is this
+    document — near-1 for fresh content, near-0 for remixes of earlier
+    documents. A curation signal between exact dedup (catches only
+    verbatim copies) and near-dup pairs (catches high-overlap pairs):
+    novelty sees diffuse borrowing from MANY earlier documents.
+
+    ``novel_ppm`` is integer-exact (no float ties). Scale: two shuffles —
+    one groupBy on the shingle (first-occurrence map; combiner-friendly
+    min), one back on the id — both linear in corpus shingle count, no
+    pairwise anything.
+    """
+    shingles = doc_shingles(df, id_col, text_col)
+    first = shingles.groupBy("shingle").agg(F.min(id_col).alias("first_id"))
+    return (
+        shingles.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST((n_novel * 1000000) DIV n_shingles AS BIGINT)").alias(
+                "novel_ppm"
+            ),
+        )
+    )

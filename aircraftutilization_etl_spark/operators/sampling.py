@@ -97,3 +97,46 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def rebalance_sources(
+    df: DataFrame,
+    weight_ppm: Column,
+    source_col: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Downsample to a target source mix — the largest corpus honoring
+    the given per-source weights without upsampling any source.
+
+    ``weight_ppm`` is a positive integer column (parts-per-million mix
+    weight, functionally dependent on ``source_col``). Let
+    T = min_s(n_s · 1e6 DIV w_s) — the total the scarcest source can
+    support; each source then keeps k_s = (w_s · T) DIV 1e6 rows, chosen
+    by md5 order of the key. Pure integer arithmetic end to end, so
+    quota sizes and row placement are engine-exact and reproducible.
+
+    Scale: one tiny per-source count aggregate (broadcast back), then
+    one shuffle on the source for the per-source ranking — the same
+    per-group top-k bound as ``stratified_sample``: exact quota
+    selection inherently ranks within each source. The md5 pseudo-order
+    means what's kept is a uniform sample of each source, stable across
+    partitionings.
+    """
+    tagged = df.withColumn("__w", weight_ppm.cast("long"))
+    counts = tagged.groupBy(source_col, "__w").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    t = counts.agg(
+        F.min(F.expr("__n * 1000000 DIV __w")).alias("__t")
+    )
+    quota = counts.crossJoin(F.broadcast(t)).select(
+        source_col, F.expr("(__w * __t) DIV 1000000").alias("__k")
+    )
+    order = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(order, F.col(key))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quota), source_col)
+        .filter(F.col("__rn") <= F.col("__k"))
+        .drop("__w", "__rn", "__k")
+    )

@@ -18,6 +18,7 @@ from ..operators.dedup import (
     duplicate_clusters,
     exact_duplicates,
     minhash_lsh_duplicates,
+    novelty_scores,
     minhash_signatures,
     shingle_jaccard_pairs,
     with_shingle_array,
@@ -237,3 +238,35 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures(with_shingle_array(d))
         .select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
     )
+
+
+@query(
+    "q_dedup_novelty",
+    f"""
+    WITH {_SHINGLES_SQL},
+    first_occ AS (
+        SELECT shingle, MIN(doc_id) AS first_id FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novel_ppm
+    FROM shingles s JOIN first_occ f USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q_dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty audit: per document, the integer-exact fraction
+    of its shingles first introduced by it (min-id first occurrence) —
+    flags remix/aggregator documents that exact and pairwise dedup both
+    miss.
+
+    Scale: two linear shuffles (shingle-keyed min with map-side combine,
+    then id-keyed count); nothing pairwise, no skew beyond shingle
+    frequency itself.
+    """
+    d = table(spark, sf_dir, "documents")
+    return novelty_scores(d)

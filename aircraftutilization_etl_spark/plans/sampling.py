@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sampling import hash_split, stratified_sample
+from ..operators.sampling import hash_split, rebalance_sources, stratified_sample
 from .catalog import query, table
 
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -93,3 +93,52 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "q_rebalance_sources",
+    """
+    WITH w AS (
+        SELECT source,
+               CAST(10000 * (1 + CAST(substr(source, 4) AS INT) % 4)
+                    AS BIGINT) AS w_ppm
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT MIN(n * 1000000 // w_ppm) AS t
+        FROM counts JOIN w USING (source)
+    ),
+    quota AS (SELECT source, (w_ppm * t.t) // 1000000 AS k FROM w, t),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rn <= q.k
+    ORDER BY r.source, r.doc_id
+    """,
+)
+def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing: downsample the corpus to a target mix
+    (weights 1:2:3:4 cycling over the source index) — the largest corpus
+    honoring the mix with no source upsampled, selections chosen by md5
+    order so the exact kept-row set is engine-reproducible.
+
+    Scale: a tiny per-source count aggregate broadcasts back; the only
+    data-sized shuffle is the per-source ranking (same per-group top-k
+    bound as stratified sampling). Quota arithmetic is all-integer, so
+    Spark and the oracle agree on every quota and every kept row.
+    """
+    d = table(spark, sf_dir, "documents")
+    weight = (
+        10000 * (1 + F.substring("source", 4, 10).cast("int") % 4)
+    ).cast("long")
+    return rebalance_sources(d, weight).select("doc_id", "source")

@@ -116,3 +116,46 @@ class TestStratifiedSample:
         # one exchange for the window partition; range(...) has no scan
         # exchange, so exactly one Exchange node total
         assert plan.count("Exchange") == 1
+
+
+class TestRebalance:
+    def test_quota_math_and_placement(self, spark):
+        from pyspark.sql import functions as F
+
+        from aircraftutilization_etl_spark.operators.sampling import (
+            rebalance_sources,
+        )
+
+        rows = [(i, "a" if i < 40 else "b") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        # weights 1:3 → T = min(40e6/250000, 60e6/750000) = min(160, 80) = 80
+        # k_a = 250000*80//1e6 = 20, k_b = 750000*80//1e6 = 60
+        weight = F.when(F.col("source") == "a", 250000).otherwise(750000)
+        got = rebalance_sources(df, weight).collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["source"], set()).add(r["doc_id"])
+        assert len(by_src["a"]) == 20 and len(by_src["b"]) == 60
+        # deterministic under repartitioning
+        again = rebalance_sources(df.repartition(7), weight).collect()
+        assert {(r["doc_id"], r["source"]) for r in again} == {
+            (r["doc_id"], r["source"]) for r in got
+        }
+
+
+class TestNovelty:
+    def test_first_doc_is_fully_novel(self, spark):
+        from aircraftutilization_etl_spark.operators.dedup import novelty_scores
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma epsilon"),  # borrows 1 of its 2 shingles
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in novelty_scores(df).collect()}
+        assert got[1]["novel_ppm"] == 1_000_000
+        assert got[2]["n_shingles"] == 2
+        assert got[2]["n_novel"] == 1
+        assert got[2]["novel_ppm"] == 500_000
