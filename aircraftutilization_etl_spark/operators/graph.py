@@ -1,0 +1,86 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+PageRank here is the representative: the per-iteration step is one join
+(ranks onto out-edges) plus one aggregation (sum contributions by
+target) — embarrassingly shuffle-parallel, the classic Pregel step
+expressed relationally. Two deliberate design points:
+
+- **Integer arithmetic.** Ranks are parts-per-million BIGINTs and every
+  division is integer DIV. Floating-point PageRank is nondeterministic
+  across engines AND across Spark partitionings (double addition isn't
+  associative); integer sums are order-independent, so the result is
+  bit-identical everywhere — which is what lets a DuckDB recursive CTE
+  oracle replay the exact ranks. The truncation bias (≤1 ppm per term)
+  is far below any ranking use's tolerance.
+- **Lineage truncation.** Each iteration's plan references the previous
+  ranks twice (join + aggregate); left un-truncated the logical plan
+  doubles per round and the driver OOMs analyzing it (measured in this
+  repo's cluster-resolution work — see operators/dedup.py).
+  ``localCheckpoint(eager=True)`` caps the plan at one iteration.
+
+Scale: each iteration shuffles |edges| contribution rows on the dst key
+with map-side partial sums — the same profile as any groupBy; skewed
+in-degree (celebrity nodes) is additive-aggregation skew, which AQE
+splits fine. The edge list with out-degrees is computed once and
+persisted, not rebuilt per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+DAMPING_PPM = 850_000  # 0.85, the canonical damping factor
+BASE_PPM = PPM - DAMPING_PPM  # (1 - d) teleport mass per node
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-ppm PageRank over a directed edge list; returns
+    (node, rank_ppm) after ``n_iterations`` synchronous updates from a
+    uniform 1e6-ppm start.
+
+    r'(v) = 150000 + (850000 · Σ_{u→v} (r(u) DIV outdeg(u))) DIV 1e6
+
+    Nodes = every id appearing as src or dst. Dangling nodes (no
+    out-edges) leak their mass — the standard simplification; nodes with
+    no in-edges settle at the 150000 teleport floor. For symmetric edge
+    lists (undirected graphs, e.g. co-occurrence) neither case exists.
+    """
+    if n_iterations < 0:
+        raise ValueError("n_iterations must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    out_edges = e.join(deg, "src").persist()  # reused every iteration
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(PPM).cast("long").alias("rank_ppm"))
+    for _ in range(n_iterations):
+        contribs = (
+            out_edges.join(ranks, out_edges["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_ppm DIV __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({BASE_PPM} + ({DAMPING_PPM} * COALESCE(__s, 0L))"
+                f" DIV {PPM} AS BIGINT)"
+            ).alias("rank_ppm"),
+        )
+        # truncate lineage: the loop otherwise doubles the plan per round
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,59 @@
+"""Integer-ppm PageRank semantics on hand-built graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from aircraftutilization_etl_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _model(edges, n_iter):
+    # independent scalar model of the integer recurrence
+    nodes = {n for e in edges for n in e}
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(n_iter):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // out[u]
+        r = {n: 150_000 + (850_000 * s[n]) // 1_000_000 for n in nodes}
+    return r
+
+
+@pytest.mark.parametrize("n_iter", [0, 1, 3])
+def test_matches_scalar_model(spark, n_iter):
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]
+    got = {
+        r["node"]: r["rank_ppm"]
+        for r in pagerank(_edges(spark, pairs), n_iter).collect()
+    }
+    assert got == _model(pairs, n_iter)
+
+
+def test_no_in_edges_settles_at_teleport_floor(spark):
+    # node 4 has out-edges only: after one iteration it holds exactly
+    # the teleport mass
+    got = {
+        r["node"]: r["rank_ppm"]
+        for r in pagerank(_edges(spark, [(4, 1), (1, 4), (1, 2), (2, 1)]), 3).collect()
+    }
+    assert got[2] > 150_000  # receives mass
+    model = _model([(4, 1), (1, 4), (1, 2), (2, 1)], 3)
+    assert got == model
+
+
+def test_partitioning_independent(spark):
+    pairs = [(i, (i * 7 + 3) % 20) for i in range(60)] + [
+        ((i * 3) % 20, i % 20) for i in range(40)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = _edges(spark, pairs)
+    a = {tuple(r) for r in pagerank(df, 4).collect()}
+    b = {tuple(r) for r in pagerank(df.repartition(11), 4).collect()}
+    assert a == b
