@@ -19,8 +19,14 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return CATALOG["q1_pricing_summary"].spark(spark, SF_SMOKE_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The curation funnel composes the engine's training-data operators
+    (quality scoring, language gate, exact dedup, benchmark
+    decontamination) in one oracle-matched plan — the best single
+    demonstration of what this engine is for.
+    """
+    return CATALOG["q_curation_funnel"].spark(spark, SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

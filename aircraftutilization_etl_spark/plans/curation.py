@@ -9,12 +9,15 @@ DuckDB oracle (same thresholds, same md5 fingerprints, same shingle
 collisions), so the whole pipeline's row-level behavior is checked, not
 just each operator in isolation.
 
-Plan shape (deliberately single-pass): per-document stage booleans are
-computed in ONE projection chain — the dedup representative via a
-fingerprint-partitioned window restricted to prior-stage survivors, the
-contamination verdict via the broadcast benchmark probe — then a single
-aggregation emits the five conditional (count, bytes) pairs, unpivoted
-with ``stack`` into funnel rows. The corpus text is scanned once.
+Plan shape: per-document stage booleans are computed in one projection
+chain — the dedup representative via a fingerprint-partitioned window
+restricted to prior-stage survivors, the contamination verdict via the
+broadcast benchmark probe — then a SINGLE aggregation emits the five
+conditional (count, bytes) pairs, unpivoted with ``stack`` into funnel
+rows. Adding a stage adds a projection, not a pass. The parquet is
+scanned three times (row metrics, corpus shingles, benchmark shingles —
+scans are the cheap part), but text is only ever shuffled once, in its
+raw smallest form, by the contamination probe's id repartition.
 """
 
 from __future__ import annotations
@@ -132,11 +135,11 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint) → benchmark decontamination (≥10% shingle overlap
     drops the doc); reports (documents, characters) after each stage.
 
-    Scale: one corpus scan computes all per-row metrics; the only
-    data-sized shuffles are the fingerprint window (dedup) and the
-    contamination probe's id aggregation — the benchmark set is
-    broadcast. The funnel itself is one aggregate + stack, so adding
-    stages costs projections, not passes.
+    Scale: all per-row metrics come from projection chains over the
+    scan; the only data-sized shuffles are the fingerprint window
+    (dedup) and the contamination probe's id partitioning — the
+    benchmark set is broadcast. The funnel itself is one aggregate +
+    stack, so adding stages costs projections, not passes.
     """
     d = table(spark, sf_dir, "documents")
     tagged = hash_split(d, "doc_id", {"train": 0.9, "benchmark": 0.1})

@@ -39,6 +39,9 @@ HEADLINE = [
     "q_emb_cosine_topk",
     "q_emb_near_dup_pairs",
     "q_media_feature_extract",
+    "q_curation_funnel",  # flagship: 4-stage curation in one plan
+    "q_graph_pagerank",  # iterative: 5 synchronous shuffle rounds
+    "q_pack_sequences",  # applyInPandas per-bucket linear pass
 ]
 
 
