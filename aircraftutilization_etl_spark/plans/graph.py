@@ -87,4 +87,6 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         cooc.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
     )
-    return pagerank(edges, N_ITER)
+    # item vocabulary is tiny relative to the event stream: keep the
+    # per-iteration rank table on a few partitions
+    return pagerank(edges, N_ITER, rank_partitions=4)

@@ -122,18 +122,47 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_media_feature_extract", None)
+@query(
+    "q_media_feature_extract",
+    f"""
+    WITH chars AS (
+        SELECT doc_id AS asset_id,
+               ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+        FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS u(i)
+    ),
+    counts AS (
+        SELECT asset_id, bin, COUNT(*) AS n FROM chars GROUP BY asset_id, bin
+    ),
+    totals AS (SELECT asset_id, COUNT(*) AS total FROM chars GROUP BY asset_id)
+    SELECT d.doc_id AS asset_id,
+           {_MEDIA_TYPE} AS media_type,
+           CAST(b.bin AS INT) AS bin,
+           ROUND(COALESCE(c.n, 0) * 1.0 / t.total, 6) AS weight
+    FROM documents d
+      CROSS JOIN (SELECT CAST(r AS INT) AS bin FROM range(0, 16) v(r)) b
+      JOIN totals t ON t.asset_id = d.doc_id
+      LEFT JOIN counts c ON c.asset_id = d.doc_id AND c.bin = b.bin
+    ORDER BY asset_id, bin
+    """,
+)
 def q_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors for every asset (decode stub +
-    Arrow-batched feature kernel). Rows-only check: the byte-level
-    decode has no SQL oracle."""
+    """Byte-histogram feature vectors for every asset, exploded to one
+    row per (asset, bin) with its L1 weight — which makes the whole
+    Python decode-and-featurize path (mapInPandas → numpy bincount)
+    verifiable bin-by-bin against SQL replaying the same high-nibble
+    histogram. Weights are a single double division rounded at the edge,
+    so engines agree exactly. (The corpus is ASCII, so SQL's per-char
+    ord equals the kernel's per-byte view; a real codec would be
+    stubbed-rows-only like the pre-upgrade version of this query.)"""
     media = attach_fake_media(table(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select(
         "asset_id",
         "media_type",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "feature_l1"
-        ),
-        F.size("features").alias("dim"),
+        F.posexplode("features").alias("bin", "__w"),
+    ).select(
+        "asset_id",
+        "media_type",
+        F.col("bin").cast("int").alias("bin"),
+        F.round("__w", 6).alias("weight"),
     )
