@@ -132,3 +132,81 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__is_change")
     )
+
+
+# --- Z-order data layout -------------------------------------------------
+#
+# At 100 TB, which rows share a file decides how much a selective scan
+# reads: parquet row-group min/max stats prune only if rows with nearby
+# key values are physically adjacent. Sorting clusters one column at the
+# expense of all others; interleaving the bits of two keys (a Morton /
+# Z-curve value) bounds every file to a RECTANGLE in (a, b) space, so
+# predicates on EITHER dimension prune. The z-value is pure integer bit
+# math, identical in any engine — the layout decision is auditable SQL.
+
+_Z_BITS = 16
+_Z_MASK = (1 << _Z_BITS) - 1
+
+
+def zvalue_sql(a: str, b: str) -> str:
+    """SQL fragment for the 32-bit Morton interleave of two 16-bit
+    (masked) integer expressions — ``a``'s bits land in the even
+    positions, ``b``'s in the odd. The same text parses in Spark SQL and
+    DuckDB (magic-number spread shifts; verified bit-identical), which
+    is what lets the DuckDB oracle replay the layout exactly.
+    """
+
+    def spread(x: str) -> str:
+        s = f"(({x} | ({x} << 8)) & 16711935)"
+        s = f"(({s} | ({s} << 4)) & 252645135)"
+        s = f"(({s} | ({s} << 2)) & 858993459)"
+        return f"(({s} | ({s} << 1)) & 1431655765)"
+
+    am = f"(CAST({a} AS BIGINT) & {_Z_MASK})"
+    bm = f"(CAST({b} AS BIGINT) & {_Z_MASK})"
+    return f"({spread(am)} | ({spread(bm)} << 1))"
+
+
+def with_zvalue(
+    df: DataFrame, col_a: str, col_b: str, out: str = "zval"
+) -> DataFrame:
+    """Attach the Morton z-value of two integer columns (16 bits each)."""
+    return df.withColumn(out, F.expr(zvalue_sql(col_a, col_b)))
+
+
+def zorder_repartition(
+    df: DataFrame, col_a: str, col_b: str, n_files: int
+) -> DataFrame:
+    """Range-repartition by z-value — the write-path layout step.
+
+    Each output partition (→ file) covers a contiguous z-range, i.e. a
+    bounded rectangle stack in (a, b); parquet min/max stats on BOTH
+    columns then prune scans with predicates on either. Range boundaries
+    come from Spark's reservoir sampling, so file SIZES are balanced but
+    boundaries are not bit-deterministic — fine for a layout (contents
+    are, placement tolerance isn't semantic). Cost: one pass + one range
+    shuffle, the same as any sorted write.
+    """
+    z = with_zvalue(df, col_a, col_b)
+    return z.repartitionByRange(n_files, F.col("zval"))
+
+
+def zorder_bucket_stats(
+    df: DataFrame, col_a: str, col_b: str, bucket_shift: int = 24
+) -> DataFrame:
+    """Layout audit: group rows by fixed-width z-prefix bucket
+    (``zval >> bucket_shift``) and report each bucket's row count and
+    per-dimension min/max envelope — the rectangles a z-ordered file
+    layout would bound. Fixed-width buckets (not sampled ranges) keep
+    the audit deterministic and SQL-replayable.
+    """
+    z = with_zvalue(df, col_a, col_b)
+    return z.groupBy(
+        F.expr(f"zval >> {bucket_shift}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(col_a).alias("min_a"),
+        F.max(col_a).alias("max_a"),
+        F.min(col_b).alias("min_b"),
+        F.max(col_b).alias("max_b"),
+    )

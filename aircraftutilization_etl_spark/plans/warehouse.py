@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.warehouse import merge_rollups, partial_rollup, scd2_history
+from ..operators.warehouse import (
+    merge_rollups,
+    partial_rollup,
+    scd2_history,
+    zorder_bucket_stats,
+    zvalue_sql,
+)
 from .catalog import query, table
 
 # Batch boundaries for the incremental path (events span Jan 2024).
@@ -146,3 +152,36 @@ def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("is_current").cast("bigint").alias("is_current"),
     ).orderBy("user_id", "valid_from")
+
+
+_ZVAL = zvalue_sql("l_partkey", "l_suppkey")
+
+
+@query(
+    "q_zorder_layout",
+    f"""
+    SELECT ({_ZVAL} >> 12) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
+           MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit of lineitem on (l_partkey, l_suppkey):
+    rows grouped by fixed-width Morton-prefix bucket with each bucket's
+    min/max envelope on BOTH keys — the rectangles a z-ordered file
+    layout bounds, i.e. why parquet min/max stats would prune scans
+    filtered on either column. The interleave is one shared SQL fragment
+    evaluated by both engines, so the layout decision itself is
+    oracle-checked bit for bit.
+
+    Scale: the z-value is a per-row integer projection (codegen, zero
+    cost at scan); the audit is one groupBy on the bucket prefix. The
+    write path (``zorder_repartition``) adds only a range shuffle —
+    the cost of any sorted write.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return zorder_bucket_stats(li, "l_partkey", "l_suppkey", 12)

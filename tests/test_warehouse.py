@@ -141,3 +141,41 @@ def test_scd2_plan_has_single_exchange_and_sort(spark):
     # AQE wraps the plan; count physical occurrences in the final plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") == 1
+
+
+class TestZOrder:
+    def test_zvalue_is_bijective_on_grid(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import with_zvalue
+
+        grid = spark.createDataFrame(
+            [(a, b) for a in range(32) for b in range(32)], ["a", "b"]
+        )
+        z = with_zvalue(grid, "a", "b")
+        assert z.select("zval").distinct().count() == 1024
+        assert z.agg({"zval": "max"}).collect()[0][0] == 1023
+
+    def test_buckets_bound_square_envelopes(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            zorder_bucket_stats,
+        )
+
+        # full 64x64 grid, 8-bit buckets: each bucket is exactly a
+        # 16x16 rectangle with 256 rows — the z-curve locality guarantee
+        grid = spark.createDataFrame(
+            [(a, b) for a in range(64) for b in range(64)], ["a", "b"]
+        )
+        stats = zorder_bucket_stats(grid, "a", "b", bucket_shift=8).collect()
+        assert len(stats) == 16
+        for r in stats:
+            assert r["n_rows"] == 256
+            assert r["max_a"] - r["min_a"] == 15
+            assert r["max_b"] - r["min_b"] == 15
+
+    def test_repartition_plan_has_range_partitioning(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            zorder_repartition,
+        )
+
+        df = spark.range(1000).selectExpr("id AS a", "id * 7 % 997 AS b")
+        plan = zorder_repartition(df, "a", "b", 8)._jdf.queryExecution()
+        assert "rangepartitioning" in plan.executedPlan().toString().lower()
