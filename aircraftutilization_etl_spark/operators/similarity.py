@@ -424,3 +424,29 @@ def srp_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- scalar quantization -------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale = max |x|,
+    q_i = floor(x_i · 127 / scale) ∈ [-127, 127] (all-zero vectors
+    quantize to zeros). 4× memory cut for ANN candidate stages; exact
+    floor-of-double arithmetic, so any engine reproduces every code.
+
+    Column-expression formulation (fine at catalog dimensionality; swap
+    the lambda for a mapInPandas numpy kernel if vectors are long —
+    same output contract either way).
+    """
+    v = _as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x * 127 / scale).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("qvec"),
+    )

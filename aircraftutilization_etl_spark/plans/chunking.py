@@ -68,3 +68,80 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recursive-CTE replays every cut decision exactly.
     """
     return chunk_documents(table(spark, sf_dir, "documents"))
+
+
+# chunk-level dedup: which chunk contents recur across the corpus —
+# the payoff query for CDC (near-identical docs share most chunks even
+# when byte offsets differ)
+_CHUNK_CTES = """
+    flags AS (
+        SELECT doc_id, CAST(i AS INT) AS pos
+        FROM documents,
+             LATERAL unnest(range(8, length(text) + 1)) AS u(i)
+        WHERE substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1)
+                  IN ('0', '1')
+    ),
+    docs AS (SELECT doc_id, length(text) AS n FROM documents),
+    chunks(doc_id, chunk_idx, s, e) AS (
+        SELECT d.doc_id, 0, 1,
+               COALESCE(
+                   (SELECT MIN(f.pos) FROM flags f
+                     WHERE f.doc_id = d.doc_id
+                       AND f.pos BETWEEN 16 AND LEAST(64, d.n)),
+                   LEAST(64, d.n))
+        FROM docs d WHERE d.n >= 1
+        UNION ALL
+        SELECT c.doc_id, c.chunk_idx + 1, c.e + 1,
+               COALESCE(MIN(f.pos), LEAST(c.e + 64, d.n))
+        FROM chunks c
+          JOIN docs d ON d.doc_id = c.doc_id
+          LEFT JOIN flags f ON f.doc_id = c.doc_id
+               AND f.pos BETWEEN c.e + 16 AND LEAST(c.e + 64, d.n)
+        WHERE c.e < d.n
+        GROUP BY c.doc_id, c.chunk_idx, c.e, d.n
+    ),
+    hashed AS (
+        SELECT c.doc_id,
+               md5(substr(t.text, CAST(c.s AS INT),
+                          CAST(c.e - c.s + 1 AS INT))) AS chunk_md5
+        FROM chunks c JOIN documents t USING (doc_id)
+    )
+"""
+
+
+@query(
+    "q_chunk_dedup",
+    f"""
+    WITH RECURSIVE {_CHUNK_CTES}
+    SELECT chunk_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM hashed
+    GROUP BY chunk_md5
+    HAVING COUNT(*) > 1
+    ORDER BY chunk_md5
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over the CDC output: every chunk content that
+    occurs more than once corpus-wide, with occurrence/document counts —
+    sub-document duplication that whole-doc fingerprints cannot see,
+    robust to byte offsets because boundaries are content-defined.
+
+    Scale: the chunking pass is shuffle-free; this adds ONE shuffle on
+    the 128-bit chunk fingerprint with map-side partial counts — the
+    same hash-groupBy profile as exact document dedup.
+    """
+    from pyspark.sql import functions as F
+
+    chunks = chunk_documents(table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

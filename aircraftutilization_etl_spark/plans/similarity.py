@@ -11,6 +11,7 @@ from ..operators.similarity import (
     cosine_topk,
     ivf_topk,
     srp_topk,
+    quantize_embeddings,
 )
 from .catalog import query, table
 
@@ -209,3 +210,40 @@ def q_emb_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "embeddings")
     return srp_topk(e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K)
+
+
+@query(
+    "q_emb_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(i - 1 AS INT) AS dim,
+           CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE FLOOR(e[CAST(i AS INT)] * 127 / scale) END
+                AS INT) AS q
+    FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(i)
+    ORDER BY vec_id, dim
+    """,
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding, exploded to one
+    row per (vector, dim) so each of the 64 codes is oracle-checked
+    exactly (floor-of-double is engine-portable; the scale is a max,
+    not a sum, so no float-associativity hazard).
+
+    Scale: per-row projection, zero shuffles; the int8 codes are what
+    an ANN candidate stage would hold in memory — 4× smaller.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(e)
+    return qz.select(
+        "vec_id",
+        "scale",
+        F.posexplode("qvec").alias("dim", "q"),
+    ).select("vec_id", "scale", F.col("dim").cast("int").alias("dim"), "q")

@@ -146,3 +146,22 @@ class TestSrpLsh:
         # 2 bands per vector, 4-bit keys
         assert all(len(k) == 4 for _, _, k in a)
         assert len(a) == 100
+
+
+class TestQuantize:
+    def test_codes_and_edge_cases(self, spark):
+        from aircraftutilization_etl_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, -1.0, 0.5, 0.0]),
+                (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0 -> codes 0
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert got[1]["qvec"] == [127, -127, 63, 0]  # floor(0.5*127)=63
+        assert got[1]["scale"] == 1.0
+        assert got[2]["qvec"] == [0, 0, 0, 0]
