@@ -100,3 +100,50 @@ def run_hourly_rollup(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every (click, purchase)
+    pair for the same user with the click inside ``horizon`` before the
+    purchase — streaming attribution, the stream-stream member of the
+    join family (the batch member is operators/events.py's bucketized
+    ``range_join_bucketed``; semantics coincide, and the same code runs
+    on static frames where the watermarks are no-ops, which is what the
+    batch-equivalence test exploits).
+
+    Scale: Spark keeps both sides' state keyed by user; the time-bound
+    join condition plus both watermarks let the state store EVICT rows
+    once they can no longer match (clicks after watermark + horizon,
+    purchases after watermark) — without the interval bounds the state
+    would grow with the stream. Append mode: pairs emit once both sides
+    pass the watermark.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    pairs = p.join(
+        c,
+        F.expr(
+            f"""user_id = p_user_id
+            AND click_ts >= purchase_ts - INTERVAL {horizon}
+            AND click_ts <= purchase_ts"""
+        ),
+        "inner",
+    )
+    return pairs.select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )

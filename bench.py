@@ -80,9 +80,10 @@ def main() -> int:
 
     # Best-of-N per query: the noop sink executes the full plan; the min
     # filters transient host noise (this box shows occasional 5-10x
-    # stalls) without hiding real regressions. Two reps normally; when
-    # they disagree by >3x a stall likely spanned one of them, so up to
-    # two extra reps arbitrate.
+    # stalls, sometimes SUSTAINED across consecutive reps — two
+    # agreeing-but-slow reps are not evidence of a regression). Three
+    # reps base; when the spread is still >2x a stall likely spanned
+    # some of them, so up to two extra reps arbitrate.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         qd = CATALOG[name]
@@ -98,8 +99,8 @@ def main() -> int:
             t0 = time.time()
             qd.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             times.append(time.time() - t0)
-            if len(times) >= 2 and (
-                max(times) / max(min(times), 1e-9) <= 3 or len(times) >= 4
+            if len(times) >= 3 and (
+                max(times) / max(min(times), 1e-9) <= 2 or len(times) >= 5
             ):
                 break
         per_query[name] = round(min(times), 3)
