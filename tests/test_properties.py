@@ -1,0 +1,69 @@
+"""Hypothesis property tests for the pure (driver-side) kernels.
+
+These run without a SparkSession, so hypothesis can afford hundreds of
+examples; the Spark realizations are pinned to these same semantics by
+their own equivalence tests.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aircraftutilization_etl_spark.operators.chunking import (
+    MAX_CHUNK,
+    MIN_CHUNK,
+    chunk_spans,
+)
+from aircraftutilization_etl_spark.operators.sampling import split_thresholds
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=400
+)
+
+
+@given(ascii_text)
+@settings(max_examples=200, deadline=None)
+def test_chunk_spans_tile_and_bound(text):
+    spans = chunk_spans(text)
+    if not text:
+        assert spans == []
+        return
+    assert spans[0][0] == 1 and spans[-1][1] == len(text)
+    for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+        assert s2 == e1 + 1
+    for s, e in spans[:-1]:
+        assert MIN_CHUNK <= e - s + 1 <= MAX_CHUNK
+    s, e = spans[-1]
+    assert 1 <= e - s + 1 <= MAX_CHUNK
+
+
+@given(ascii_text, st.integers(min_value=0, max_value=100))
+@settings(max_examples=100, deadline=None)
+def test_chunk_spans_suffix_independent_of_distant_prefix(text, pad):
+    # appending text NEVER changes already-cut chunks except the last
+    # (possibly unfinished) one — the incremental-corpus property
+    spans_a = chunk_spans(text)
+    spans_b = chunk_spans(text + "x" * pad)
+    if len(spans_a) > 1:
+        assert spans_b[: len(spans_a) - 1] == spans_a[:-1]
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_thresholds_monotone_and_total(weights):
+    total = sum(weights)
+    splits = {f"s{i}": w / total for i, w in enumerate(weights)}
+    # renormalize drift so the contract (sum==1) holds exactly enough
+    drift = 1.0 - sum(splits.values())
+    splits[f"s{len(weights) - 1}"] += drift
+    bounds = split_thresholds(splits)
+    assert bounds[-1][1] == "g"  # last range always covers the tail
+    hexes = [b for _, b in bounds]
+    assert hexes == sorted(hexes)  # cumulative, never regressing
