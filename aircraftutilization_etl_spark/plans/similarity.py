@@ -247,3 +247,78 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.posexplode("qvec").alias("dim", "q"),
     ).select("vec_id", "scale", F.col("dim").cast("int").alias("dim"), "q")
+
+
+@query(
+    "q_emb_ivf_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS cell,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, label AS cell,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    exact_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    ivf_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT * FROM exact_scored WHERE rank <= {TOP_K}) e
+      LEFT JOIN (SELECT * FROM ivf_scored WHERE rank <= {TOP_K}) i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the IVF ANN path against brute-force ground
+    truth, per query, as integer ppm — the number that justifies (or
+    vetoes) the probe=1 recall trade at any scale. Composes the two
+    existing pipelines and joins their top-k sets; no new math, so the
+    oracle disagrees only if either pipeline drifts.
+
+    Measured on the synthetic corpus: mean recall ≈ 0.11 — the label
+    column is NOT a geometric clustering, so probing one cell misses
+    most true neighbors. That is the finding, not a defect: this gauge
+    is what tells an operator their coarse quantizer needs retraining
+    (a k-means cell map would push it toward 1.0).
+
+    Scale: ground truth is the corpus-streaming GEMM (one scan), IVF is
+    the per-cell join; the comparison join is top-k-sized (queries × k),
+    i.e. negligible.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(queries, e, TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    approx = ivf_topk(queries, e, TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["exact_neighbor"] == approx["ivf_neighbor"]),
+        "left",
+    ).select(exact["query_id"], approx["ivf_neighbor"])
+    return joined.groupBy("query_id").agg(
+        F.count("ivf_neighbor").alias("n_hits"),
+        F.expr(f"CAST(COUNT(ivf_neighbor) * 1000000 DIV {TOP_K} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
