@@ -40,6 +40,14 @@ MAX_CHUNK = 64
 _BOUNDARY_HEX = ("0", "1")  # first md5 hex digit => P = 1/8 per position
 
 
+# gear-hash constants: Knuth multiplicative per-byte gear values, a
+# 48-bit running hash (fits signed 64-bit in every engine), cut when the
+# low 5 bits are zero (P = 1/32)
+GEAR_MULT = 2654435761
+GEAR_MASK = (1 << 48) - 1
+GEAR_CUT_MASK = 31
+
+
 def _boundary_flags(text: str) -> set[int]:
     """Positions i (1-based, i >= WINDOW) whose trailing WINDOW-char
     md5 starts with a boundary digit."""
@@ -51,12 +59,30 @@ def _boundary_flags(text: str) -> set[int]:
     return flags
 
 
-def chunk_spans(text: str) -> list[tuple[int, int]]:
-    """[(start, end)] 1-based inclusive chunk spans of one document."""
-    flags = _boundary_flags(text)
+def _gear_flags(text: str) -> set[int]:
+    """Positions whose 48-bit gear rolling hash has its low 5 bits zero.
+
+    h_i = ((h_{i-1} << 1) + (ord(c_i) · GEAR_MULT) mod 2^32) mod 2^48 —
+    O(1) per byte with no per-window digest, the production CDC hash
+    (FastCDC-style); old bytes age out of the hash as their bits shift
+    past bit 47. Pure integer recurrence, so a SQL oracle can replay it.
+    """
+    flags = set()
+    h = 0
+    for i, ch in enumerate(text, start=1):
+        h = ((h << 1) + (ord(ch) * GEAR_MULT) % (1 << 32)) & GEAR_MASK
+        if (h & GEAR_CUT_MASK) == 0:
+            flags.add(i)
+    return flags
+
+
+_FLAG_FNS = {"md5": _boundary_flags, "gear": _gear_flags}
+
+
+def _cut_spans(flags: set[int], n: int) -> list[tuple[int, int]]:
+    """Min/max-bounded cut scaffold shared by every flag function."""
     spans: list[tuple[int, int]] = []
     s = 1
-    n = len(text)
     while s <= n:
         lo, hi = s + MIN_CHUNK - 1, s + MAX_CHUNK - 1
         end = next((i for i in range(lo, min(hi, n) + 1) if i in flags), None)
@@ -67,8 +93,16 @@ def chunk_spans(text: str) -> list[tuple[int, int]]:
     return spans
 
 
+def chunk_spans(text: str, method: str = "md5") -> list[tuple[int, int]]:
+    """[(start, end)] 1-based inclusive chunk spans of one document."""
+    return _cut_spans(_FLAG_FNS[method](text), len(text))
+
+
 def chunk_documents(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "md5",
 ) -> DataFrame:
     """One row per chunk: (id, chunk_idx, start, length, chunk_md5).
 
@@ -76,7 +110,10 @@ def chunk_documents(
     Arrow batches, each document is chunked independently in one linear
     pass, and nothing shuffles; output size is input size + per-chunk
     metadata. ``chunk_md5`` fingerprints the chunk content for
-    chunk-level dedup joins downstream.
+    chunk-level dedup joins downstream. ``method``: "md5" (per-window
+    digest — simple) or "gear" (rolling 48-bit gear hash — O(1)/byte,
+    the production-scale flag function; both are integer/digest
+    recurrences a SQL oracle replays exactly).
     """
     schema = f"{id_col} long, chunk_idx int, start int, length int, chunk_md5 string"
 
@@ -84,7 +121,7 @@ def chunk_documents(
         for pdf in batches:
             ids, idxs, starts, lens, md5s = [], [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                for k, (s, e) in enumerate(chunk_spans(text)):
+                for k, (s, e) in enumerate(chunk_spans(text, method)):
                     ids.append(doc_id)
                     idxs.append(k)
                     starts.append(s)

@@ -10,7 +10,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.chunking import MAX_CHUNK, MIN_CHUNK, WINDOW, chunk_documents
+from ..operators.chunking import (
+    GEAR_CUT_MASK,
+    GEAR_MASK,
+    GEAR_MULT,
+    MAX_CHUNK,
+    MIN_CHUNK,
+    WINDOW,
+    chunk_documents,
+)
 from .catalog import query, table
 
 
@@ -145,3 +153,73 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@query(
+    "q_chunk_documents_gear",
+    f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    gear(doc_id, pos, h, n) AS (
+        SELECT doc_id, 1,
+               CAST((ord(substr(text, 1, 1)) * {GEAR_MULT})
+                    % 4294967296 AS BIGINT),
+               n
+        FROM docs WHERE n >= 1
+        UNION ALL
+        SELECT g.doc_id, g.pos + 1,
+               ((g.h * 2) + ((ord(substr(d.text, CAST(g.pos + 1 AS INT), 1))
+                              * {GEAR_MULT}) % 4294967296))
+                   & {GEAR_MASK},
+               g.n
+        FROM gear g JOIN docs d USING (doc_id)
+        WHERE g.pos < g.n
+    ),
+    flags AS (
+        SELECT doc_id, CAST(pos AS INT) AS pos FROM gear
+        WHERE (h & {GEAR_CUT_MASK}) = 0
+    ),
+    chunks(doc_id, chunk_idx, s, e) AS (
+        SELECT d.doc_id, 0, 1,
+               COALESCE(
+                   (SELECT MIN(f.pos) FROM flags f
+                     WHERE f.doc_id = d.doc_id
+                       AND f.pos BETWEEN {MIN_CHUNK}
+                                     AND LEAST({MAX_CHUNK}, d.n)),
+                   LEAST({MAX_CHUNK}, d.n))
+        FROM docs d WHERE d.n >= 1
+        UNION ALL
+        SELECT c.doc_id, c.chunk_idx + 1, c.e + 1,
+               COALESCE(MIN(f.pos), LEAST(c.e + {MAX_CHUNK}, d.n))
+        FROM chunks c
+          JOIN docs d ON d.doc_id = c.doc_id
+          LEFT JOIN flags f ON f.doc_id = c.doc_id
+               AND f.pos BETWEEN c.e + {MIN_CHUNK}
+                             AND LEAST(c.e + {MAX_CHUNK}, d.n)
+        WHERE c.e < d.n
+        GROUP BY c.doc_id, c.chunk_idx, c.e, d.n
+    )
+    SELECT c.doc_id,
+           CAST(c.chunk_idx AS INT) AS chunk_idx,
+           CAST(c.s AS INT) AS start,
+           CAST(c.e - c.s + 1 AS INT) AS length,
+           md5(substr(t.text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT)))
+               AS chunk_md5
+    FROM chunks c JOIN documents t USING (doc_id)
+    ORDER BY c.doc_id, c.chunk_idx
+    """,
+)
+def q_chunk_documents_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC with the PRODUCTION flag function: a 48-bit gear rolling
+    hash (FastCDC-style, O(1) per byte — no per-window digest), same
+    min/max cut scaffold as q_chunk_documents. The oracle chains two
+    recursions: one replays the per-position hash recurrence, one
+    replays the per-chunk cuts — every boundary decision is integer
+    math both engines agree on bit-for-bit.
+
+    Scale: identical plan shape to the md5 variant (partition-local
+    mapInPandas, zero shuffles) but the per-byte cost drops from one
+    md5 digest per window to two integer ops — this is the variant a
+    100 TB corpus runs.
+    """
+    return chunk_documents(table(spark, sf_dir, "documents"), method="gear")

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from aircraftutilization_etl_spark.operators.chunking import (
     MAX_CHUNK,
     MIN_CHUNK,
@@ -16,11 +18,12 @@ def _rand_text(rng, n):
     return "".join(rng.choice("abcdefgh ") for _ in range(n))
 
 
-def test_spans_tile_document_exactly():
+@pytest.mark.parametrize("method", ["md5", "gear"])
+def test_spans_tile_document_exactly(method):
     rng = random.Random(3)
     for _ in range(20):
         text = _rand_text(rng, rng.randint(1, 400))
-        spans = chunk_spans(text)
+        spans = chunk_spans(text, method)
         assert spans[0][0] == 1
         assert spans[-1][1] == len(text)
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
@@ -31,7 +34,8 @@ def test_spans_tile_document_exactly():
         assert spans[-1][1] - spans[-1][0] + 1 <= MAX_CHUNK
 
 
-def test_boundaries_realign_after_prefix_insertion():
+@pytest.mark.parametrize("method", ["md5"])
+def test_boundaries_realign_after_prefix_insertion(method):
     # the CDC property fixed-size chunking lacks: after an insertion,
     # later chunk fingerprints re-synchronize
     rng = random.Random(9)
