@@ -42,6 +42,8 @@ HEADLINE = [
     "q_curation_funnel",  # flagship: 4-stage curation in one plan
     "q_graph_pagerank",  # iterative: 5 synchronous shuffle rounds
     "q_pack_sequences",  # applyInPandas per-bucket linear pass
+    "q_contamination_report",  # broadcast benchmark-shingle probe
+    "q_chunk_documents_gear",  # production CDC: gear-hash mapInPandas
 ]
 
 
