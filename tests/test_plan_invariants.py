@@ -44,6 +44,10 @@ PURE_JVM_PREFIXES = (
     "q_distinct_", "q_percentiles_", "q_events_", "q_dedup_exact",
     "q_dedup_simhash", "q_flight_", "q_skew_",
     "q_incremental_", "q_scd2_", "q_profile_",
+    # round-2 additions that must stay JVM-pure
+    "q_rebalance_", "q_dedup_novelty", "q_zorder_", "q_contamination_",
+    "q_graph_", "q_emb_srp_topk", "q_emb_quantize_int8",
+    "q_curation_funnel",
 )
 
 
