@@ -223,3 +223,75 @@ def q_chunk_documents_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpus runs.
     """
     return chunk_documents(table(spark, sf_dir, "documents"), method="gear")
+
+
+CHUNK_JACCARD_THRESH_PPM = 300000  # 0.30 chunk-set overlap
+
+
+@query(
+    "q_chunk_near_dup",
+    f"""
+    WITH RECURSIVE {_CHUNK_CTES},
+    csets AS (SELECT DISTINCT doc_id, chunk_md5 FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_chunks FROM csets GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM csets a JOIN csets b
+          ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common * 1000000
+                // (sa.n_chunks + sb.n_chunks - i.n_common) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i.n_common * 1000000
+          // (sa.n_chunks + sb.n_chunks - i.n_common)
+          >= {CHUNK_JACCARD_THRESH_PPM}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate documents by CDC chunk-set Jaccard (≥ 0.30,
+    integer ppm): documents sharing a third of their content-defined
+    chunks are flagged even when the shared content sits at different
+    byte offsets or in different order — the sub-document complement to
+    word-shingle Jaccard, off the same chunk fingerprints chunk-level
+    dedup uses.
+
+    Scale: pairs form only through the equi-join on the chunk
+    fingerprint (Σ per-fingerprint freq², never n²) — the identical
+    bucketed-join shape as q_dedup_ngram_jaccard, fed by the
+    shuffle-free chunking kernel.
+    """
+    from pyspark.sql import functions as F
+
+    chunks = chunk_documents(table(spark, sf_dir, "documents"))
+    csets = chunks.select("doc_id", "chunk_md5").distinct()
+    sizes = csets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = csets.select(F.col("doc_id").alias("id_a"), "chunk_md5")
+    b = csets.select(F.col("doc_id").alias("id_b"), "chunk_md5")
+    inter = (
+        a.join(b, "chunk_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_chunks").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_chunks").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (n_a + n_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= CHUNK_JACCARD_THRESH_PPM)
+    )

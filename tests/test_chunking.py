@@ -49,6 +49,64 @@ def test_boundaries_realign_after_prefix_insertion(method):
     assert len(a & b) >= len(a) // 2
 
 
+def test_chunk_near_dup_matches_scalar_jaccard(spark):
+    # shared-paragraph pair should pair up via chunk-set Jaccard even
+    # though the shared content sits at different offsets
+    rng = random.Random(11)
+    shared = _rand_text(rng, 400)
+    rows = [
+        (0, shared + _rand_text(rng, 60)),
+        (1, _rand_text(rng, 60) + shared),
+        (2, _rand_text(rng, 400)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from aircraftutilization_etl_spark.plans.chunking import (
+        CHUNK_JACCARD_THRESH_PPM,
+    )
+    from aircraftutilization_etl_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(df).collect()
+    sets = {}
+    for r in chunks:
+        sets.setdefault(r["doc_id"], set()).add(r["chunk_md5"])
+    expected = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            ppm = inter * 1_000_000 // (len(sets[a]) + len(sets[b]) - inter)
+            if ppm >= CHUNK_JACCARD_THRESH_PPM:
+                expected.append((a, b, inter, ppm))
+    # re-run the pair logic off the same chunk table via SQL-equivalent ops
+    from pyspark.sql import functions as F
+
+    csets = chunk_documents(df).select("doc_id", "chunk_md5").distinct()
+    sizes = csets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = csets.select(F.col("doc_id").alias("id_a"), "chunk_md5")
+    b = csets.select(F.col("doc_id").alias("id_b"), "chunk_md5")
+    got = (
+        a.join(b, "chunk_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.expr("CAST(n_common * 1000000 DIV (n_a + n_b - n_common) AS BIGINT)").alias("ppm"),
+        )
+        .filter(F.col("ppm") >= CHUNK_JACCARD_THRESH_PPM)
+        .collect()
+    )
+    got_tuples = sorted((r["id_a"], r["id_b"], r["n_common"], r["ppm"]) for r in got)
+    assert got_tuples == sorted(expected)
+    assert any(t[0] == 0 and t[1] == 1 for t in got_tuples)
+
+
 def test_dataframe_kernel_matches_scalar(spark):
     rng = random.Random(5)
     rows = [(i, _rand_text(rng, rng.randint(1, 300))) for i in range(30)]
