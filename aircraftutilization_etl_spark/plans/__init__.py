@@ -19,6 +19,7 @@ from . import packing  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import chunking  # noqa: E402,F401
+from . import frequency  # noqa: E402,F401
 from . import flight_parity  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QueryDef", "query"]
