@@ -77,19 +77,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema'd scan of one synthetic table (never infers beyond parquet
     footer metadata; Catalyst prunes columns/filters into the scan).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark rejects by
-    default; read it as a nanos long and convert to the engine's µs
-    TimestampType (lossless here: the generator emits µs precision —
-    DuckDB's TIMESTAMP does the same ns→µs truncation).
+    ``events.ts`` is normalized to the engine's µs TimestampType
+    whatever the generator wrote: TIMESTAMP(NANOS) parquet arrives as a
+    nanos long (with ``nanosAsLong`` from session.RECOMMENDED) and is
+    truncated to µs exactly as DuckDB does; TIMESTAMP_NTZ is a
+    wall-clock-identical cast under the engine's UTC session timezone.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        # requires spark.sql.legacy.parquet.nanosAsLong=true — a session
-        # conf (session.RECOMMENDED), not something this read mutates
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
