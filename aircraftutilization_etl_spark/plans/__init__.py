@@ -20,6 +20,7 @@ from . import graph  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import chunking  # noqa: E402,F401
 from . import frequency  # noqa: E402,F401
+from . import clustering  # noqa: E402,F401
 from . import flight_parity  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QueryDef", "query"]

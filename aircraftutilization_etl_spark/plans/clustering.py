@@ -1,0 +1,171 @@
+"""Embedding clustering queries (operators/clustering.py).
+
+The k-means oracle replays the ENTIRE iteration history in SQL — seeds,
+per-iteration exact-integer assignment, floor-of-ratio centroid updates
+— as a chain of generated CTEs, so a hash match certifies every round,
+not just the final labels. This is only possible because the operator is
+formulated on the int8 grid (see operators/clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.clustering import kmeans_int8
+from ..operators.dedup import duplicate_clusters
+from ..operators.similarity import cosine_pairs
+from .catalog import query, table
+from .similarity import NEAR_DUP_COSINE
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2
+
+# int8 codes, one row per (vector, dimension) — same mapping the proven
+# q_emb_quantize_int8 oracle uses, as BIGINT for exact distance sums
+_CODES_CTE = """
+    codes AS (
+        SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+               CAST(CASE WHEN scale = 0 THEN 0
+                         ELSE FLOOR(e[CAST(i AS INT)] * 127 / scale) END
+                    AS BIGINT) AS q
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS scale
+              FROM embeddings),
+             LATERAL unnest(range(1, len(e) + 1)) AS u(i)
+    )"""
+
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """(CTE chain, final-centroid name) replaying Lloyd's iterations."""
+    parts = [
+        _CODES_CTE,
+        f"""
+    seeds AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+        FROM (SELECT DISTINCT vec_id FROM codes ORDER BY vec_id LIMIT {k})
+    )""",
+        """
+    cent0 AS (
+        SELECT s.cluster, c.pos, c.q AS val
+        FROM seeds s JOIN codes c USING (vec_id)
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    dist{i} AS (
+        SELECT c.vec_id, t.cluster,
+               CAST(SUM((c.q - t.val) * (c.q - t.val)) AS BIGINT) AS dist
+        FROM codes c JOIN cent{i - 1} t USING (pos)
+        GROUP BY c.vec_id, t.cluster
+    )""")
+        parts.append(f"""
+    assign{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM dist{i}
+        ) WHERE rn = 1
+    )""")
+        parts.append(f"""
+    cent{i} AS (
+        SELECT p.cluster, p.pos, COALESCE(m.val, p.val) AS val
+        FROM cent{i - 1} p LEFT JOIN (
+            SELECT a.cluster, c.pos,
+                   CAST(FLOOR(CAST(SUM(c.q) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS val
+            FROM assign{i} a JOIN codes c USING (vec_id)
+            GROUP BY a.cluster, c.pos
+        ) m ON m.cluster = p.cluster AND m.pos = p.pos
+    )""")
+    return ",".join(parts), f"cent{iters}"
+
+
+_KMEANS_CTES, _FINAL_CENT = _kmeans_ctes(K_CLUSTERS, KMEANS_ITERS)
+
+
+@query(
+    "q_emb_kmeans",
+    f"""
+    WITH {_KMEANS_CTES},
+    final_dist AS (
+        SELECT c.vec_id, t.cluster,
+               CAST(SUM((c.q - t.val) * (c.q - t.val)) AS BIGINT) AS dist
+        FROM codes c JOIN {_FINAL_CENT} t USING (pos)
+        GROUP BY c.vec_id, t.cluster
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM (
+        SELECT vec_id, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM final_dist
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Lloyd's k-means (k=8, 2 iterations) over the corpus —
+    the trained coarse quantizer an IVF index probes; output is every
+    vector's final cell and exact squared distance.
+
+    Scale: per iteration, assignment is a map-only codegen'd fold
+    against k×d broadcast literals and the update is one shuffle with
+    k·d result groups (map-side partial aggregation does the heavy
+    lifting); the driver holds k×d integers per round, never the data.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return kmeans_int8(e, k=K_CLUSTERS, iterations=KMEANS_ITERS)
+
+
+_EMB_PAIRS_CTE = f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    emb_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= {NEAR_DUP_COSINE}
+    )"""
+
+
+@query(
+    "q_emb_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_EMB_PAIRS_CTE},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM emb_pairs
+        UNION
+        SELECT id_b, id_a FROM emb_pairs
+    ),
+    closure(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    )
+    SELECT node AS vec_id, LEAST(node, MIN(reach)) AS cluster_id
+    FROM closure
+    GROUP BY node
+    ORDER BY vec_id
+    """,
+)
+def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup GROUPS: connected components over the
+    embedding-cosine near-dup pairs (cosine ≥ 0.35), each cluster
+    labeled by its smallest member — the canonical vector a semantic
+    dedup pipeline keeps. Completes the dedup family: exact, n-gram,
+    MinHash-LSH and SimHash cluster over text; this one clusters over
+    geometry.
+
+    Scale: pair generation is the blocked executor-side GEMM self-join
+    (cosine_pairs); components are bounded-iteration label propagation —
+    one key-partitioned shuffle per round, driver sees only the change
+    count. Oracle: recursive-CTE transitive closure over the same pairs.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(e, NEAR_DUP_COSINE).select("id_a", "id_b")
+    return duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

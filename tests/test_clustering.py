@@ -1,0 +1,129 @@
+"""Quantized k-means: Spark vs an independent numpy replay.
+
+The operator's contract is a deterministic iteration protocol (int8
+codes, exact-integer argmin with lowest-index ties, floor-of-ratio
+updates, empty cluster keeps its centroid). The test replays that
+protocol in numpy from the same raw vectors and demands identical
+assignments AND identical exact distances — any drift in seeding,
+tie-breaks or update arithmetic shows up as a row diff.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from aircraftutilization_etl_spark.operators.clustering import kmeans_int8
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    scale = np.abs(mat).max(axis=1, keepdims=True)
+    safe = np.where(scale == 0, 1.0, scale)
+    q = np.floor(mat * 127.0 / safe)
+    return np.where(scale == 0, 0.0, q).astype(np.int64)
+
+
+def _kmeans_ref(ids, mat, k, iters):
+    codes = _quantize(mat)
+    order = np.argsort(ids)
+    cent = codes[order[:k]].astype(np.int64)
+
+    def assign(c):
+        # (n, k) exact integer squared distances
+        d = ((codes[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)  # first (lowest) index on ties
+        return cl, d[np.arange(len(ids)), cl]
+
+    for _ in range(iters):
+        cl, _ = assign(cent)
+        for c in range(k):
+            members = codes[cl == c]
+            if len(members):
+                cent[c] = np.floor(
+                    members.sum(axis=0).astype(np.float64) / len(members)
+                ).astype(np.int64)
+    cl, dist = assign(cent)
+    return {int(i): (int(c), int(d)) for i, c, d in zip(ids, cl, dist)}
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    # three DIRECTIONALLY separated blobs + outliers; per-vector max-abs
+    # quantization keeps direction, not magnitude, so blob centers are
+    # distinct sign patterns rather than distinct offsets
+    centers = np.array(
+        [
+            [3, 3, 3, 3, 0, 0, 0, 0],
+            [0, 0, 0, 0, 3, 3, 3, 3],
+            [-3, -3, 0, 0, 0, 0, -3, -3],
+        ],
+        dtype=np.float64,
+    )
+    blobs = [c + rng.normal(0, 0.3, size=(40, 8)) for c in centers]
+    stacked = np.concatenate(blobs + [rng.normal(0, 4, size=(5, 8))])
+    # interleave the blobs id-wise so the deterministic min-id seeding
+    # starts with one centroid per blob (ids 0,1,2 = one from each)
+    order = [b * 40 + j for j in range(40) for b in range(3)] + [120 + i for i in range(5)]
+    mat = stacked[np.asarray(order)].astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    return ids, mat
+
+
+def test_kmeans_matches_numpy_replay(spark, vectors):
+    ids, mat = vectors
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_int8(df, k=4, iterations=2).collect()
+    }
+    want = _kmeans_ref(ids, np.asarray(mat, dtype=np.float64), 4, 2)
+    assert got == want
+
+
+def test_kmeans_separated_blobs_recovered(spark, vectors):
+    """Sanity beyond replay-equality: well-separated blobs land in
+    distinct clusters (the labels partition the blobs, not the math)."""
+    ids, mat = vectors
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_int8(df, k=3, iterations=3).collect()
+    label = {r["vec_id"]: r["cluster"] for r in rows}
+    blob_labels = []
+    for b in range(3):
+        members = [label[j * 3 + b] for j in range(40)]
+        # each blob is (near-)pure: one dominant cluster
+        dominant = max(set(members), key=members.count)
+        assert members.count(dominant) >= 36
+        blob_labels.append(dominant)
+    assert len(set(blob_labels)) == 3  # and the blobs don't collapse
+
+
+def test_kmeans_all_zero_vectors(spark):
+    """All-zero vectors quantize to zeros and cluster deterministically
+    (distance 0 to the zero seed); exercises the scale=0 guard."""
+    df = spark.createDataFrame(
+        [(i, [0.0] * 4) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_int8(df, k=2, iterations=1).collect()
+    assert {r["cluster"] for r in rows} == {0}  # ties -> lowest index
+    assert all(r["dist"] == 0 for r in rows)
+
+
+def test_kmeans_distances_are_exact_integers(spark, vectors):
+    ids, mat = vectors
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_int8(df, k=3, iterations=1).collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert isinstance(r["dist"], int) and r["dist"] >= 0
+        assert not math.isnan(r["dist"])
