@@ -115,8 +115,13 @@ def kmeans_int8(
             new_centroids[row["cluster"]][row["pos"]] = int(row["val"])
         centroids = new_centroids
 
-    out = _assign(codes, centroids).select(
-        F.col(id_col), "cluster", "dist"
+    # materialize the (narrow: id, cluster, dist) result WHILE the code
+    # cache is hot — otherwise the caller's first action would re-run
+    # quantization from the raw vectors after the unpersist below
+    out = (
+        _assign(codes, centroids)
+        .select(F.col(id_col), "cluster", "dist")
+        .localCheckpoint(eager=True)
     )
     codes.unpersist()
     return out

@@ -77,9 +77,15 @@ def pagerank(
         nodes = nodes.coalesce(rank_partitions)
     nodes = nodes.persist()
     ranks = nodes.select("node", F.lit(PPM).cast("long").alias("rank_ppm"))
-    for _ in range(n_iterations):
+    for it in range(n_iterations):
+        # rank_partitions set = the caller asserts the node set is small;
+        # broadcast the rank table into the edge join (a checkpointed
+        # frame has no stats, so AQE can't discover this on its own) —
+        # the edge list then never shuffles for the join, only the
+        # contribution sum moves
+        it_ranks = F.broadcast(ranks) if rank_partitions is not None else ranks
         contribs = (
-            out_edges.join(ranks, out_edges["src"] == ranks["node"])
+            out_edges.join(it_ranks, out_edges["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_ppm DIV __deg").alias("__c"),
@@ -87,6 +93,8 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
+        if rank_partitions is not None:
+            contribs = F.broadcast(contribs)
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             F.expr(
@@ -96,9 +104,16 @@ def pagerank(
         )
         if rank_partitions is not None:
             ranks = ranks.coalesce(rank_partitions)
-        # truncate lineage: the loop otherwise doubles the plan per round
-        ranks = ranks.localCheckpoint(eager=True)
-    # ranks is materialized (eager checkpoints); drop the loop's caches
+        # truncate lineage: the loop otherwise doubles the plan per
+        # round. Intermediate rounds checkpoint LAZILY — unlike
+        # duplicate_clusters there is no per-round driver decision, so
+        # materializing each round as its own job is pure scheduling
+        # overhead; lazy marks keep the whole run one job while still
+        # capping the analyzed plan at one iteration. The LAST round is
+        # eager: it drives that one job to completion WHILE the edge and
+        # node caches are still live, so the unpersist below never
+        # strips a cache a pending computation depends on.
+        ranks = ranks.localCheckpoint(eager=(it == n_iterations - 1))
     out_edges.unpersist()
     nodes.unpersist()
     return ranks

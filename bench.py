@@ -41,6 +41,7 @@ HEADLINE = [
     "q_media_feature_extract",
     "q_curation_funnel",  # flagship: 4-stage curation in one plan
     "q_graph_pagerank",  # iterative: 5 synchronous shuffle rounds
+    "q_emb_kmeans",  # iterative: broadcast-assign + k*d-group updates
     "q_pack_sequences",  # applyInPandas per-bucket linear pass
     "q_contamination_report",  # broadcast benchmark-shingle probe
     "q_chunk_documents_gear",  # production CDC: gear-hash mapInPandas
