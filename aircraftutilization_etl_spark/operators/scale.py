@@ -92,3 +92,106 @@ def colocated_join(
     return spark.table(left_table).hint("merge").join(
         spark.table(right_table), on=on
     )
+
+
+# --- Bloom-filter join pruning -------------------------------------------
+
+def bloom_filter_words(
+    keys: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> list[int]:
+    """Build a Bloom filter over a key column; returns the bit array as
+    ``m_bits/64`` longs.
+
+    The runtime-filter primitive for joins where the probe side is huge
+    and the build side is selective but too large to broadcast as a
+    hash relation: a few-KB bit array summarizes millions of keys, cuts
+    the probe side BEFORE its shuffle, and the exact join afterwards
+    removes the false positives — result-identical to the plain join,
+    cheaper by (1 - selectivity·(1+fpp)) of the probe shuffle volume.
+
+    Scale shape: bit positions are k xxhash64 draws per key, OR-folded
+    into 64-bit words by a (word_index) groupBy — map-side partial
+    bit_or does nearly all the work, the shuffle carries at most
+    ``m_bits/64`` rows, and the driver holds the model-sized array
+    (128 KB at 2^20 bits), exactly like a broadcast-build would.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+                for i in range(k_hashes)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # F.shiftleft needs a Python-int shift; the SQL form takes a
+            # column expression
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["word"]] = r["bits"]
+    return arr
+
+
+def bloom_might_contain(
+    words: list[int], key_col: str, m_bits: int, k_hashes: int
+):
+    """Membership-test Column against a built filter — k AND-ed bit
+    probes into a single array LITERAL (one plan node, not 2^14), all
+    JVM expressions, evaluated map-side before any shuffle."""
+    arr = F.lit(words)
+    tests = []
+    for i in range(k_hashes):
+        pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        shift = (pos % 64).cast("int")
+        # column-shift form of shiftright (the F.* wrapper requires a
+        # Python int); ">> shift & 1" probes the key's bit in its word
+        tests.append(
+            F.call_function("shiftright", word, shift).bitwiseAND(F.lit(1))
+            == 1
+        )
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def bloom_prune_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the probe side Bloom-pruned before its shuffle.
+
+    Two passes over the build side's key column (distinct + filter
+    build), then the pruned exact join. Only join types where dropping
+    guaranteed-non-matching probe rows is semantics-preserving are
+    allowed (inner / right outer / left semi: the pruned rows could
+    never contribute a match; left/full outer must keep them).
+    """
+    allowed = {"inner", "semi", "left_semi", "leftsemi", "right", "right_outer", "rightouter"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"bloom_prune_join cannot prune the probe side of a '{how}' "
+            "join: pruned probe rows would be missing from its unmatched-"
+            "row output. Use inner/semi/right."
+        )
+    words = bloom_filter_words(build.select(on), on, m_bits, k_hashes)
+    pruned = probe.filter(bloom_might_contain(words, on, m_bits, k_hashes))
+    return pruned.join(build, on=on, how=how)

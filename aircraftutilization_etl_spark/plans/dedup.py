@@ -270,3 +270,86 @@ def q_dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     return novelty_scores(d)
+
+
+@query(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+        UNION
+        SELECT id_b, id_a FROM lsh_pairs
+    ),
+    closure(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    ),
+    clusters AS (
+        SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+        FROM closure GROUP BY node
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               ROUND((
+                   (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+'))
+                              >= 20 THEN 1.0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                              / 20.0 END)
+                 + (CASE WHEN length(replace(trim(text), ' ', ''))
+                              / greatest(len(regexp_split_to_array(
+                                    trim(text), '\\s+')), 1)
+                              BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                 + (1.0 - least((length(text) - length(regexp_replace(
+                        text, '[^A-Za-z0-9\\s]', '', 'g')))
+                        / greatest(length(text), 1) * 5, 1.0))
+               ) / 3, 4) AS quality_score
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality_score,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY quality_score DESC, doc_id) = 1)
+               AS kept
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative SELECTION policy: within every near-dup cluster
+    keep the highest-quality member (ties → smallest id), not the
+    arbitrary smallest-id one — what a curation pipeline actually ships
+    after clustering. Singletons form their own cluster and are kept.
+
+    Output is the full corpus with its verdict (doc_id, cluster_id,
+    quality_score, kept), i.e. the dedup purge list and its
+    justification in one relation.
+
+    Scale: clusters come from the LSH pipeline (banded candidates only);
+    quality is a per-row map; the final choice is one window over
+    cluster_id — a single extra shuffle on a corpus already shuffled by
+    the cluster join.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.text import quality_score_expr
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(d, JACCARD_THRESHOLD)
+    clusters = duplicate_clusters(pairs)
+    scored = (
+        d.select("doc_id", quality_score_expr().alias("quality_score"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "quality_score",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return scored.withColumn(
+        "kept", F.row_number().over(w) == 1
+    )

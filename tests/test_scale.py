@@ -83,3 +83,63 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_left")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_right")
+
+
+# --- Bloom-filter join pruning -------------------------------------------
+
+
+def test_bloom_prune_join_matches_plain_join(spark):
+    from aircraftutilization_etl_spark.operators.scale import bloom_prune_join
+
+    probe = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    build = spark.range(0, 200).select(
+        (F.col("id") * 101).alias("k"), F.lit("b").alias("tag")
+    )
+    got = bloom_prune_join(probe, build, "k").orderBy("k").collect()
+    want = probe.join(build, "k").orderBy("k").collect()
+    assert got == want
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    from aircraftutilization_etl_spark.operators.scale import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 1000).select((F.col("id") * 13 + 7).alias("k"))
+    words = bloom_filter_words(keys, "k", m_bits=1 << 14, k_hashes=5)
+    # every inserted key must test positive
+    hits = keys.filter(
+        bloom_might_contain(words, "k", m_bits=1 << 14, k_hashes=5)
+    ).count()
+    assert hits == 1000
+
+
+def test_bloom_filter_prunes_most_non_members(spark):
+    from aircraftutilization_etl_spark.operators.scale import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+
+    build = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(100_000, 150_000).select(F.col("id").alias("k"))
+    words = bloom_filter_words(build, "k", m_bits=1 << 17, k_hashes=5)
+    passed = probe.filter(
+        bloom_might_contain(words, "k", m_bits=1 << 17, k_hashes=5)
+    ).count()
+    # disjoint ranges: everything passing is a false positive; with
+    # 500 keys in 2^17 bits and 5 hashes the fp rate is ~1e-9 — allow
+    # a generous margin and still prove >99% pruning
+    assert passed < 500
+
+
+def test_bloom_prune_join_rejects_left_outer(spark):
+    import pytest
+
+    from aircraftutilization_etl_spark.operators.scale import bloom_prune_join
+
+    a = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="left"):
+        bloom_prune_join(a, a, "k", how="left")
