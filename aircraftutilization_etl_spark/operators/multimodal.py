@@ -208,3 +208,129 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.codec").alias("codec"),
         ),
     )
+
+
+PHASH_BLOCKS = 32  # perceptual-hash resolution (bits)
+
+
+def perceptual_hash(media: DataFrame, n_blocks: int = PHASH_BLOCKS) -> DataFrame:
+    """Block-average perceptual hash (aHash) of every decoded payload →
+    (asset_id, media_type, phash) with ``phash`` an ``n_blocks``-char
+    bit string.
+
+    The decoded signal is split into ``n_blocks`` near-equal contiguous
+    blocks (byte j → block j·B div n); bit b is 1 iff block b's mean
+    amplitude ≥ the whole signal's mean, compared EXACTLY by integer
+    cross-multiplication (block_sum·n ≥ total_sum·block_len) — no float
+    means, so any engine derives the identical hash. The bit-string
+    representation sidesteps 64-bit sign/overflow pitfalls and band
+    slicing is plain substring.
+
+    Scale: per-row Arrow-batched kernel over (id, payload) only — the
+    metadata struct is pruned from the scan; no shuffle. This is the
+    standard cheap screen before pixel-exact comparison in image dedup
+    (real codecs swap into ``_decode_payload``; the hash algebra and
+    plan shape are unchanged).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_ids, out_types, out_hashes = [], [], []
+            for aid, mtype, payload in zip(
+                batch["asset_id"], batch["media_type"], batch["payload"]
+            ):
+                sig = _decode_payload(bytes(payload)).astype(np.int64)
+                n = len(sig)
+                if n == 0:
+                    bits = "0" * n_blocks
+                else:
+                    blk = (np.arange(n, dtype=np.int64) * n_blocks) // n
+                    bsum = np.bincount(
+                        blk, weights=sig, minlength=n_blocks
+                    ).astype(np.int64)
+                    blen = np.bincount(blk, minlength=n_blocks).astype(
+                        np.int64
+                    )
+                    total = int(sig.sum())
+                    flags = bsum * n >= total * blen
+                    # empty blocks (n < n_blocks) compare 0 >= 0 -> 1,
+                    # deterministically, matching the SQL replay
+                    bits = "".join("1" if f else "0" for f in flags)
+                out_ids.append(aid)
+                out_types.append(mtype)
+                out_hashes.append(bits)
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "media_type": out_types,
+                    "phash": out_hashes,
+                }
+            )
+
+    return media.select("asset_id", "media_type", "payload").mapInPandas(
+        kernel, "asset_id long, media_type string, phash string"
+    )
+
+
+def phash_near_dup(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_blocks: int = PHASH_BLOCKS,
+) -> DataFrame:
+    """Near-duplicate asset pairs by perceptual hash: banded LSH
+    candidate generation (pairs agreeing exactly on ≥1 of ``n_bands``
+    hash slices) + exact Hamming verification ≤ ``max_hamming``.
+
+    Same shape as the MinHash pipeline: the self-join runs on
+    (band, band_key) buckets — only near-identical hashes ever meet —
+    and verification touches candidates only. All JVM expressions.
+    """
+    if n_blocks % n_bands:
+        raise ValueError("n_blocks must be a multiple of n_bands")
+    width = n_blocks // n_bands
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("phash", b * width + 1, width).alias(
+                        "band_key"
+                    ),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("bk")
+    banded = hashed.select("asset_id", "phash", bands).select(
+        "asset_id",
+        "phash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"aggregate(sequence(1, {n_blocks}), 0, (acc, i) -> "
+        "acc + IF(substring(ph_a, i, 1) = substring(ph_b, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

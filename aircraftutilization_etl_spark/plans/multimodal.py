@@ -166,3 +166,76 @@ def q_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("int").alias("bin"),
         F.round("__w", 6).alias("weight"),
     )
+
+
+@query(
+    "q_media_phash_near_dup",
+    """
+    WITH bytes AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS i,
+               ascii(substring(text, CAST(i AS INT), 1)) AS v,
+               length(text) AS n
+        FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS u(i)
+    ),
+    blocks AS (
+        SELECT doc_id,
+               (i - 1) * 32 // n AS blk,
+               SUM(v) AS bsum,
+               COUNT(*) AS blen,
+               MAX(n) AS n
+        FROM bytes
+        GROUP BY doc_id, (i - 1) * 32 // n
+    ),
+    tot AS (SELECT doc_id, SUM(bsum) AS total FROM blocks GROUP BY doc_id),
+    hashes AS (
+        SELECT b.doc_id,
+               string_agg(CASE WHEN b.bsum * b.n >= t.total * b.blen
+                               THEN '1' ELSE '0' END, '' ORDER BY b.blk)
+                   AS phash
+        FROM blocks b JOIN tot t USING (doc_id)
+        GROUP BY b.doc_id
+    ),
+    banded AS (
+        SELECT doc_id, phash, b AS band,
+               substring(phash, CAST(b * 8 + 1 AS INT), 8) AS band_key
+        FROM hashes, LATERAL unnest(range(0, 4)) AS u(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.phash AS ph_a, b.phash AS ph_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM (
+        SELECT id_a, id_b,
+               list_sum(list_transform(range(1, 33), i ->
+                   CASE WHEN substring(ph_a, CAST(i AS INT), 1)
+                             = substring(ph_b, CAST(i AS INT), 1)
+                        THEN 0 ELSE 1 END)) AS hamming
+        FROM cand
+    )
+    WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media assets: 32-bit block-average
+    aHash over every decoded payload (exact integer mean comparisons),
+    banded-LSH candidate pairs (4 × 8-bit slices), Hamming ≤ 3 verify.
+    The image-dedup screen a multimodal curation pipeline runs before
+    pixel-exact comparison — here over the deterministic fake codec, so
+    the oracle replays every hash bit, every candidate and every
+    Hamming distance from the raw bytes.
+
+    Scale: hashing is a per-row Arrow-batched kernel (payload column
+    only — metadata pruned); the self-join runs on (band, band_key)
+    buckets so only near-identical hashes meet; verification is a
+    32-step codegen'd fold on candidates only.
+    """
+    from ..operators.multimodal import perceptual_hash, phash_near_dup
+
+    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    return phash_near_dup(perceptual_hash(media), max_hamming=3)

@@ -91,3 +91,91 @@ def test_metadata_query_prunes_payload(spark):
     )
     plan = agg._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+# --- perceptual hash ------------------------------------------------------
+
+
+def _phash_ref(data: bytes, n_blocks: int = 32) -> str:
+    """Pure-python replay of the aHash contract."""
+    n = len(data)
+    if n == 0:
+        return "0" * n_blocks
+    sums = [0] * n_blocks
+    lens = [0] * n_blocks
+    for j, byte in enumerate(data):
+        b = (j * n_blocks) // n
+        sums[b] += byte
+        lens[b] += 1
+    total = sum(data)
+    return "".join(
+        "1" if sums[b] * n >= total * lens[b] else "0"
+        for b in range(n_blocks)
+    )
+
+
+def test_perceptual_hash_matches_python_replay(spark):
+    from aircraftutilization_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        perceptual_hash,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog" * 3),
+        (1, "the quick brown fox jumps over the lazy dog" * 3),  # exact dup
+        (2, "aaaaabbbbbcccccdddddeeeeefffffggggghhhhh"),
+        (3, "zzzzzyyyyyxxxxxwwwwwvvvvvuuuuuttttts"),
+        (4, "short but still over thirty-two bytes long!"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = perceptual_hash(attach_fake_media(docs)).collect()
+    got = {r["asset_id"]: r["phash"] for r in rows}
+    for i, t in texts:
+        assert got[i] == _phash_ref(t.encode()), f"doc {i}"
+
+
+def test_phash_near_dup_finds_exact_dup_only(spark):
+    from aircraftutilization_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        perceptual_hash,
+        phash_near_dup,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog" * 3),
+        (1, "the quick brown fox jumps over the lazy dog" * 3),
+        (2, "completely different content with other phrasing here ok"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = phash_near_dup(
+        perceptual_hash(attach_fake_media(docs)), max_hamming=0
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(0, 1, 0)]
+
+
+def test_phash_scan_prunes_metadata(spark):
+    """The hash kernel must read only (id, type, payload) — the meta
+    struct stays out of the exchange into Python."""
+    import contextlib
+    import io
+
+    from aircraftutilization_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        perceptual_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "some text for hashing purposes here", "en", "s", 35)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df = perceptual_hash(attach_fake_media(docs))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "meta" not in buf.getvalue()
