@@ -464,3 +464,84 @@ def novelty_scores(
             ),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 2,
+    id_col: str = "doc_id",
+    str_col: str = "title",
+    q: int = 3,
+) -> DataFrame:
+    """All unordered pairs with Levenshtein distance ≤ ``max_dist`` —
+    typo-level near-dup (titles, product names, entity mentions).
+
+    Sub-quadratic candidate generation by the classic q-gram count
+    filter: one edit operation destroys at most ``q`` q-grams, so two
+    strings within ``max_dist`` edits share at least
+    ``len - (q-1) - q·max_dist`` q-gram occurrences — GUARANTEED ≥ 1
+    when either string has length ≥ q + q·max_dist (= 9 at q=3, k=2).
+    Candidates therefore come from a distinct-q-gram equi-self-join;
+    the few strings where BOTH sides are shorter than that bound get an
+    exhaustive length-banded pass (their population is tiny by
+    definition). Exact ``levenshtein`` (JVM codegen) verifies
+    candidates only. No false negatives by the bound above; false
+    candidates die in verification — same candidates-then-verify shape
+    as the MinHash pipeline.
+
+    Scale: the gram join shuffles (gram, id) pairs — strings·(len-q+1)
+    rows of a few bytes; hot grams (stop-word trigrams) are
+    additive-skew AQE handles, and a production run would drop
+    ultra-frequent grams first (they cannot discriminate). Verification
+    is |candidates|.
+    """
+    s = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    guaranteed = q + q * max_dist  # length at which >=1 shared gram is certain
+    grams = s.filter(F.length("s") >= q).select(
+        "id",
+        "s",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(s) - {q - 1}), "
+                    f"i -> substring(s, i, {q}))"
+                )
+            )
+        ).alias("gram"),
+    )
+    ga, gb = grams.alias("a"), grams.alias("b")
+    cand_long = (
+        ga.join(
+            gb,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    shorts = s.filter(F.length("s") < guaranteed)
+    sa, sb = shorts.alias("a"), shorts.alias("b")
+    cand_short = sa.join(
+        sb,
+        (F.col("a.id") < F.col("b.id"))
+        & (
+            F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s")))
+            <= max_dist
+        ),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.s").alias("s_a"),
+        F.col("b.s").alias("s_b"),
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

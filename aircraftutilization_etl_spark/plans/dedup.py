@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    edit_distance_pairs,
     MINHASH_K,
     MINHASH_ROWS,
     doc_shingles,
@@ -353,3 +354,36 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "kept", F.row_number().over(w) == 1
     )
+
+
+@query(
+    "q_dedup_edit_distance",
+    """
+    WITH titles AS (
+        SELECT doc_id, lower(substring(trim(text), 1, 24)) AS title
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INT) AS dist
+    FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup pairs: document title prefixes (first 24
+    chars, lowercased) within Levenshtein distance 2 — the fuzzy-match
+    member of the dedup family (catches OCR noise and edit-variants
+    that shingle Jaccard misses at short lengths).
+
+    Engine side: sub-quadratic q-gram-prefiltered candidates + exact
+    JVM levenshtein verification (operators/dedup.edit_distance_pairs);
+    the oracle brute-forces all pairs, so a hash match proves the
+    prefilter loses no true pair on this corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    titles = d.select(
+        "doc_id",
+        F.lower(F.substring(F.trim(F.col("text")), 1, 24)).alias("title"),
+    )
+    return edit_distance_pairs(titles, max_dist=2, str_col="title")

@@ -164,3 +164,56 @@ class TestSimHash:
         prints = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
         ham = lambda a, b: sum(x != y for x, y in zip(a, b))
         assert ham(prints[1], prints[2]) <= ham(prints[1], prints[3])
+
+
+# --- edit-distance pairs --------------------------------------------------
+
+
+def test_edit_distance_pairs_vs_bruteforce(spark):
+    """Prefiltered pairs must equal brute-force levenshtein pairs —
+    including short strings (below the q-gram guarantee) and
+    cross-bucket long/short pairs."""
+    import itertools
+
+    from aircraftutilization_etl_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    vals = [
+        (0, "the quick brown fox"),
+        (1, "the quick brown fux"),     # dist 1
+        (2, "the quick brown foxes"),   # dist 2
+        (3, "completely different"),
+        (4, "ab"),                      # shorter than one gram
+        (5, "abc"),                     # dist 1 from "ab"
+        (6, "abcd"),                    # dist 2 from "ab"
+        (7, "xbcd"),                    # dist 1 from "abcd"
+        (8, ""),                        # empty
+        (9, "ab"),                      # exact dup of 4
+    ]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(vals, 2)
+        if lev(a, b) <= 2
+    )
+    df = spark.createDataFrame(vals, "doc_id long, title string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, max_dist=2).collect()
+    )
+    assert got == want
