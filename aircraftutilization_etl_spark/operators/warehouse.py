@@ -210,3 +210,53 @@ def zorder_bucket_stats(
         F.min(col_b).alias("min_b"),
         F.max(col_b).alias("max_b"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff of two table snapshots → one row per key present in
+    either, with ``status`` ∈ {added, removed, changed, unchanged} and
+    the list of changed columns — the change-data-capture primitive a
+    warehouse emits between ingest versions (Delta CDF / audit-diff
+    shape) without needing a table format's transaction log.
+
+    Null-safe per-column comparison (``eqNullSafe``: null==null is
+    unchanged, null→value is a change). One full-outer join on the key
+    is the whole cost — both sides shuffle once; at 100 TB co-located
+    or bucketed snapshots make it exchange-free (see colocated_join).
+    """
+    o = old.select(key_col, *compare_cols).alias("o")
+    n = new.select(key_col, *compare_cols).alias("n")
+    joined = o.join(n, F.col(f"o.{key_col}") == F.col(f"n.{key_col}"), "full_outer")
+    in_old = F.col(f"o.{key_col}").isNotNull()
+    in_new = F.col(f"n.{key_col}").isNotNull()
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    status = (
+        F.when(in_old & ~in_new, F.lit("removed"))
+        .when(~in_old & in_new, F.lit("added"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col(f"o.{key_col}"), F.col(f"n.{key_col}")).alias(
+            key_col
+        ),
+        status.alias("status"),
+        F.when(status == "changed", changed_cols)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_columns"),
+    )

@@ -185,3 +185,79 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     return zorder_bucket_stats(li, "l_partkey", "l_suppkey", 12)
+
+
+def _diff_sql() -> str:
+    from .text import _STOP_RATIO
+
+    pred_lang = f"CASE WHEN {_STOP_RATIO} > 0.05 THEN 'en' ELSE 'unknown' END"
+    return f"""
+    WITH v1 AS (
+        SELECT doc_id, text, lang, source FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+    ),
+    v2 AS (
+        SELECT doc_id, text, {pred_lang} AS lang, source FROM documents
+        WHERE {_STOP_RATIO} > 0.05
+    ),
+    j AS (
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               v1.doc_id IS NOT NULL AS in_old,
+               v2.doc_id IS NOT NULL AS in_new,
+               concat_ws(',',
+                   CASE WHEN v1.text IS DISTINCT FROM v2.text
+                        THEN 'text' END,
+                   CASE WHEN v1.lang IS DISTINCT FROM v2.lang
+                        THEN 'lang' END,
+                   CASE WHEN v1.source IS DISTINCT FROM v2.source
+                        THEN 'source' END) AS diffcols
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN in_old AND NOT in_new THEN 'removed'
+                WHEN in_new AND NOT in_old THEN 'added'
+                WHEN diffcols <> '' THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN in_old AND in_new THEN diffcols ELSE '' END
+               AS changed_columns
+    FROM j
+    ORDER BY doc_id
+    """
+
+
+@query("q_snapshot_diff", _diff_sql())
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two ingest versions of the corpus:
+    v1 excludes the late-arrival slice (md5 tail), v2 applies the
+    language filter (drops low-stopword docs) and re-labels ``lang``
+    with the heuristic language ID. The diff reports every key as
+    added / removed / changed / unchanged with the changed column list
+    — the audit artifact a warehouse publishes per ingest without a
+    table format's transaction log.
+
+    Scale: one full-outer join on the key (both sides shuffle once;
+    bucketed snapshots make it exchange-free); per-column comparison is
+    null-safe codegen.
+    """
+    from ..operators.text import lang_id_expr, stopword_ratio_expr
+    from ..operators.warehouse import snapshot_diff
+
+    d = table(spark, sf_dir, "documents")
+    v1 = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) != "f"
+    ).select("doc_id", "text", "lang", "source")
+    v2 = (
+        d.filter(stopword_ratio_expr() > 0.05)
+        .select(
+            "doc_id",
+            "text",
+            lang_id_expr(stop_ratio=stopword_ratio_expr()).alias("lang"),
+            "source",
+        )
+    )
+    diff = snapshot_diff(v1, v2, "doc_id", ["text", "lang", "source"])
+    return diff.select(
+        "doc_id",
+        "status",
+        F.array_join("changed_columns", ",").alias("changed_columns"),
+    )

@@ -179,3 +179,45 @@ class TestZOrder:
         df = spark.range(1000).selectExpr("id AS a", "id * 7 % 997 AS b")
         plan = zorder_repartition(df, "a", "b", 8)._jdf.queryExecution()
         assert "rangepartitioning" in plan.executedPlan().toString().lower()
+
+
+# --- snapshot diff --------------------------------------------------------
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from aircraftutilization_etl_spark.operators.warehouse import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),      # unchanged
+            (2, "b", 20),      # changed: v
+            (3, None, 30),     # unchanged (null == null)
+            (4, "d", None),    # changed: n null -> value
+            (5, "gone", 50),   # removed
+        ],
+        "k long, v string, n int",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "B", 20),
+            (3, None, 30),
+            (4, "d", 40),
+            (6, "new", 60),    # added
+        ],
+        "k long, v string, n int",
+    )
+    rows = {
+        r["k"]: (r["status"], list(r["changed_columns"]))
+        for r in snapshot_diff(old, new, "k", ["v", "n"]).collect()
+    }
+    assert rows == {
+        1: ("unchanged", []),
+        2: ("changed", ["v"]),
+        3: ("unchanged", []),
+        4: ("changed", ["n"]),
+        5: ("removed", []),
+        6: ("added", []),
+    }
