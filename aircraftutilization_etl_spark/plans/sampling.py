@@ -142,3 +142,59 @@ def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         10000 * (1 + F.substring("source", 4, 10).cast("int") % 4)
     ).cast("long")
     return rebalance_sources(d, weight).select("doc_id", "source")
+
+
+_SPLIT_CASE = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                    ELSE 'test' END"""
+
+
+def _leakage_sql() -> str:
+    from .dedup import _LSH_PAIRS_CTES
+
+    return f"""
+    WITH {_LSH_PAIRS_CTES},
+    splits AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+    SELECT p.id_a, p.id_b,
+           sa.split AS split_a, sb.split AS split_b,
+           p.jaccard
+    FROM lsh_pairs p
+      JOIN splits sa ON sa.doc_id = p.id_a
+      JOIN splits sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q_split_leakage_report", _leakage_sql())
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination guard: every near-duplicate pair
+    (MinHash-LSH, Jaccard ≥ 0.5) whose two members landed in DIFFERENT
+    splits of the 80/10/10 partition — the leakage a random split
+    silently ships (a val doc whose near-copy sits in train inflates
+    eval). Empty output = clean split; each row is a violation with its
+    similarity as evidence.
+
+    Scale: composes the LSH pipeline (banded candidates only) with the
+    zero-shuffle split projection; the final joins are broadcast-sized
+    (split map is a projection of the corpus, pairs are few).
+    """
+    from .dedup import JACCARD_THRESHOLD, minhash_lsh_duplicates
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(d, JACCARD_THRESHOLD)
+    splits = hash_split(d, "doc_id", SPLITS).select("doc_id", "split")
+    sa = splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
