@@ -263,3 +263,95 @@ def q_emb_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(COUNT(ivf_neighbor) * 1000000 DIV {TOP_K} AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+N_NEG_DRAWS = 3  # 3 distinct candidate indices can't all hit {anchor, positive}
+
+
+@query(
+    "q_emb_triplets",
+    f"""
+    WITH {_EMB_PAIRS_CTE},
+    ranked AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS idx
+        FROM embeddings
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    cand AS (
+        SELECT p.id_a AS anchor_id, p.id_b AS positive_id, u.j,
+               (CAST(concat('0x',
+                    substr(md5(CAST(p.id_a AS VARCHAR)), 1, 12)) AS BIGINT)
+                % nn.n + u.j) % nn.n AS idx
+        FROM emb_pairs p, nn, LATERAL unnest(range(0, {N_NEG_DRAWS})) AS u(j)
+    )
+    SELECT anchor_id, positive_id, negative_id FROM (
+        SELECT c.anchor_id, c.positive_id, r.vec_id AS negative_id,
+               ROW_NUMBER() OVER (PARTITION BY c.anchor_id, c.positive_id
+                                  ORDER BY c.j) AS rn
+        FROM cand c JOIN ranked r USING (idx)
+        WHERE r.vec_id <> c.anchor_id AND r.vec_id <> c.positive_id
+    ) WHERE rn = 1
+    ORDER BY anchor_id, positive_id
+    """,
+)
+def q_emb_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, negative):
+    positives are the embedding near-dup pairs; negatives are drawn
+    deterministically by hashing the anchor into an md5-ranked corpus
+    index — replayable random sampling with no RNG state, stable under
+    repartitioning and appends-with-rerank. Three consecutive candidate
+    indices are drawn (distinct by construction, so at least one always
+    avoids the anchor/positive) and the first valid one wins.
+
+    Scale: pair mining is the blocked GEMM; the rank index is one
+    range-partitioned sort; negative resolution is an equi-join on the
+    index — all shuffle-bounded by the pair count, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(e, NEAR_DUP_COSINE).select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
+    )
+    ranked = e.select("vec_id").withColumn(
+        "idx",
+        F.row_number().over(
+            Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        )
+        - 1,
+    )
+    n = ranked.count()
+    r0 = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("anchor_id").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n),
+    )
+    cand = (
+        pairs.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(N_NEG_DRAWS)])
+            ).alias("j"),
+        )
+        .withColumn("idx", F.pmod(r0 + F.col("j"), F.lit(n)))
+    )
+    w = Window.partitionBy("anchor_id", "positive_id").orderBy("j")
+    return (
+        cand.join(ranked, "idx")
+        .filter(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("vec_id") != F.col("positive_id"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("vec_id").alias("negative_id"),
+        )
+    )

@@ -361,3 +361,77 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return unigram_logprob(d).orderBy("doc_id")
+
+
+TOKEN_BUDGET = 20_000
+
+
+@query(
+    "q_token_budget_select",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST({_N_TOKENS} AS BIGINT) AS n_tokens,
+               ROUND((
+                   (CASE WHEN {_N_TOKENS} >= 20 THEN 1.0
+                         ELSE {_N_TOKENS} / 20.0 END)
+                 + (CASE WHEN {_MWL} BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                 + (1.0 - least({_PUNCT_RATIO} * 5, 1.0))
+               ) / 3, 4) AS quality_score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, quality_score,
+               SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, quality_score, CAST(cum_tokens AS BIGINT)
+               AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {TOKEN_BUDGET}
+    ORDER BY quality_score DESC, doc_id
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus selection: greedily take the
+    highest-quality documents (ties → smallest id) until the cumulative
+    token count reaches the training budget — the "fill the context
+    budget with the best data" selection every data-constrained
+    training run performs.
+
+    Scale: one global sort on (quality, id) + a running-sum window.
+    At 100 TB the same plan holds — Spark range-partitions the sort and
+    the cumulative sum is computed per range with partial offsets; a
+    production variant would pre-aggregate per quality bucket and only
+    sort the boundary bucket exactly, which this plan degrades to
+    gracefully since the filter prunes whole ranges past the budget.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    raw = d.select(
+        "doc_id",
+        token_count_expr().cast("bigint").alias("n_tokens"),
+        token_count_expr().alias("__n_tokens"),
+        mean_word_length_expr().alias("__mwl"),
+        punct_ratio_expr().alias("__punct"),
+    )
+    scored = raw.select(
+        "doc_id",
+        "n_tokens",
+        quality_score_expr(
+            n_tokens=F.col("__n_tokens"),
+            mwl=F.col("__mwl"),
+            punct=F.col("__punct"),
+        ).alias("quality_score"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    )
