@@ -48,7 +48,14 @@ PURE_JVM_PREFIXES = (
     "q_rebalance_", "q_dedup_novelty", "q_zorder_", "q_contamination_",
     "q_graph_", "q_emb_srp_topk", "q_emb_quantize_int8",
     "q_curation_funnel",
+    # round-3 additions that must stay JVM-pure (note: q_emb_kmeans is
+    # also pure JVM but shares a prefix with q_emb_kmeans_recall, whose
+    # ground-truth leg is the sanctioned GEMM kernel — pinned below)
+    "q_bloom_", "q_dedup_keep_best", "q_dedup_edit", "q_snapshot_",
+    "q_token_",
 )
+
+PURE_JVM_EXACT = ("q_emb_kmeans",)
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +76,9 @@ def test_no_row_at_a_time_python_anywhere(plans):
 def test_declared_families_are_pure_jvm(plans):
     offenders = []
     for name, plan in plans.items():
-        if not name.startswith(PURE_JVM_PREFIXES):
+        if not (
+            name.startswith(PURE_JVM_PREFIXES) or name in PURE_JVM_EXACT
+        ):
             continue
         if any(node in plan for node in ARROW_NODES + BANNED):
             offenders.append(name)
