@@ -233,3 +233,71 @@ def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(20)
     )
+
+
+@query(
+    "q_outlier_iqr",
+    """
+    WITH fences AS (
+        SELECT l_returnflag, l_linestatus,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l.l_returnflag, l.l_linestatus,
+           ROUND(f.q1, 4) AS q1,
+           ROUND(f.q3, 4) AS q3,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice
+                              < f.q1 - 1.5 * (f.q3 - f.q1)
+                          OR l.l_extendedprice
+                              > f.q3 + 1.5 * (f.q3 - f.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN fences f
+      ON l.l_returnflag = f.l_returnflag
+         AND l.l_linestatus = f.l_linestatus
+    GROUP BY l.l_returnflag, l.l_linestatus, f.q1, f.q3
+    ORDER BY l.l_returnflag, l.l_linestatus
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per group: 1.5·IQR fences on
+    extended price within (returnflag, linestatus), reporting fence
+    positions and the rows outside them — the numeric data-cleaning
+    screen before a column feeds a model.
+
+    Two passes joined on the group key: percentile fences (broadcast-
+    sized — one row per group), then a counting scan. Scale note: the
+    exact percentile buffers each group's values (oracle-required
+    here); at 100 TB swap approx_percentile into the fences CTE — the
+    plan shape is unchanged and the fences move by the sketch error.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    fences = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out_flag = (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        li.join(F.broadcast(fences), ["l_returnflag", "l_linestatus"])
+        .groupBy("l_returnflag", "l_linestatus", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(out_flag.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            "n_rows",
+            "n_outliers",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
