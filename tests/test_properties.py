@@ -67,3 +67,61 @@ def test_split_thresholds_monotone_and_total(weights):
     assert bounds[-1][1] == "g"  # last range always covers the tail
     hexes = [b for _, b in bounds]
     assert hexes == sorted(hexes)  # cumulative, never regressing
+
+
+# --- q-gram prefilter soundness (operators/dedup.edit_distance_pairs) ----
+
+
+def _qgrams(s: str, q: int = 3) -> set[str]:
+    return {s[i : i + q] for i in range(len(s) - q + 1)}
+
+
+@given(
+    ascii_text.filter(lambda s: len(s) <= 60),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["ins", "del", "sub"]),
+            st.integers(min_value=0, max_value=59),
+            st.characters(min_codepoint=32, max_codepoint=126),
+        ),
+        max_size=2,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_qgram_sharing_guarantee_under_two_edits(a, edits):
+    """The lemma edit_distance_pairs's candidate generation rests on:
+    after ≤2 single-character edits, if EITHER string reaches
+    q + q·k = 9 chars the two strings share ≥1 distinct 3-gram — so
+    the gram self-join cannot miss a true pair outside the short-string
+    bucket."""
+    b = a
+    for op, pos, ch in edits:
+        p = min(pos, len(b))
+        if op == "ins":
+            b = b[:p] + ch + b[p:]
+        elif op == "del" and b:
+            p = min(pos, len(b) - 1)
+            b = b[:p] + b[p + 1 :]
+        elif op == "sub" and b:
+            p = min(pos, len(b) - 1)
+            b = b[:p] + ch + b[p + 1 :]
+    if max(len(a), len(b)) >= 9:
+        assert _qgrams(a) & _qgrams(b), (a, b)
+
+
+# --- perceptual-hash block partition (operators/multimodal) ---------------
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_phash_block_partition_covers_and_orders(data):
+    """Byte j -> block j·B div n tiles [0, n) into ≤B contiguous,
+    order-preserving runs, and every block is nonempty when n ≥ B —
+    the invariant the aHash kernel and its SQL oracle both assume."""
+    B = 32
+    n = len(data)
+    blocks = [(j * B) // n for j in range(n)] if n else []
+    assert all(0 <= b < B for b in blocks)
+    assert blocks == sorted(blocks)  # contiguous, order-preserving
+    if n >= B:
+        assert len(set(blocks)) == B  # no empty block
