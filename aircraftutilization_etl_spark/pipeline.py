@@ -24,6 +24,7 @@ import logging
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .operators.flight import classify_and_split, merge_states, project_metadata
 from .schemas import METADATA_SCHEMA, SOURCE_SCHEMA
@@ -52,6 +53,9 @@ class FlightPipeline:
         # retained state generations: enough to debug/time-travel recent
         # cycles while bounding storage under the 5-minute cadence
         self.keep_generations = keep_generations
+        # per-cycle row counts from the last run_complete_flights, filled
+        # by Observation metrics riding the write actions (no count jobs)
+        self.last_metrics: dict[str, int] = {}
 
     def run_metadata_etl(self, raw_csv_path: str) -> None:
         """EP3 — daily dimension refresh (reference MetadataETL.etl)."""
@@ -79,7 +83,14 @@ class FlightPipeline:
         (complete_flights/transformers.py:180-187). The classified frame
         fans out to two outputs, so the branch point is cached for the
         duration of the two actions.
+
+        Cycle metrics (completed/active row counts) ride the write
+        actions via ``Observation`` — accumulator-backed, so no extra
+        count jobs — and land in :attr:`last_metrics` for the
+        orchestrator's heartbeat.
         """
+        from pyspark.sql import Observation
+
         source_version = self.state.current_version()
         source = self.state.read()
         if source.isEmpty():
@@ -89,18 +100,30 @@ class FlightPipeline:
             self.spark, self.metadata_path, METADATA_SCHEMA
         )
         flights = classify_and_split(source, metadata)
-        flights.active.cache()
+        obs_complete = Observation("complete_rows")
+        obs_active = Observation("active_rows")
+        complete = flights.complete.observe(
+            obs_complete, F.count(F.lit(1)).alias("n")
+        )
+        active = flights.active.observe(
+            obs_active, F.count(F.lit(1)).alias("n")
+        )
+        active.cache()
         try:
             # facts first, state last (see module docstring); the batch
             # id is the SOURCE generation, so a crash-replay of this
             # cycle re-derives the same id and the sink guard holds
             append_facts(
-                flights.complete,
+                complete,
                 self.facts_path,
                 batch_id=source_version or "genesis",
             )
-            self.state.commit(flights.active)
+            self.state.commit(active)
             self.state.vacuum(keep=self.keep_generations)
+            self.last_metrics = {
+                "n_complete": obs_complete.get["n"],
+                "n_active": obs_active.get["n"],
+            }
         finally:
-            flights.active.unpersist()
+            active.unpersist()
         return True

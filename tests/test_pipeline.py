@@ -176,3 +176,16 @@ def test_absent_aircraft_keeps_state_until_ttl(pipeline, spark):
     pipeline.run_active_flights(payload(vector("aaa111", t2, 100.0, 0.0)), now_epoch=t2)
     ids = {r["icao24"] for r in pipeline.state.read().collect()}
     assert ids == {"aaa111"}
+
+
+def test_cycle_metrics_via_observation(pipeline, spark, tmp_path):
+    """run_complete_flights publishes per-cycle row counts from
+    Observation metrics riding the write actions — no extra count jobs."""
+    _drive_to_landing(pipeline, tmp_path)
+    # batch 4: slow + level after descend -> landing completes the flight
+    t3 = T0 + 900
+    pipeline.run_active_flights(
+        payload(vector("ab1234", t3, 5.0, 0.0)), now_epoch=t3
+    )
+    pipeline.run_complete_flights()
+    assert pipeline.last_metrics == {"n_complete": 1, "n_active": 0}
