@@ -29,6 +29,7 @@ HEADLINE = [
     "q_percentiles_approx",  # sketch path; exact twin stays oracle-only
     "q_full_outer_merge",
     "q_skew_salted_join",
+    "q_bloom_prune_join",  # runtime-filter pruning before the join shuffle
     "q_events_sessionize",
     "q_events_asof_last_click",
     "q_events_hourly_window",
