@@ -351,3 +351,68 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         cooccurrence_pairs(ev, key="user_id", item="event_type")
         .orderBy("item_a", "item_b")
     )
+
+
+@query(
+    "q_events_session_window",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER w
+                        >= INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window`` — the
+    same 30-minute-gap sessions as q_events_sessionize, computed by the
+    native operator instead of the lag/cumsum formulation, with one
+    boundary difference this query pins down: session_window merges on
+    STRICT "next < last + gap", so a spacing of exactly the gap starts
+    a new session (the lag twin's ``>`` keeps it). The oracle replays
+    the built-in's semantics (``>=`` split) over the relational
+    formulation — a hash match cross-validates Spark's native operator
+    against the portable SQL definition, boundary included.
+
+    Scale: one shuffle on user_id; the native operator merges windows
+    inside the aggregation (no second window pass), and the same call
+    shape runs on a watermarked stream — the batch/streaming-unified
+    sessionizer.
+    """
+    e = table(spark, sf_dir, "events")
+    g = (
+        e.select("user_id", "ts", "value")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return g.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

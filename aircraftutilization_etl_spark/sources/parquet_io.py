@@ -127,6 +127,27 @@ class StateStore:
         df = self.spark.read.schema(self.schema).parquet(f"{self.root}/{version}")
         return require_columns(df, [f.name for f in self.schema.fields])
 
+    def read_version(self, version: str) -> DataFrame:
+        """Time travel: read a specific retained state generation.
+
+        Any version still listed by :meth:`versions` (i.e. not yet
+        vacuumed) is readable — committed generations are immutable, so
+        this is a consistent snapshot of the keyed state as of that
+        commit. The debugging/backfill read every versioned store owes
+        its operators: replay a past cycle's input exactly, diff two
+        generations (operators/warehouse.snapshot_diff), or re-derive a
+        sink batch id.
+        """
+        if version not in self.versions():
+            raise ValueError(
+                f"unknown or vacuumed state generation {version!r}; "
+                f"retained: {self.versions()}"
+            )
+        df = self.spark.read.schema(self.schema).parquet(
+            f"{self.root}/{version}"
+        )
+        return require_columns(df, [f.name for f in self.schema.fields])
+
     def current_version(self) -> str | None:
         """Resolved current generation (manifest, else crash-recovery
         newest) — also the deterministic batch id for downstream sinks:
