@@ -102,6 +102,64 @@ def run_hourly_rollup(
     return writer.start()
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session aggregates via the native ``session_window`` —
+    the STREAMING twin of the batch q_events_session_window query (same
+    call shape, same strict-merge boundary semantics): overlapping
+    [ts, ts+gap) windows merge per user; the watermark both admits
+    bounded late events into a still-open session and finalizes a
+    session once no on-time event can extend it.
+
+    Scale: state per (user, open session) only — merged windows
+    collapse to one state row, and finalized sessions leave the store;
+    state is bounded by concurrently-active users, not stream length.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_rollup(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    processing_time: str | None = None,
+):
+    """Append-mode session rollup to parquet: each session emitted once,
+    when the watermark guarantees nothing can extend or merge it."""
+    rollup = session_counts(events_stream, gap=gap, watermark=watermark)
+    writer = (
+        rollup.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def click_purchase_attribution(
     clicks: DataFrame,
     purchases: DataFrame,

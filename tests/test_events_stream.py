@@ -16,8 +16,11 @@ from aircraftutilization_etl_spark.streaming.events_stream import (
 BASE = dt.datetime(2024, 4, 5, 10, 0, 0)
 
 
-def _write_batch(path, rows, order):
-    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+def _write_batch(path, rows, order, with_user=False):
+    cols = ["event_id", "ts", "event_type", "value"] + (
+        ["user_id"] if with_user else []
+    )
+    pdf = pd.DataFrame(rows, columns=cols)
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects ns parquet
     pdf.to_parquet(path)
     os.utime(path, (1_700_000_000 + order, 1_700_000_000 + order))
@@ -139,3 +142,95 @@ def test_dedup_stream_drops_replayed_events(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM dedup_out").collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3]  # event 1 emitted exactly once
+
+
+def test_session_rollup_finalizes_and_merges(spark, tmp_path):
+    """Streaming session_window: events 10 min apart merge into one
+    session, a 40-min gap opens a new one, a within-watermark late
+    event extends its (still-open) session, and sessions finalize once
+    the watermark passes — matching the batch formulation's semantics."""
+    from aircraftutilization_etl_spark.streaming.events_stream import (
+        run_session_rollup,
+    )
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    m = dt.timedelta(minutes=1)
+    # batch 0: user 1 — one session of two events (10 min apart), then a
+    # 40-min gap opens a second session
+    _write_batch(
+        in_dir / "b0.parquet",
+        order=0,
+        rows=[
+            (1, BASE, "click", 1.0, 1),
+            (2, BASE + 10 * m, "click", 2.0, 1),
+            (3, BASE + 50 * m, "view", 4.0, 1),
+        ],
+        with_user=True,
+    )
+    # batch 1: late-but-within-watermark event lands in session 1
+    # (watermark is far behind: max event time is BASE+50m)
+    _write_batch(
+        in_dir / "b1.parquet",
+        order=1,
+        rows=[(4, BASE + 15 * m, "click", 8.0, 1)],
+        with_user=True,
+    )
+    # batches 2-3: user 2 far in the future — advances the watermark
+    # past everything of user 1, finalizing both sessions
+    _write_batch(
+        in_dir / "b2.parquet",
+        order=2,
+        rows=[(5, BASE + dt.timedelta(hours=6), "click", 1.0, 2)],
+        with_user=True,
+    )
+    _write_batch(
+        in_dir / "b3.parquet",
+        order=3,
+        rows=[(6, BASE + dt.timedelta(hours=7), "click", 1.0, 2)],
+        with_user=True,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double,"
+            " user_id long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    q = run_session_rollup(
+        stream,
+        out_path=str(tmp_path / "sessions"),
+        checkpoint_dir=str(tmp_path / "sess_ckpt"),
+        gap="30 minutes",
+        watermark="2 hours",
+        processing_time="1 second",
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            progress = q.lastProgress
+            if progress and progress["batchId"] >= 4 and progress[
+                "numInputRows"
+            ] == 0:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "sessions"))
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in out.collect()
+    }
+    gap = dt.timedelta(minutes=30)
+    # session 1: events at +0, +10, +15 (late) -> window [0, 15+30)
+    assert got[(1, BASE, BASE + 15 * m + gap)] == (3, 11.0)
+    # session 2: single event at +50 -> [50, 80)
+    assert got[(1, BASE + 50 * m, BASE + 50 * m + gap)] == (1, 4.0)
+    # user 2's sessions not finalized (watermark hasn't passed them)
+    assert not any(u == 2 for (u, _s, _e) in got)
