@@ -66,7 +66,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--facts", required=True)
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser(
+        "query", help="run a catalog query against a table directory"
+    )
+    p.add_argument("name", help="catalog query name (see list-queries)")
+    p.add_argument(
+        "--data", required=True, help="directory holding <table>.parquet files"
+    )
+    p.add_argument(
+        "--out", default=None, help="write result parquet here (default: show)"
+    )
+    p.add_argument("--limit", type=int, default=20, help="rows to show")
+
+    sub.add_parser("list-queries", help="list every catalog query")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "list-queries":  # metadata-only: no Spark session
+        from .plans import CATALOG
+
+        for name, qd in sorted(CATALOG.items()):
+            doc = (qd.doc or "").strip().splitlines()
+            print(f"{name}\t{doc[0] if doc else ''}")
+        return 0
+
     from pyspark.sql import SparkSession
 
     # only stop a session this invocation created (getOrCreate may hand
@@ -97,6 +120,21 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "migrate-built":
             n = run_built_string_migration(spark, args.facts, args.out)
             print(json.dumps({"migrated_rows": n}))
+        elif args.cmd == "query":
+            from .plans import CATALOG
+
+            if args.name not in CATALOG:
+                print(
+                    f"unknown query {args.name!r}; run list-queries",
+                    file=sys.stderr,
+                )
+                return 2
+            df = CATALOG[args.name].spark(spark, args.data)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"query": args.name, "out": args.out}))
+            else:
+                df.show(args.limit, truncate=False)
     finally:
         if owns_session:
             spark.stop()

@@ -44,3 +44,22 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     assert len(rows) == 1
     assert rows[0]["flight_duration_minutes"] == 20
     assert rows[0]["model"] == "A320"
+
+
+def test_cli_list_queries(capsys):
+    from aircraftutilization_etl_spark.__main__ import main
+
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out
+    assert "q_emb_kmeans" in out
+    assert len(out.strip().splitlines()) >= 100
+
+
+def test_cli_query_unknown_name(spark):
+    from aircraftutilization_etl_spark.__main__ import main
+
+    assert (
+        main(["query", "q_does_not_exist", "--data", "/root/testdata/sf0.001"])
+        == 2
+    )
