@@ -260,3 +260,83 @@ def snapshot_diff(
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_columns"),
     )
+
+
+HILBERT_BITS = 8  # 256x256 grid -> 16-bit Hilbert index
+_H_MASK = (1 << HILBERT_BITS) - 1
+
+
+def hilbert_steps(a: str, b: str, bits: int = HILBERT_BITS) -> list[tuple[str, str]]:
+    """The Hilbert xy→d transform as a list of (column, SQL expression)
+    assignments — one integer-only step chain both engines evaluate
+    identically (each level references the PREVIOUS level's columns, so
+    expression size stays constant per level instead of doubling).
+
+    Algorithm: the standard bitwise xy2d walk — per level s (high bit
+    down): quadrant cell = gray-coded (rx, ry) contributes s²·cell to
+    the index, then the lower-order subsquare is rotated/reflected into
+    canonical orientation. Validated by the bijection + unit-step
+    adjacency property (tests/test_warehouse.py) — the two properties
+    that characterize a Hilbert curve.
+    """
+    steps: list[tuple[str, str]] = [
+        ("hx0", f"CAST({a} AS BIGINT) & {_H_MASK}"),
+        ("hy0", f"CAST({b} AS BIGINT) & {_H_MASK}"),
+        ("hd0", "CAST(0 AS BIGINT)"),
+    ]
+    level = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        x, y, d = f"hx{level}", f"hy{level}", f"hd{level}"
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        cell = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+            f"ELSE 3 END)"
+        )
+        steps.append((f"hd{level + 1}", f"{d} + {s * s} * {cell}"))
+        steps.append(
+            (
+                f"hx{level + 1}",
+                f"CASE WHEN {ry} = 1 THEN {x} "
+                f"WHEN {rx} = 1 THEN {s - 1} - {y} ELSE {y} END",
+            )
+        )
+        steps.append(
+            (
+                f"hy{level + 1}",
+                f"CASE WHEN {ry} = 1 THEN {y} "
+                f"WHEN {rx} = 1 THEN {s - 1} - {x} ELSE {x} END",
+            )
+        )
+        level += 1
+        s >>= 1
+    steps.append(("hval", f"hd{level}"))
+    return steps
+
+
+def with_hilbert_value(
+    df: DataFrame, col_a: str, col_b: str, out: str = "hval"
+) -> DataFrame:
+    """Attach the Hilbert index of two integer columns (low
+    ``HILBERT_BITS`` bits each) — the locality-preserving alternative to
+    ``with_zvalue``: consecutive index values are always
+    Manhattan-adjacent cells, so fixed-width index ranges bound TIGHTER
+    rectangles than a z-order prefix (no Morton "seams")."""
+    cur = df
+    for name, expr in hilbert_steps(col_a, col_b):
+        cur = cur.withColumn(name, F.expr(expr))
+    keep = [c for c in df.columns] + [out]
+    return cur.withColumn(out, F.col("hval")).select(*keep)
+
+
+def hilbert_sql(a: str, b: str, source: str, bits: int = HILBERT_BITS) -> str:
+    """Nested-subquery SQL deriving ``hval`` over ``source`` from the
+    SAME step chain the Spark column chain uses — one generator, two
+    realizations, so the oracle replays every level bit for bit."""
+    query = f"SELECT * FROM {source}"
+    for name, expr in hilbert_steps(a, b, bits):
+        query = f"SELECT *, {expr} AS {name} FROM ({query})"
+    return query

@@ -261,3 +261,56 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.array_join("changed_columns", ",").alias("changed_columns"),
     )
+
+
+def _hilbert_layout_sql() -> str:
+    from ..operators.warehouse import hilbert_sql
+
+    inner = hilbert_sql("l_partkey", "l_suppkey", "lineitem")
+    return f"""
+    SELECT (hval >> 8) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(hx0) AS min_a, MAX(hx0) AS max_a,
+           MIN(hy0) AS min_b, MAX(hy0) AS max_b
+    FROM ({inner})
+    GROUP BY 1
+    ORDER BY bucket
+    """
+
+
+@query("q_hilbert_layout", _hilbert_layout_sql())
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit of lineitem on (l_partkey,
+    l_suppkey) low bytes: rows grouped by fixed-width Hilbert-index
+    bucket with per-dimension min/max envelopes — the
+    locality-preserving sibling of q_zorder_layout. Hilbert ranges are
+    always Manhattan-contiguous (no Morton seams), so equal-width index
+    buckets bound tighter rectangles and parquet min/max stats prune
+    harder for 2-column range predicates.
+
+    The xy→d transform is an integer-only per-level step chain
+    generated once and realized as both a Spark column chain and the
+    oracle's nested subqueries — every level of every row is
+    oracle-checked. Scale: per-row codegen projection + one groupBy on
+    the bucket prefix, same as the z-order audit.
+    """
+    from ..operators.warehouse import with_hilbert_value
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    h = with_hilbert_value(li, "l_partkey", "l_suppkey")
+    return (
+        h.select(
+            F.expr("hval >> 8").alias("bucket"),
+            F.expr("CAST(l_partkey AS BIGINT) & 255").alias("a8"),
+            F.expr("CAST(l_suppkey AS BIGINT) & 255").alias("b8"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a8").alias("min_a"),
+            F.max("a8").alias("max_a"),
+            F.min("b8").alias("min_b"),
+            F.max("b8").alias("max_b"),
+        )
+        .orderBy("bucket")
+    )

@@ -221,3 +221,98 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
         5: ("removed", []),
         6: ("added", []),
     }
+
+
+# --- hilbert curve --------------------------------------------------------
+
+
+def _xy2d_ref(bits, x, y):
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    x &= n - 1
+    y &= n - 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_reference_is_a_space_filling_curve():
+    """Bijection + unit-step adjacency over the full grid — the two
+    properties that characterize a Hilbert curve (any mapping passing
+    both IS one, up to symmetry)."""
+    bits = 4
+    n = 1 << bits
+    cells = sorted(
+        (_xy2d_ref(bits, x, y), x, y) for x in range(n) for y in range(n)
+    )
+    assert [c[0] for c in cells] == list(range(n * n))
+    assert all(
+        abs(cells[i + 1][1] - cells[i][1]) + abs(cells[i + 1][2] - cells[i][2])
+        == 1
+        for i in range(len(cells) - 1)
+    )
+
+
+def test_hilbert_spark_matches_reference(spark):
+    from aircraftutilization_etl_spark.operators.warehouse import (
+        HILBERT_BITS,
+        with_hilbert_value,
+    )
+
+    rows = [(i, (i * 37) % 300, (i * 101) % 300) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {
+        r["id"]: r["hval"]
+        for r in with_hilbert_value(df, "a", "b").collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == _xy2d_ref(HILBERT_BITS, a, b), (i, a, b)
+
+
+def test_hilbert_buckets_tighter_than_zorder(spark):
+    """The locality claim, measured: over a uniform grid, the mean
+    bucket envelope area of equal-width Hilbert ranges is no larger
+    than the z-order prefix buckets' — the reason to pay for the
+    longer expression chain."""
+    from aircraftutilization_etl_spark.operators.warehouse import (
+        with_hilbert_value,
+        with_zvalue,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(x, y) for x in range(0, 256, 4) for y in range(0, 256, 4)]
+    df = spark.createDataFrame(rows, "a long, b long")
+
+    def mean_area(bucketed):
+        stats = (
+            bucketed.groupBy("bucket")
+            .agg(
+                ((F.max("a") - F.min("a") + 1) * (F.max("b") - F.min("b") + 1)).alias(
+                    "area"
+                )
+            )
+            .agg(F.avg("area"))
+            .first()[0]
+        )
+        return stats
+
+    h_area = mean_area(
+        with_hilbert_value(df, "a", "b").select(
+            "a", "b", F.expr("hval >> 8").alias("bucket")
+        )
+    )
+    z_area = mean_area(
+        with_zvalue(df, "a", "b").select(
+            "a", "b", F.expr("zval >> 8").alias("bucket")
+        )
+    )
+    assert h_area <= z_area
