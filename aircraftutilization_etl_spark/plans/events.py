@@ -416,3 +416,147 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_HORIZON_MINUTES = 120
+
+
+@query(
+    "q_events_funnel",
+    f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL {FUNNEL_HORIZON_MINUTES} MINUTE
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL {FUNNEL_HORIZON_MINUTES} MINUTE
+        GROUP BY e.user_id
+    )
+    SELECT step, CAST(n_users AS BIGINT) AS n_users FROM (
+        SELECT '1_{FUNNEL_STEPS[0]}' AS step, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT '2_{FUNNEL_STEPS[1]}', COUNT(*) FROM s2
+        UNION ALL
+        SELECT '3_{FUNNEL_STEPS[2]}', COUNT(*) FROM s3
+    )
+    ORDER BY step
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users progressing view → click →
+    purchase, each step strictly after the previous one's FIRST
+    completion and within a 2-hour horizon of it — the product-
+    analytics primitive (first-touch attribution semantics: the
+    earliest qualifying event per step anchors the next window).
+
+    Scale: one groupBy per step on user_id — all three share the same
+    key partitioning, so after the first exchange the chain is
+    co-partitioned joins + partial-aggregated MINs; no window over raw
+    event order, no per-user event buffering.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    horizon = F.expr(f"INTERVAL {FUNNEL_HORIZON_MINUTES} MINUTES")
+    s1 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(f"1_{FUNNEL_STEPS[0]}").alias("step"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(f"2_{FUNNEL_STEPS[1]}").alias("step"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(f"3_{FUNNEL_STEPS[2]}").alias("step"), "n_users"
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("step")
+
+
+@query(
+    "q_events_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST((epoch(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                     - epoch(CAST(f.cohort_week AS TIMESTAMP)))
+                    / 604800 AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted as active per subsequent week offset — the retention
+    triangle every product dashboard draws.
+
+    Scale: first-touch is one user-keyed groupBy; the activity join is
+    co-partitioned on the same key; the final count groups (cohort,
+    offset) — a few hundred cells however large the event stream. The
+    distinct before counting collapses per-user-week duplicates
+    map-side.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = e.groupBy("user_id").agg(F.min(week(F.col("ts"))).alias("cohort_week"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp(week(F.col("ts")).cast("timestamp"))
+                    - F.unix_timestamp(F.col("cohort_week").cast("timestamp"))
+                )
+                / 604800
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
