@@ -160,6 +160,38 @@ def run_session_rollup(
     return writer.start()
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dimension: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a batch
+    dimension table — the third member of the streaming join family
+    (stateful stream-stream: click_purchase_attribution; stateless
+    stream-static: this; batch-batch: the relational surface).
+
+    Stream-static joins are STATELESS on the stream side. Refresh
+    semantics depend on the static source: a plain parquet dimension
+    pins its FILE LISTING at query start (an overwrite mid-query breaks
+    the run — batch jobs re-read files, not the listing), so the daily
+    metadata_etl pattern is: refresh the dimension, then (re)start the
+    enrichment query — trigger(availableNow) runs are restarts by
+    construction, which the test exploits. A catalog table (REFRESH
+    TABLE) or a snapshot-isolated format lifts that to per-batch
+    freshness with the same join code. Spark broadcasts the dimension
+    when it fits (same planner rules as batch); only inner and left
+    joins preserve streaming semantics on the stream side.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"stream-static join supports inner/left on the stream side, "
+            f"not {how!r} (right/full would need unmatched-dimension "
+            "tracking across batches)"
+        )
+    return events.join(dimension, on=on, how=how)
+
+
 def click_purchase_attribution(
     clicks: DataFrame,
     purchases: DataFrame,

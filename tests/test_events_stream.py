@@ -234,3 +234,96 @@ def test_session_rollup_finalizes_and_merges(spark, tmp_path):
     assert got[(1, BASE + 50 * m, BASE + 50 * m + gap)] == (1, 4.0)
     # user 2's sessions not finalized (watermark hasn't passed them)
     assert not any(u == 2 for (u, _s, _e) in got)
+
+
+def test_stream_static_enrichment_sees_dimension_refresh(spark, tmp_path):
+    """A parquet static side pins its file listing at query START: the
+    refresh workflow is refresh-then-restart (availableNow runs restart
+    by construction). Rows processed by the run after the refresh get
+    the new attributes; earlier output keeps what was current then."""
+    from aircraftutilization_etl_spark.streaming.events_stream import (
+        enrich_with_dimension,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "bronze")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    in_dir = tmp_path / "enrich_in"
+    in_dir.mkdir()
+    _write_batch(
+        in_dir / "b0.parquet",
+        order=0,
+        rows=[(1, BASE, "click", 1.0, 1)],
+        with_user=True,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double,"
+            " user_id long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    enriched = enrich_with_dimension(
+        stream, spark.read.parquet(dim_path), on="user_id"
+    )
+    out_path = str(tmp_path / "enriched")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    # refresh the dimension, then a second event arrives
+    spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    _write_batch(
+        in_dir / "b1.parquet",
+        order=1,
+        rows=[(2, BASE + dt.timedelta(minutes=1), "click", 2.0, 1)],
+        with_user=True,
+    )
+    # re-resolve the dimension for the new run (parquet listings pin
+    # at query start; an in-place overwrite invalidates the old one)
+    enriched2 = enrich_with_dimension(
+        stream, spark.read.parquet(dim_path), on="user_id"
+    )
+    q2 = (
+        enriched2.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+
+    rows = {
+        r["event_id"]: r["tier"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert rows == {1: "bronze", 2: "gold"}
+
+
+def test_stream_static_rejects_right_join(spark, tmp_path):
+    import pytest
+
+    from aircraftutilization_etl_spark.streaming.events_stream import (
+        enrich_with_dimension,
+    )
+
+    dim = spark.createDataFrame([(1, "x")], "user_id long, tier string")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="inner/left"):
+        enrich_with_dimension(stream, dim, on="user_id", how="right")
