@@ -560,3 +560,75 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+RFM_ASOF = "2024-02-01 00:00:00"
+
+
+@query(
+    "q_events_rfm_segments",
+    f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                              CAST(TIMESTAMP '{RFM_ASOF}' AS DATE))
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0 END), 2) AS monetary
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score
+    FROM (
+        SELECT *,
+               NTILE(4) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, user_id) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary, user_id) AS m_score
+        FROM base
+    )
+    ORDER BY user_id
+    """,
+)
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (calendar days since last
+    event as of a fixed anchor date), frequency, purchase monetary value, each quartile-
+    scored 1–4 (higher = better; ties broken by user id for engine
+    determinism) — the classic behavioral segmentation query.
+
+    Scale: one user-keyed aggregate, then three global NTILE sorts over
+    the USER table (not the event stream) — |users| rows, range-
+    partitioned sorts; the event-scale work is the single partial-
+    aggregated groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    anchor = F.lit(RFM_ASOF).cast("timestamp")
+    base = e.groupBy("user_id").agg(
+        F.datediff(anchor.cast("date"), F.max("ts").cast("date"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("monetary"),
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("recency_days"), "user_id"))
+        .alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+    )
