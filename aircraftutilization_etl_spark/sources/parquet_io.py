@@ -205,3 +205,67 @@ class StateStore:
 def local_path(path: str) -> str:
     """Normalize a filesystem path for local testing."""
     return path if "://" in path else f"file://{os.path.abspath(path)}"
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Compact a parquet directory's small files toward
+    ``target_file_bytes`` per file; returns {files_before, files_after,
+    bytes}.
+
+    THE steady-state maintenance job of any high-cadence sink: a
+    5-minute append cadence writes ~288 small files/day/partition, and
+    at 100 TB the scan's task count (and the namenode/listing load)
+    grows with file count, not data size. Compaction rewrites the
+    directory as ceil(bytes / target) files via a round-robin
+    repartition and swaps it in with a rename pair — readers see the
+    old layout until the swap, the same crash-safe publish discipline
+    as StateStore (a crash before the final rename leaves the original
+    intact; after it, the compacted layout).
+
+    Run it per date-partition directory (e.g. the fact sink's
+    ``landed_date=...`` leaves) from the orchestrator's housekeeping
+    slot, alongside ``retention_purge``.
+    """
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    statuses = [
+        s
+        for s in fs.listStatus(jvm_path)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    files_before = len(statuses)
+    total_bytes = sum(s.getLen() for s in statuses)
+    n_out = max(1, -(-total_bytes // max(1, target_file_bytes)))
+    if files_before <= n_out:
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total_bytes,
+        }
+    tmp = f"{path.rstrip('/')}__compacting"
+    old = f"{path.rstrip('/')}__precompact"
+    df = spark.read.parquet(path)
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    tmp_path = spark._jvm.org.apache.hadoop.fs.Path(tmp)  # noqa: SLF001
+    old_path = spark._jvm.org.apache.hadoop.fs.Path(old)  # noqa: SLF001
+    if not fs.rename(jvm_path, old_path):
+        raise IOError(f"compaction: could not stage {path} aside")
+    if not fs.rename(tmp_path, jvm_path):
+        # roll back: restore the original directory
+        fs.rename(old_path, jvm_path)
+        raise IOError(f"compaction: could not publish {tmp}")
+    fs.delete(old_path, True)
+    after = [
+        s
+        for s in fs.listStatus(jvm_path)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    return {
+        "files_before": files_before,
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

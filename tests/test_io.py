@@ -147,3 +147,25 @@ def test_state_store_time_travel(spark, tmp_path):
     store.vacuum(keep=1)
     with pytest.raises(ValueError, match="unknown or vacuumed"):
         store.read_version(v1)
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    from aircraftutilization_etl_spark.sources.parquet_io import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "many")
+    # 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(path)
+    before = spark.read.parquet(path)
+    before_sum = before.agg({"id": "sum"}).first()[0]
+
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(path)
+    assert after.count() == 4000
+    assert after.agg({"id": "sum"}).first()[0] == before_sum
+    # idempotent: already compact -> no rewrite
+    stats2 = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats2["files_before"] == stats2["files_after"] == 1
