@@ -387,3 +387,42 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.substring(F.trim(F.col("text")), 1, 24)).alias("title"),
     )
     return edit_distance_pairs(titles, max_dist=2, str_col="title")
+
+
+_NEW_BATCH_PRED = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'"
+
+
+@query(
+    "q_dedup_incremental",
+    f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard
+    FROM lsh_pairs p
+    WHERE EXISTS (SELECT 1 FROM documents d
+                  WHERE d.doc_id = p.id_a AND {_NEW_BATCH_PRED})
+       OR EXISTS (SELECT 1 FROM documents d
+                  WHERE d.doc_id = p.id_b AND {_NEW_BATCH_PRED})
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the md5-tail slice of the corpus plays
+    today's ingest batch, deduped against the rest (the staged corpus)
+    and within itself — every near-dup pair touching ≥1 new document,
+    WITHOUT re-pairing the historical corpus against itself. The oracle
+    runs the full-corpus LSH pipeline and keeps pairs touching the
+    batch, so a hash match proves the incremental plan loses nothing
+    relative to a full rerun.
+
+    Scale: batch band rows probe the corpus band table on
+    (band, band_key) — cost tracks the batch and its collisions, not
+    |corpus|²; with bands/shingles staged between ingests the
+    historical side is scan + join only.
+    """
+    from ..operators.dedup import incremental_lsh_duplicates
+
+    d = table(spark, sf_dir, "documents")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+    return incremental_lsh_duplicates(
+        d.filter(is_new), d.filter(~is_new), JACCARD_THRESHOLD
+    )

@@ -217,3 +217,35 @@ def test_edit_distance_pairs_vs_bruteforce(spark):
         for r in edit_distance_pairs(df, max_dist=2).collect()
     )
     assert got == want
+
+
+def test_incremental_lsh_equals_full_rerun_slice(spark):
+    """incremental(batch vs corpus) must produce exactly the full-run
+    pairs that touch >=1 batch doc — nothing lost, nothing extra."""
+    from aircraftutilization_etl_spark.operators.dedup import (
+        incremental_lsh_duplicates,
+        minhash_lsh_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(30):
+        # clusters of 3 near-identical docs
+        rows.append((i, base + f" variant {i // 3} tail {i % 3}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = df.filter("doc_id >= 24")
+    corpus = df.filter("doc_id < 24")
+
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_duplicates(df, 0.5).collect()
+    }
+    want = {
+        (a, b, j) for (a, b, j) in full if a >= 24 or b >= 24
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_lsh_duplicates(batch, corpus, 0.5).collect()
+    }
+    assert got == want
+    assert want  # the fixture actually produces cross-boundary pairs
