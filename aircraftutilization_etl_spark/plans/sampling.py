@@ -198,3 +198,80 @@ def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
+
+
+@query(
+    "q_split_balance",
+    f"""
+    WITH assigned AS (
+        SELECT lang, {_SPLIT_CASE} AS split FROM documents
+    ),
+    per_split AS (
+        SELECT split, lang, COUNT(*) AS n_docs FROM assigned
+        GROUP BY split, lang
+    ),
+    split_tot AS (
+        SELECT split, SUM(n_docs) AS split_total FROM per_split GROUP BY split
+    ),
+    global_share AS (
+        SELECT lang, SUM(n_docs) * 1000000 // SUM(SUM(n_docs)) OVER ()
+                   AS global_ppm
+        FROM per_split GROUP BY lang
+    )
+    SELECT p.split, p.lang,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_docs * 1000000 // t.split_total AS BIGINT) AS share_ppm,
+           CAST(g.global_ppm AS BIGINT) AS global_ppm,
+           CAST(p.n_docs * 1000000 // t.split_total - g.global_ppm
+                AS BIGINT) AS delta_ppm
+    FROM per_split p
+      JOIN split_tot t USING (split)
+      JOIN global_share g USING (lang)
+    ORDER BY split, lang
+    """,
+)
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-parity audit of the 80/10/10 split: each split's
+    per-language share vs the global share, as integer ppm deltas — the
+    companion to q_split_leakage_report (leakage asks "did duplicates
+    cross?", this asks "did stratification hold?"; a hash-based split
+    is unstratified, so the deltas ARE its sampling noise, quantified).
+
+    Scale: two small aggregations over (split, lang) cells — the
+    per-row work is the zero-shuffle split projection.
+    """
+    d = table(spark, sf_dir, "documents")
+    assigned = hash_split(d, "doc_id", SPLITS).select("lang", "split")
+    per_split = assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql.window import Window
+
+    split_tot = per_split.groupBy("split").agg(
+        F.sum("n_docs").alias("split_total")
+    )
+    global_share = (
+        per_split.groupBy("lang")
+        .agg(F.sum("n_docs").alias("lang_total"))
+        .withColumn(
+            "global_ppm",
+            F.expr(
+                "lang_total * 1000000 DIV SUM(lang_total) OVER ()"
+            ),
+        )
+        .select("lang", "global_ppm")
+    )
+    return (
+        per_split.join(split_tot, "split")
+        .join(global_share, "lang")
+        .select(
+            "split",
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("n_docs * 1000000 DIV split_total").alias("share_ppm"),
+            F.col("global_ppm").cast("bigint").alias("global_ppm"),
+            F.expr(
+                "n_docs * 1000000 DIV split_total - global_ppm"
+            ).alias("delta_ppm"),
+        )
+    )

@@ -89,40 +89,49 @@ def main() -> int:
     # reps base; when the spread is still >2x a stall likely spanned
     # some of them, so up to two extra reps arbitrate.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         qd = CATALOG[name]
         times: list[float] = []
-        while True:
-            # a query's own persist() calls must not leak into its rerun;
-            # the JVM GC lets the ContextCleaner actually release prior
-            # runs' unreferenced persisted blocks (weak-ref cleanup only
-            # fires after a collection — without it, storage-memory
-            # pressure from dead blocks taxes persist-heavy queries)
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-            t0 = time.time()
-            qd.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times.append(time.time() - t0)
-            if len(times) >= 3 and (
-                max(times) / max(min(times), 1e-9) <= 2 or len(times) >= 5
-            ):
-                break
-        per_query[name] = round(min(times), 3)
+        try:
+            while True:
+                # a query's own persist() calls must not leak into its
+                # rerun; the JVM GC lets the ContextCleaner actually
+                # release prior runs' unreferenced persisted blocks
+                # (weak-ref cleanup only fires after a collection —
+                # without it, storage-memory pressure from dead blocks
+                # taxes persist-heavy queries)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+                t0 = time.time()
+                qd.spark(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                times.append(time.time() - t0)
+                if len(times) >= 3 and (
+                    max(times) / max(min(times), 1e-9) <= 2 or len(times) >= 5
+                ):
+                    break
+            per_query[name] = round(min(times), 3)
+        except Exception as exc:  # noqa: BLE001 — one query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
+    # a failed query is a real signal, but a partial bench is far more
+    # useful than a dead one — exit 0 with the errors recorded inline
     return 0
 
 
