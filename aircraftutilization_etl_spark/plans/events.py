@@ -632,3 +632,64 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
         F.ntile(4).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
     )
+
+
+@query(
+    "q_events_error_anomalies",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS BIGINT) AS n_errors,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT AVG(n_errors) AS mu, stddev_samp(n_errors) AS sigma
+        FROM hourly
+    )
+    SELECT h.hour, h.n_errors, h.n_events,
+           ROUND((h.n_errors - s.mu) / s.sigma, 3) AS z_score
+    FROM hourly h CROSS JOIN stats s
+    WHERE (h.n_errors - s.mu) / s.sigma > 2
+    ORDER BY h.hour
+    """,
+)
+def q_events_error_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly screen: hours whose error count sits more
+    than 2 standard deviations above the corpus-wide hourly mean —
+    the alerting query every event pipeline runs over its own exhaust.
+
+    Scale: one (hour)-keyed aggregate over the stream (map-side
+    partial), a 2-value global stat, and a broadcast of that single
+    row back over the hourly table. At 100 TB the hourly table is
+    ~9k rows/year — the expensive part is the first aggregate, which
+    is the minimum any error-rate monitor pays.
+    """
+    e = table(spark, sf_dir, "events").select("ts", "event_type")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                "n_errors"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    stats = hourly.agg(
+        F.avg("n_errors").alias("mu"),
+        F.stddev_samp("n_errors").alias("sigma"),
+    )
+    z = (F.col("n_errors") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .filter(z > 2)
+        .select(
+            "hour",
+            "n_errors",
+            "n_events",
+            F.round(z, 3).alias("z_score"),
+        )
+        .orderBy("hour")
+    )
