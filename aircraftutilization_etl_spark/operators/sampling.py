@@ -140,3 +140,55 @@ def rebalance_sources(
         .filter(F.col("__rn") <= F.col("__k"))
         .drop("__w", "__rn", "__k")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_sum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered cumulative sum WITHOUT the single-partition
+    window trap: ``Window.orderBy`` with no partitionBy funnels every
+    row through one task — correct, and a scale cliff.
+
+    Two-phase formulation: range-repartition by the order columns, local
+    cumsum per partition (window keyed by the partition id — each task
+    sorts only its range), then add each partition's prefix offset,
+    computed from the per-partition totals (a partition-count-sized
+    aggregate). The result is boundary-invariant: wherever the sampled
+    range boundaries land, local-cumsum + prefix-offset equals the
+    global cumulative sum, because range partitioning preserves the
+    global order across partitions.
+    """
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__local_sum", F.sum(value_col).over(w_local))
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.max("__local_sum").alias("__part_total"))
+    )
+    w_prefix = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the offset table is |partitions| rows — the one place a global
+    # window is fine
+    offsets = totals.withColumn(
+        "__offset",
+        F.coalesce(F.sum("__part_total").over(w_prefix) - F.col("__part_total"), F.lit(0)),
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local_sum") + F.col("__offset"))
+        .drop("__pid", "__local_sum", "__offset")
+    )

@@ -400,15 +400,14 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget with the best data" selection every data-constrained
     training run performs.
 
-    Scale: one global sort on (quality, id) + a running-sum window.
-    At 100 TB the same plan holds — Spark range-partitions the sort and
-    the cumulative sum is computed per range with partial offsets; a
-    production variant would pre-aggregate per quality bucket and only
-    sort the boundary bucket exactly, which this plan degrades to
-    gracefully since the filter prunes whole ranges past the budget.
+    Scale: the cumulative sum is the two-phase range-partitioned
+    formulation (operators/sampling.global_running_sum) — each task
+    sorts only its quality range and a partition-count-sized prefix
+    table supplies the offsets, instead of the single-partition global
+    window Spark would otherwise plan (correct, but a scale cliff).
     """
     d = table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
+    from ..operators.sampling import global_running_sum
 
     raw = d.select(
         "doc_id",
@@ -426,12 +425,12 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             punct=F.col("__punct"),
         ).alias("quality_score"),
     )
-    w = (
-        Window.orderBy(F.desc("quality_score"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = global_running_sum(
+        scored,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        "n_tokens",
+        out_col="cum_tokens",
     )
-    return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
-        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "n_tokens", "quality_score", "cum_tokens"
     )

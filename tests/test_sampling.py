@@ -159,3 +159,33 @@ class TestNovelty:
         assert got[2]["n_shingles"] == 2
         assert got[2]["n_novel"] == 1
         assert got[2]["novel_ppm"] == 500_000
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    """The two-phase range-partitioned cumsum must equal the
+    single-partition global window exactly, wherever the sampled range
+    boundaries fall."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aircraftutilization_etl_spark.operators.sampling import (
+        global_running_sum,
+    )
+
+    rows = [(i, (i * 37) % 101, ((i * 13) % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, score long, w long")
+    order = [F.desc("score"), F.asc("id")]
+
+    naive = df.withColumn(
+        "running_sum",
+        F.sum("w").over(
+            Window.orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    fast = global_running_sum(df, order, "w", n_partitions=7)
+    key = lambda r: (r["id"],)  # noqa: E731
+    got = {r["id"]: r["running_sum"] for r in fast.collect()}
+    want = {r["id"]: r["running_sum"] for r in naive.collect()}
+    assert got == want
