@@ -311,16 +311,27 @@ def q_emb_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from ..operators.sampling import global_running_sum
+
     e = table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs(e, NEAR_DUP_COSINE).select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
     )
-    ranked = e.select("vec_id").withColumn(
-        "idx",
-        F.row_number().over(
-            Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    # dense 0..N-1 corpus index in md5 order — two-phase running count
+    # (range-partitioned local row numbers + prefix offsets), NOT a
+    # global row_number window, which would funnel the corpus through
+    # one task
+    ranked = (
+        global_running_sum(
+            e.select(
+                "vec_id",
+                F.md5(F.col("vec_id").cast("string")).alias("__mk"),
+            ).withColumn("__one", F.lit(1)),
+            [F.asc("__mk"), F.asc("vec_id")],
+            "__one",
+            out_col="__rank1",
         )
-        - 1,
+        .select("vec_id", (F.col("__rank1") - 1).alias("idx"))
     )
     n = ranked.count()
     r0 = F.pmod(

@@ -600,9 +600,11 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism) — the classic behavioral segmentation query.
 
     Scale: one user-keyed aggregate, then three global NTILE sorts over
-    the USER table (not the event stream) — |users| rows, range-
-    partitioned sorts; the event-scale work is the single partial-
-    aggregated groupBy.
+    the USER table (not the event stream); the event-scale work is the
+    single partial-aggregated groupBy. NTILE's exact equal-count
+    buckets need a global order — at extreme user counts swap the
+    scores for approx_percentile quartile FENCES (map-side bucketing,
+    threshold semantics instead of equal-count at the boundaries).
     """
     from pyspark.sql.window import Window
 
