@@ -53,12 +53,26 @@ def cosine_expr(a, b):
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+MAX_BROADCAST_QUERIES = 100_000  # ~50 MB at d=64 float64 — broadcast budget
+
+
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Driver-side (ids, float64 matrix) of a SMALL vector set.
 
     Arrow-path toPandas + np.stack — one columnar transfer, no per-row
-    Python object churn.
+    Python object churn. The smallness contract is ENFORCED, not
+    assumed: beyond ``MAX_BROADCAST_QUERIES`` the broadcast-queries
+    strategy is the wrong plan and the caller is pointed at the
+    bucketed paths (ivf_topk / srp_topk / cosine_pairs), which keep
+    everything executor-side.
     """
+    n = df.count()
+    if n > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query set has {n} vectors — beyond the broadcast budget "
+            f"({MAX_BROADCAST_QUERIES}). Use ivf_topk/srp_topk (bucketed "
+            "ANN) or cosine_pairs (blocked exact all-pairs) instead."
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

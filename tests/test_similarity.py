@@ -165,3 +165,21 @@ class TestQuantize:
         assert got[1]["qvec"] == [127, -127, 63, 0]  # floor(0.5*127)=63
         assert got[1]["scale"] == 1.0
         assert got[2]["qvec"] == [0, 0, 0, 0]
+
+
+def test_collect_matrix_enforces_broadcast_budget(spark):
+    """The 'query set is small' contract is a raise, not an assumption."""
+    import pytest
+
+    from aircraftutilization_etl_spark.operators import similarity as sim
+
+    df = spark.range(50).selectExpr(
+        "id as vec_id", "array(cast(id as float)) as embedding"
+    )
+    orig = sim.MAX_BROADCAST_QUERIES
+    sim.MAX_BROADCAST_QUERIES = 10
+    try:
+        with pytest.raises(ValueError, match="broadcast budget"):
+            sim.cosine_topk(df, df, 3)
+    finally:
+        sim.MAX_BROADCAST_QUERIES = orig
