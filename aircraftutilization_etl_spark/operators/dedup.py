@@ -597,4 +597,12 @@ def incremental_lsh_duplicates(
     all_sh = corpus_sh.unionByName(batch_sh).select(
         id_col, "shingles"
     ).dropDuplicates([id_col])
-    return verify_jaccard_pairs(candidates, all_sh, threshold, id_col)
+    # materialize before unpersisting: the cached shingle blocks must
+    # not outlive this call (a long-lived ingest pipeline would leak
+    # storage memory one batch at a time otherwise)
+    result = verify_jaccard_pairs(
+        candidates, all_sh, threshold, id_col
+    ).localCheckpoint(eager=True)
+    batch_sh.unpersist()
+    corpus_sh.unpersist()
+    return result

@@ -221,17 +221,42 @@ def compact_parquet(
     at 100 TB the scan's task count (and the namenode/listing load)
     grows with file count, not data size. Compaction rewrites the
     directory as ceil(bytes / target) files via a round-robin
-    repartition and swaps it in with a rename pair — readers see the
-    old layout until the swap, the same crash-safe publish discipline
-    as StateStore (a crash before the final rename leaves the original
-    intact; after it, the compacted layout).
-
-    Run it per date-partition directory (e.g. the fact sink's
-    ``landed_date=...`` leaves) from the orchestrator's housekeeping
-    slot, alongside ``retention_purge``.
+    repartition and swaps it in with a rename pair. The swap is NOT
+    atomic: between staging the original aside and publishing the
+    compacted layout there is a brief window with nothing at ``path``
+    (concurrent readers can see FileNotFound). A crash inside that
+    window leaves the data intact under ``<path>__precompact``; the
+    next invocation detects the leftover and restores it before
+    compacting, so the job is safe to re-run after any crash. For a
+    window-free swap, run it against object stores / HDFS from the
+    orchestrator's housekeeping slot while no reader is scheduled —
+    the same slot as ``retention_purge``.
     """
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    # crash recovery: a prior run may have died mid-swap. Three cases:
+    #  - __precompact exists and path is missing → died between the two
+    #    renames: restore the original.
+    #  - __precompact and path both exist → died after publish but
+    #    before cleanup: the published layout is live, drop the stale
+    #    staging copy (it would make our own stage-aside rename fail).
+    #  - __compacting leftover → incomplete write, always safe to drop.
+    pre_path = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+        f"{path.rstrip('/')}__precompact"
+    )
+    if fs.exists(pre_path):
+        if not fs.exists(jvm_path):
+            if not fs.rename(pre_path, jvm_path):
+                raise IOError(
+                    f"compaction: could not restore {pre_path} to {path}"
+                )
+        else:
+            fs.delete(pre_path, True)
+    stale_tmp = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+        f"{path.rstrip('/')}__compacting"
+    )
+    if fs.exists(stale_tmp):
+        fs.delete(stale_tmp, True)
     statuses = [
         s
         for s in fs.listStatus(jvm_path)

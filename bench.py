@@ -127,6 +127,12 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # a total over a SUBSET of the headline set is not comparable
+        # round-over-round — null the headline metric so an automated
+        # diff can never mistake a breakage for a speedup; the partial
+        # sum stays available under its own, non-comparable key
+        payload["value"] = None
+        payload["partial_total"] = total
         payload["errors"] = errors
     print(json.dumps(payload))
     spark.stop()

@@ -169,3 +169,36 @@ def test_compact_parquet_shrinks_file_count(spark, tmp_path):
     # idempotent: already compact -> no rewrite
     stats2 = compact_parquet(spark, path, target_file_bytes=10**9)
     assert stats2["files_before"] == stats2["files_after"] == 1
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the data only under
+    __precompact; the next invocation must restore it before (or
+    instead of) compacting. A crash after publish but before cleanup
+    leaves a stale __precompact next to live data; the next invocation
+    must drop it so its own stage-aside rename can succeed."""
+    import os
+    import shutil
+
+    from aircraftutilization_etl_spark.sources.parquet_io import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "facts")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+
+    # case 1: died between renames — nothing at path, data staged aside
+    os.rename(path, path + "__precompact")
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert not os.path.exists(path + "__precompact")
+    assert spark.read.parquet(path).count() == 1000
+    assert stats["files_after"] == 1
+
+    # case 2: died after publish, stale __precompact + stale tmp remain
+    shutil.copytree(path, path + "__precompact")
+    os.makedirs(path + "__compacting", exist_ok=True)
+    stats2 = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert not os.path.exists(path + "__precompact")
+    assert not os.path.exists(path + "__compacting")
+    assert spark.read.parquet(path).count() == 1000
+    assert stats2["files_before"] == stats2["files_after"] == 1
