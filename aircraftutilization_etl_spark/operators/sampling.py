@@ -192,3 +192,78 @@ def global_running_sum(
         .withColumn(out_col, F.col("__local_sum") + F.col("__offset"))
         .drop("__pid", "__local_sum", "__offset")
     )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    target_total: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-flattened domain mix at temperature alpha = 1/2: keep
+    domain ``d``'s share proportional to sqrt(n_d) — the mT5/UniMax-style
+    resampling that damps head domains and boosts tail ones so a
+    training corpus isn't dominated by its largest source.
+
+    Engine-exact by construction: IEEE-754 requires ``sqrt`` (unlike
+    ``pow``) to be correctly rounded, so ``floor(sqrt(n) * scale)`` is
+    bit-identical in Spark and DuckDB; every step after that integer
+    weight is pure integer arithmetic (BIGINT sums, DIV quotas), so
+    quota sizes and md5-ordered row placement replay exactly in the
+    oracle. (General alpha would need pow(), which libm/JVM round
+    differently in the last ulp — that's why the operator fixes
+    alpha = 1/2 instead of taking it as a parameter.)
+
+    The realized total is min(target_total, T_feasible) where
+    T_feasible = min_d(n_d * S DIV s_d) caps the total at the point the
+    scarcest domain would need upsampling. Overflow bound: n_d * S must
+    fit in int64 — at 1e12 docs drop ``scale`` to 1e3.
+
+    Scale: the per-domain count is a tiny aggregate (map-side combine,
+    |domains| rows); quota arithmetic happens on that tiny frame with
+    broadcast scalars; the only data-sized exchange is the per-domain
+    md5 ranking — the same per-group top-k bound as stratified_sample.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    s = counts.select(
+        domain_col,
+        "__n",
+        F.floor(F.sqrt(F.col("__n")) * scale).cast("long").alias("__w"),
+    )
+    tot = s.agg(F.sum("__w").alias("__wtot"))
+    st = s.crossJoin(F.broadcast(tot))
+    t = st.agg(
+        F.least(
+            F.min(F.expr("__n * __wtot DIV __w")), F.lit(int(target_total))
+        ).alias("__cap")
+    )
+    quota = st.crossJoin(F.broadcast(t)).select(
+        domain_col, F.expr("__w * __cap DIV __wtot").alias("__k")
+    )
+    order = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(domain_col).orderBy(order, F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quota), domain_col)
+        .filter(F.col("__rn") <= F.col("__k"))
+        .drop("__rn", "__k")
+    )
+
+
+def kfold_assign(
+    df: DataFrame, key: str, k: int, col_name: str = "fold"
+) -> DataFrame:
+    """Assign every row a fold in [0, k) from its key's md5 — the
+    deterministic k-fold carve for cross-validation over a corpus.
+
+    Same stability contract as hash_split: a row's fold depends only on
+    its key, so folds survive appends, repartitioning, and engine
+    swaps. Buckets are the first 4 hex digits (65536) taken mod k, so
+    fold sizes are uniform to ~k/65536 relative skew.
+
+    Scale: a narrow per-row projection — zero shuffles, streams with
+    the scan.
+    """
+    bucket = hash_bucket(F.col(key))
+    return df.withColumn(col_name, (bucket % k).cast("int"))

@@ -275,3 +275,111 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_ppm"),
         )
     )
+
+
+TEMPERATURE_TARGET = 250
+
+
+@query(
+    "q_sample_temperature",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    s AS (
+        SELECT lang, n,
+               CAST(FLOOR(SQRT(n) * 1000000) AS BIGINT) AS s
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(s) AS BIGINT) AS big_s FROM s),
+    t AS (
+        SELECT LEAST(MIN(n * big_s // s), {TEMPERATURE_TARGET}) AS cap
+        FROM s, tot
+    ),
+    quota AS (
+        SELECT lang, CAST((s * t.cap) // tot.big_s AS BIGINT) AS k
+        FROM s, t, tot
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN quota q USING (lang)
+    WHERE r.rn <= q.k
+    ORDER BY r.lang, r.doc_id
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mix (alpha = 1/2, mT5/UniMax
+    style): downsample so each language's share follows sqrt(n_lang) —
+    head languages damped, tail languages kept — capped at a target
+    total, with the exact kept-row set engine-reproducible.
+
+    Engine-exact despite the fractional exponent: IEEE sqrt is
+    correctly rounded (pow is not), so floor(sqrt(n)·1e6) is the same
+    integer on both engines and everything downstream is integer math
+    (operators/sampling.temperature_rebalance).
+
+    Scale: tiny per-domain aggregate + broadcast scalars; the only
+    data-sized exchange is the per-language md5 ranking.
+    """
+    from ..operators.sampling import temperature_rebalance
+
+    d = table(spark, sf_dir, "documents")
+    return temperature_rebalance(
+        d, "lang", "doc_id", TEMPERATURE_TARGET
+    ).select("doc_id", "lang")
+
+
+KFOLDS = 5
+
+
+@query(
+    "q_split_kfold",
+    f"""
+    WITH folds AS (
+        SELECT lang,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         AS INTEGER) % {KFOLDS} AS INT) AS fold
+        FROM documents
+    ),
+    cells AS (
+        SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM folds GROUP BY fold, lang
+    ),
+    tots AS (SELECT fold, SUM(n_docs) AS fold_total FROM cells GROUP BY fold)
+    SELECT c.fold, c.lang, c.n_docs,
+           CAST(c.n_docs * 1000000 // t.fold_total AS BIGINT) AS share_ppm
+    FROM cells c JOIN tots t USING (fold)
+    ORDER BY c.fold, c.lang
+    """,
+)
+def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation carve (md5-bucket mod k)
+    with a per-fold language-composition audit — fold membership depends
+    only on the row key, so folds are stable under appends, engine
+    swaps, and any partitioning.
+
+    Scale: fold assignment is a narrow zero-shuffle projection; the
+    audit is a |folds|x|langs| aggregate with map-side combine.
+    """
+    from ..operators.sampling import kfold_assign
+
+    d = table(spark, sf_dir, "documents")
+    folds = kfold_assign(d, "doc_id", KFOLDS)
+    cells = folds.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tots = cells.groupBy("fold").agg(F.sum("n_docs").alias("fold_total"))
+    return (
+        cells.join(F.broadcast(tots), "fold")
+        .select(
+            "fold",
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("n_docs * 1000000 DIV fold_total").alias("share_ppm"),
+        )
+    )

@@ -189,3 +189,137 @@ def test_global_running_sum_matches_naive_window(spark):
     got = {r["id"]: r["running_sum"] for r in fast.collect()}
     want = {r["id"]: r["running_sum"] for r in naive.collect()}
     assert got == want
+
+
+class TestTemperatureRebalance:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 600 'en', 100 'de', 50 'fr' — a head-heavy domain mix
+        return spark.range(750).select(
+            F.col("id"),
+            F.when(F.col("id") < 600, "en")
+            .when(F.col("id") < 700, "de")
+            .otherwise("fr")
+            .alias("lang"),
+        )
+
+    def test_no_upsampling_and_target_cap(self, skewed):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            temperature_rebalance,
+        )
+
+        out = temperature_rebalance(skewed, "lang", "id", 400)
+        kept = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        raw = {
+            r["lang"]: r["n"]
+            for r in skewed.groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert sum(kept.values()) <= 400
+        for lang, n in kept.items():
+            assert n <= raw[lang]
+
+    def test_flattens_head_share(self, skewed):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            temperature_rebalance,
+        )
+
+        out = temperature_rebalance(skewed, "lang", "id", 400)
+        kept = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(kept.values())
+        # raw head share is 80%; sqrt-flattened share must sit strictly
+        # between uniform (1/3) and raw
+        head = kept["en"] / total
+        assert 1 / 3 < head < 0.8
+        # and the tail is boosted relative to its raw 50/750 ≈ 6.7%
+        assert kept["fr"] / total > 50 / 750
+
+    def test_deterministic_across_partitionings(self, skewed):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            temperature_rebalance,
+        )
+
+        a = {
+            r["id"]
+            for r in temperature_rebalance(skewed, "lang", "id", 400)
+            .select("id")
+            .collect()
+        }
+        b = {
+            r["id"]
+            for r in temperature_rebalance(
+                skewed.repartition(13), "lang", "id", 400
+            )
+            .select("id")
+            .collect()
+        }
+        assert a == b
+
+    def test_quota_arithmetic_matches_model(self, skewed):
+        """Replay the integer quota model in Python and compare."""
+        import math
+
+        from aircraftutilization_etl_spark.operators.sampling import (
+            temperature_rebalance,
+        )
+
+        raw = {"en": 600, "de": 100, "fr": 50}
+        s = {d: math.floor(math.sqrt(n) * 1_000_000) for d, n in raw.items()}
+        big_s = sum(s.values())
+        cap = min(min(n * big_s // s[d] for d, n in raw.items()), 400)
+        expect = {d: s[d] * cap // big_s for d in raw}
+        out = temperature_rebalance(skewed, "lang", "id", 400)
+        kept = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert kept == {d: k for d, k in expect.items() if k > 0}
+
+
+class TestKfoldAssign:
+    def test_every_row_in_range_and_stable(self, people):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            kfold_assign,
+        )
+
+        out = kfold_assign(people, "id", 5)
+        folds = out.select("fold").distinct().collect()
+        assert {r["fold"] for r in folds} <= set(range(5))
+        # stability: fold is a pure function of the key
+        again = kfold_assign(people.repartition(17), "id", 5)
+        joined = (
+            out.alias("a")
+            .join(again.alias("b"), "id")
+            .filter(F.col("a.fold") != F.col("b.fold"))
+        )
+        assert joined.count() == 0
+
+    def test_roughly_uniform(self, people):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            kfold_assign,
+        )
+
+        sizes = [
+            r["n"]
+            for r in kfold_assign(people, "id", 5)
+            .groupBy("fold")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        assert len(sizes) == 5
+        assert max(sizes) - min(sizes) < 1000 * 0.15
+
+    def test_no_shuffle_in_plan(self, people):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            kfold_assign,
+        )
+
+        plan = kfold_assign(people, "id", 5)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
