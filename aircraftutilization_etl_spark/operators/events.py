@@ -178,3 +178,70 @@ def cooccurrence_pairs(
     return pairs.groupBy("item_a", "item_b").agg(
         F.count(F.lit(1)).alias(count_alias)
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular event series onto a fixed time grid with
+    forward-fill — the hypertable/time-series 'resample + locf' op:
+    one row per (key, bucket) from the key's first to last active
+    bucket, carrying the most recent observed value at or before that
+    bucket (null until the first observation).
+
+    Per (key, bucket) the observed value is that of the LAST event in
+    the bucket — max_by over (ts, tiebreak) — so the result is
+    insertion-order- and partitioning-independent (``tiebreak_col``
+    must be unique per row; the event id).
+
+    Output: (key, bucket_ts, value_ffill, is_observed).
+
+    Scale — ONE exchange for the whole op, and no join: instead of
+    building a grid and joining observations back (whose sort-merge
+    join would reshuffle both sides on the full (key, bucket) pair —
+    requireAllClusterKeysForCoPartition), each observed bucket emits
+    ITSELF plus its trailing gap rows: lead() gives the next observed
+    bucket, sequence()+explode generates [bucket, next-step] carrying
+    the observed value — so locf holds by construction with no second
+    pass. The source is repartitioned on the key once; the per-bucket
+    max_by aggregation and the lead window both ride that partitioning,
+    and the explode is map-side. Per-key work is bounded by the key's
+    active span / step; gap rows are generated, never stored or
+    shuffled.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else (
+        F.window(F.col(ts_col), step).getField("start")
+    )
+    src = df.repartition(F.col(key_col))
+    obs = src.groupBy(F.col(key_col), bucket.alias("__b")).agg(
+        F.max_by(
+            F.col(value_col),
+            F.struct(F.col(ts_col), F.col(tiebreak_col)),
+        ).alias("__v")
+    )
+    w = Window.partitionBy(key_col).orderBy("__b")
+    stopped = obs.withColumn(
+        "__stop",
+        F.coalesce(
+            F.lead("__b").over(w) - F.expr(f"INTERVAL {step}"), F.col("__b")
+        ),
+    )
+    filled = stopped.select(
+        key_col,
+        "__b",
+        "__v",
+        F.explode(
+            F.sequence("__b", "__stop", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket_ts"),
+    )
+    return filled.select(
+        key_col,
+        "bucket_ts",
+        F.col("__v").alias("value_ffill"),
+        (F.col("bucket_ts") == F.col("__b")).cast("int").alias("is_observed"),
+    )

@@ -695,3 +695,68 @@ def q_events_error_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q_events_resample_ffill",
+    """
+    WITH src AS (
+        SELECT * FROM events WHERE user_id % 25 = 0 AND value IS NOT NULL
+    ),
+    obs AS (
+        SELECT user_id, bucket_ts, v FROM (
+            SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM src
+        ) WHERE rn = 1
+    ),
+    span AS (
+        SELECT user_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM span
+    ),
+    merged AS (
+        SELECT g.user_id, g.bucket_ts, o.v,
+               CASE WHEN o.user_id IS NULL THEN 0 ELSE 1 END AS is_observed
+        FROM grid g LEFT JOIN obs o USING (user_id, bucket_ts)
+    )
+    SELECT user_id, bucket_ts,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill,
+           CAST(is_observed AS INT) AS is_observed
+    FROM merged
+    ORDER BY user_id, bucket_ts
+    """,
+)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's irregular event
+    stream onto an hourly grid with forward-fill (locf) — the
+    hypertable gap-fill every monitoring/feature-engineering pipeline
+    needs before joining series with different cadences.
+
+    Scale (operators/events.resample_ffill): ONE exchange, no join —
+    each observed bucket emits itself plus its trailing gap rows
+    (lead() + sequence()/explode carrying the observed value), so
+    forward-fill holds by construction; the per-bucket aggregation and
+    the lead window both ride a single key repartition. The oracle
+    replays the semantics in the classic grid + left-join +
+    last_value(IGNORE NULLS) formulation — two independent derivations
+    agreeing is a stronger check than replaying one shape twice. The
+    non-null value filter keeps the last-in-bucket pick identical on
+    both engines.
+    """
+    from ..operators.events import resample_ffill
+
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 25 == 0) & F.col("value").isNotNull()
+    )
+    return resample_ffill(e, "user_id", "ts", "value", "event_id")

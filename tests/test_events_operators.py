@@ -229,3 +229,72 @@ def test_cooccurrence_plan_is_two_exchanges_no_join(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+class TestResampleFfill:
+    def _series(self, spark):
+        import datetime as dt
+
+        rows = [
+            # user 1: obs at 00h (v=1.0), gap 01h-02h, obs at 03h (v=4.0)
+            (1, dt.datetime(2024, 1, 1, 0, 10), 1, 1.0),
+            (1, dt.datetime(2024, 1, 1, 3, 5), 2, 4.0),
+            # user 1, two events in hour 03: later ts wins
+            (1, dt.datetime(2024, 1, 1, 3, 50), 3, 5.0),
+            # user 2: single observation -> single-bucket grid
+            (2, dt.datetime(2024, 1, 1, 7, 0), 4, 9.0),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+
+    def test_gaps_filled_and_last_in_bucket_wins(self, spark):
+        from aircraftutilization_etl_spark.operators.events import (
+            resample_ffill,
+        )
+
+        out = resample_ffill(
+            self._series(spark), "user_id", "ts", "value", "event_id"
+        )
+        got = {
+            (r["user_id"], r["bucket_ts"].hour): (
+                r["value_ffill"],
+                r["is_observed"],
+            )
+            for r in out.collect()
+        }
+        assert got == {
+            (1, 0): (1.0, 1),
+            (1, 1): (1.0, 0),   # gap: carried forward
+            (1, 2): (1.0, 0),   # gap: carried forward
+            (1, 3): (5.0, 1),   # later event in the bucket wins
+            (2, 7): (9.0, 1),
+        }
+
+    def test_tie_on_ts_breaks_by_event_id(self, spark):
+        import datetime as dt
+
+        from aircraftutilization_etl_spark.operators.events import (
+            resample_ffill,
+        )
+
+        t = dt.datetime(2024, 1, 1, 0, 0)
+        df = spark.createDataFrame(
+            [(1, t, 10, 3.0), (1, t, 11, 7.0)],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        out = resample_ffill(df, "user_id", "ts", "value", "event_id")
+        assert out.collect()[0]["value_ffill"] == 7.0
+
+    def test_plan_one_exchange_no_join(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import count_exchanges
+        from aircraftutilization_etl_spark.operators.events import (
+            resample_ffill,
+        )
+
+        out = resample_ffill(
+            self._series(spark), "user_id", "ts", "value", "event_id"
+        )
+        assert count_exchanges(out) == 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
