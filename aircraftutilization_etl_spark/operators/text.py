@@ -215,3 +215,92 @@ def unigram_logprob(
             ).alias("logprob"),
         )
     )
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    min_docs: int,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level repeated-n-gram mining: the top-k word-3-grams by
+    the number of DISTINCT documents containing them — the boilerplate
+    scan (headers, license blocks, templated navigation) that sits
+    between within-document repetition (ngram_repetition_expr) and
+    whole-document near-dup (MinHash LSH) in a dedup pipeline; cf. the
+    repeated-substring findings of training-data dedup literature.
+
+    Output: (shingle, n_docs), the k most-shared shingles with
+    n_docs >= min_docs; ties at the cut broken by md5(shingle) so the
+    limit is deterministic and engine-portable (raw string order is
+    not: Java compares UTF-16 code units, DuckDB UTF-8 bytes — they
+    disagree on supplementary-plane characters).
+
+    Scale: one shuffle on the shingle key with map-side combine
+    (documents contribute distinct shingles, so hot shingles send one
+    partial count per task, not per occurrence); the top-k is
+    TakeOrderedAndProject — no global sort.
+    """
+    from .dedup import doc_shingles
+
+    sh = doc_shingles(df, id_col, text_col)
+    counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        counts.filter(F.col("n_docs") >= min_docs)
+        .select("shingle", F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.md5("shingle"))
+        .limit(k)
+    )
+
+
+def boilerplate_scores(
+    df: DataFrame,
+    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction (integer ppm) of a
+    document's distinct shingles that are corpus-common (contained in
+    >= min_docs documents) — high scores mark templated/remixed
+    documents that exact and near-dup dedup both miss because no single
+    other document matches them.
+
+    Output: (id, n_shingles, n_common, boilerplate_ppm) for every
+    document with >= SHINGLE_N words.
+
+    Scale: the common-shingle set is the heavy-hitter tail of the
+    shingle-count aggregate — tiny relative to the corpus — so the
+    membership probe is a broadcast semi-style inner join on the
+    exploded shingles; per-doc totals and common counts then aggregate
+    on the id key. Two data-sized shuffles (shingle count, per-doc
+    agg), both with map-side combine.
+    """
+    from .dedup import doc_shingles
+
+    sh = doc_shingles(df, id_col, text_col)
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("shingle")
+    )
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    commons = (
+        sh.join(F.broadcast(common), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        totals.join(commons, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "coalesce(n_common, 0) * 1000000 DIV n_shingles"
+            ).alias("boilerplate_ppm"),
+        )
+    )

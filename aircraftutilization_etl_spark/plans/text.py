@@ -434,3 +434,84 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
         "doc_id", "n_tokens", "quality_score", "cum_tokens"
     )
+
+
+def _shingles_cte() -> str:
+    from .dedup import _SHINGLES_SQL
+
+    return _SHINGLES_SQL
+
+
+REPEATED_MIN_DOCS = 4
+REPEATED_TOPK = 50
+
+
+@query(
+    "q_text_repeated_ngrams",
+    f"""
+    WITH {_shingles_cte()}
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM shingles
+    GROUP BY shingle
+    HAVING COUNT(*) >= {REPEATED_MIN_DOCS}
+    ORDER BY n_docs DESC, md5(shingle)
+    LIMIT {REPEATED_TOPK}
+    """,
+)
+def q_text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate mining: the 50 word-3-grams shared by
+    the most distinct documents — the repeated-substring audit that
+    catches templated headers/footers/license blocks which no
+    whole-document dedup flags.
+
+    Scale (operators/text.repeated_ngrams): one shingle-keyed shuffle
+    with map-side combine (distinct shingles per doc → one partial per
+    task per shingle), top-k via TakeOrderedAndProject — no global
+    sort. Tie-break at the cut is md5(shingle): raw string order is
+    engine-divergent on supplementary-plane characters (UTF-16 code
+    units vs UTF-8 bytes), hex digests are not.
+    """
+    from ..operators.text import repeated_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    return repeated_ngrams(d, REPEATED_MIN_DOCS, REPEATED_TOPK)
+
+
+@query(
+    "q_text_boilerplate",
+    f"""
+    WITH {_shingles_cte()},
+    common AS (
+        SELECT shingle FROM shingles
+        GROUP BY shingle HAVING COUNT(*) >= {REPEATED_MIN_DOCS}
+    ),
+    commons AS (
+        SELECT s.doc_id, COUNT(*) AS n_common
+        FROM shingles s JOIN common c USING (shingle)
+        GROUP BY s.doc_id
+    )
+    SELECT z.doc_id,
+           CAST(z.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(m.n_common, 0) * 1000000 // z.n_shingles
+                AS BIGINT) AS boilerplate_ppm
+    FROM sizes z LEFT JOIN commons m USING (doc_id)
+    ORDER BY z.doc_id
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: the ppm fraction of a document's
+    distinct shingles that are corpus-common (>= 4 docs) — high scores
+    mark templated/diffusely-remixed documents that exact and near-dup
+    dedup both miss.
+
+    Scale (operators/text.boilerplate_scores): the common set is the
+    heavy tail of the shingle count — tiny — so membership is a
+    broadcast join over the exploded shingles; two data-sized shuffles
+    total (shingle count, per-doc agg), both map-side combined.
+    Integer-ppm output, engine-exact.
+    """
+    from ..operators.text import boilerplate_scores
+
+    d = table(spark, sf_dir, "documents")
+    return boilerplate_scores(d, REPEATED_MIN_DOCS)

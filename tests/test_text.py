@@ -160,3 +160,71 @@ def test_unigram_logprob_matches_hand_model(spark):
         2: (3, lp(3 / 6, 3 / 6, 2 / 6)),
         3: (1, lp(1 / 6)),
     }
+
+
+class TestBoilerplate:
+    def _corpus(self, spark):
+        boiler = "all rights reserved worldwide"  # 4 words -> 2 shingles
+        rows = [
+            (1, f"{boiler} alpha beta gamma"),
+            (2, f"{boiler} delta epsilon zeta"),
+            (3, f"{boiler} eta theta iota"),
+            (4, f"kappa lambda mu nu xi"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_repeated_ngrams_counts_distinct_docs(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            repeated_ngrams,
+        )
+
+        out = repeated_ngrams(self._corpus(spark), min_docs=3, k=10)
+        got = {r["shingle"]: r["n_docs"] for r in out.collect()}
+        assert got == {
+            "all rights reserved": 3,
+            "rights reserved worldwide": 3,
+        }
+
+    def test_repeated_ngrams_within_doc_repeats_count_once(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            repeated_ngrams,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x y z x y z x y z"), (2, "x y z")],
+            "doc_id long, text string",
+        )
+        out = repeated_ngrams(df, min_docs=2, k=10)
+        got = {r["shingle"]: r["n_docs"] for r in out.collect()}
+        # 'x y z' appears 3x in doc 1 but counts once per doc
+        assert got["x y z"] == 2
+
+    def test_boilerplate_scores(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            boilerplate_scores,
+        )
+
+        out = boilerplate_scores(self._corpus(spark), min_docs=3)
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_common"], r["boilerplate_ppm"])
+            for r in out.collect()
+        }
+        # each boiler doc: 7 words -> 5 shingles, 2 of them common
+        assert got[1] == (5, 2, 2 * 1_000_000 // 5)
+        assert got[2] == (5, 2, 2 * 1_000_000 // 5)
+        assert got[3] == (5, 2, 2 * 1_000_000 // 5)
+        # clean doc: 0 common
+        assert got[4] == (3, 0, 0)
+
+    def test_topk_cut_deterministic(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            repeated_ngrams,
+        )
+
+        df = self._corpus(spark)
+        a = [tuple(r) for r in repeated_ngrams(df, 2, 1).collect()]
+        b = [
+            tuple(r)
+            for r in repeated_ngrams(df.repartition(7), 2, 1).collect()
+        ]
+        assert a == b
