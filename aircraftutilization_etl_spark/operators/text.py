@@ -9,8 +9,9 @@ scan → project with zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space —
 # the same regex DuckDB's RE2 and Java's regex engine agree on.
@@ -303,4 +304,85 @@ def boilerplate_scores(
                 "coalesce(n_common, 0) * 1000000 DIV n_shingles"
             ).alias("boilerplate_ppm"),
         )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents per query under the
+    classic Okapi scoring — the lexical-search primitive of a corpus
+    curation stack (and the standard hybrid-retrieval partner to the
+    embedding ANN operators in operators/similarity.py).
+
+    ``query_terms``: a small (query_id, term) frame — one row per
+    query term, terms lowercased.
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Scores are rounded to
+    6dp BEFORE ranking (ties then break by doc id), so the top-k cut
+    is reproducible across engines — ranking raw doubles would let a
+    last-ulp ln() difference flip near-equal neighbors.
+
+    Scale: one corpus pass builds (doc, term, tf) and (doc, dl) with
+    map-side combine; the query-term set broadcasts into the postings
+    join, so only matching postings flow further; per-term df and the
+    2-value corpus stats broadcast back; the doc-length join ships the
+    candidate postings (small) against dl — AQE broadcasts the
+    candidate side. The final per-query ranking partitions by query
+    over candidate docs only. No full-corpus scoring anywhere.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(words_expr(text_col), lambda w: F.lower(w))
+        ).alias("__w"),
+    )
+    tf = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    postings = tf.join(
+        F.broadcast(query_terms), tf["__w"] == query_terms["term"]
+    ).select("query_id", "term", id_col, "__tf")
+    dft = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    scored = (
+        postings.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__tfnorm",
+            (F.col("__tf") * (k1 + 1.0))
+            / (
+                F.col("__tf")
+                + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(F.col("__idf") * F.col("__tfnorm")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.col("rank").cast("int"), "score")
     )

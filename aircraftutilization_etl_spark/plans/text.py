@@ -515,3 +515,81 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return boilerplate_scores(d, REPEATED_MIN_DOCS)
+
+
+BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q_join", ("hash", "join")),
+    ("q_stream", ("stream", "window", "batch")),
+    ("q_customer", ("customer", "filter")),
+)
+BM25_TOPK = 10
+_BM25_TERMS_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+
+@query(
+    "q_text_bm25_topk",
+    f"""
+    WITH qterms(query_id, term) AS (VALUES {_BM25_TERMS_VALUES}),
+    words AS (
+        SELECT doc_id, lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    postings AS (
+        SELECT q.query_id, q.term, tf.doc_id, tf.tf
+        FROM tf JOIN qterms q ON tf.w = q.term
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    scored AS (
+        SELECT p.query_id, p.doc_id,
+               ROUND(SUM(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+               ), 6) AS score
+        FROM postings p
+          JOIN dft d USING (term)
+          JOIN dl l USING (doc_id)
+          CROSS JOIN stats s
+        GROUP BY p.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+    FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {BM25_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-10 documents for three fixed keyword
+    queries under Okapi BM25 (k1=1.2, b=0.75) — the keyword-search
+    primitive of corpus curation and the hybrid partner to the
+    embedding ANN queries.
+
+    Determinism: scores round to 6dp BEFORE ranking, ties break by
+    doc_id, so the cut is engine-reproducible even where ln() differs
+    in the last ulp.
+
+    Scale (operators/text.bm25_topk): query terms broadcast into the
+    postings join so only matching postings leave the corpus pass;
+    per-term df and the 2-value stats broadcast back; no full-corpus
+    scoring — cost tracks posting-list sizes, not |corpus|².
+    """
+    from ..operators.text import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    return bm25_topk(d, qt, BM25_TOPK)

@@ -228,3 +228,60 @@ class TestBoilerplate:
             for r in repeated_ngrams(df.repartition(7), 2, 1).collect()
         ]
         assert a == b
+
+
+class TestBM25:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from aircraftutilization_etl_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "cat dog cat"),
+                (2, "dog mouse"),
+                (3, "bird bird bird"),
+            ],
+            "doc_id long, text string",
+        )
+        qt = spark.createDataFrame(
+            [("q0", "cat"), ("q0", "dog")], "query_id string, term string"
+        )
+        out = {
+            (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+            for r in bm25_topk(docs, qt, k=10).collect()
+        }
+
+        def idf(n, df):
+            return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+        def tfn(tf, dl, avgdl, k1=1.2, b=0.75):
+            return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        n, avgdl = 3, (3 + 2 + 3) / 3
+        exp1 = round(
+            idf(n, 1) * tfn(2, 3, avgdl) + idf(n, 2) * tfn(1, 3, avgdl), 6
+        )
+        exp2 = round(idf(n, 2) * tfn(1, 2, avgdl), 6)
+        assert out[("q0", 1)] == (1, exp1)
+        assert out[("q0", 2)] == (2, exp2)
+        assert ("q0", 3) not in out  # no query term -> never scored
+
+    def test_rank_cut_and_tiebreak(self, spark):
+        from aircraftutilization_etl_spark.operators.text import bm25_topk
+
+        # four identical docs: equal scores, rank by doc_id, k=2 cuts
+        docs = spark.createDataFrame(
+            [(i, "same words here") for i in (4, 2, 9, 7)],
+            "doc_id long, text string",
+        )
+        qt = spark.createDataFrame(
+            [("q0", "same")], "query_id string, term string"
+        )
+        got = [
+            (r["doc_id"], r["rank"])
+            for r in bm25_topk(docs, qt, k=2)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [(2, 1), (4, 2)]
