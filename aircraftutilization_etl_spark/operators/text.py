@@ -386,3 +386,50 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.col("rank").cast("int"), "score")
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Mean bigram conditional log-probability per document under the
+    corpus's own bigram model — the next step up from unigram_logprob
+    as a naturalness proxy: word-salad documents whose unigrams are
+    common but whose transitions are rare score sharply negative.
+
+    P(w2|w1) = c(w1,w2) / c_head(w1), with c_head counting w1's
+    occurrences as a bigram head (i.e. excluding document-final
+    positions) so the conditional sums to exactly 1 per head and the
+    oracle replays it exactly.
+
+    Scale: bigrams are built map-side by array algebra (zip of the
+    word array with its own tail — no window, no per-doc sort); then
+    the same three-exchange shape as unigram_logprob: bigram-model
+    aggregate, model join (AQE broadcasts the head-count side),
+    per-doc mean. Documents with < 2 words drop (no transitions).
+    """
+    w = df.select(F.col(id_col), words_expr(col).alias("__ws"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__ws") - 1),
+        lambda i: F.struct(
+            F.lower(F.element_at("__ws", i)).alias("w1"),
+            F.lower(F.element_at("__ws", i + 1)).alias("w2"),
+        ),
+    )
+    bigrams = (
+        w.filter(F.size("__ws") >= 2)
+        .select(id_col, F.explode(pairs).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+    )
+    c12 = bigrams.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = bigrams.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    return (
+        bigrams.join(c12, ["__w1", "__w2"])
+        .join(c1, "__w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("__c12") / F.col("__c1"))), 4
+            ).alias("logprob"),
+        )
+    )

@@ -760,3 +760,57 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 25 == 0) & F.col("value").isNotNull()
     )
     return resample_ffill(e, "user_id", "ts", "value", "event_id")
+
+
+@query(
+    "q_events_hopping_window",
+    """
+    WITH exploded AS (
+        SELECT make_timestamp(
+                   (epoch_us(ts) // 900000000) * 900000000
+                   - k.i * 900000000
+               ) AS window_start,
+               value
+        FROM events, LATERAL unnest(range(0, 4)) AS k(i)
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM exploded
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def q_events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window: 1-hour windows advancing
+    every 15 minutes — each event contributes to 4 overlapping windows.
+    The smoothing window shape dashboards and rate-limit monitors use
+    where tumbling buckets would alias; same semantics as the streaming
+    `window(ts, '1 hour', '15 minutes')`.
+
+    The oracle reconstructs Spark's window assignment from first
+    principles (the 4 slide-aligned starts covering each event) — an
+    independent derivation of the windowing rule, not a replay.
+
+    Monetary sums are integer cents (see q_events_hourly_window).
+
+    Scale: Spark expands each row into windowDuration/slide = 4 window
+    rows map-side, then one partial-aggregatable groupBy on the window
+    start — shuffle carries one partial row per (task, window), not 4x
+    the events.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias(
+                "window_start"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("window_start")
+    )

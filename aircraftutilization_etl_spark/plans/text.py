@@ -593,3 +593,45 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id string, term string",
     )
     return bm25_topk(d, qt, BM25_TOPK)
+
+
+@query(
+    "q_text_bigram_logprob",
+    """
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               lower(w[CAST(i AS INT)]) AS w1,
+               lower(w[CAST(i + 1 AS INT)]) AS w2
+        FROM words, LATERAL unnest(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(m.c12 * 1.0 / h.c1)), 4) AS logprob
+    FROM bigrams b
+      JOIN c12 m USING (w1, w2)
+      JOIN c1 h USING (w1)
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram conditional log-probability per document under the
+    corpus's own transition model — ranks documents by fluency where
+    the unigram proxy can't (word salad with common words).
+
+    Scale (operators/text.bigram_logprob): bigrams built map-side by
+    array algebra (no window, no per-doc sort); model aggregate with
+    map-side combine; AQE broadcasts the head-count join side; one
+    doc-keyed mean.
+    """
+    from ..operators.text import bigram_logprob
+
+    d = table(spark, sf_dir, "documents")
+    return bigram_logprob(d).orderBy("doc_id")

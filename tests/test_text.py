@@ -285,3 +285,27 @@ class TestBM25:
             .collect()
         ]
         assert got == [(2, 1), (4, 2)]
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    import math
+
+    from aircraftutilization_etl_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    # bigrams: d1: (a,b),(b,a); d2: (a,b). heads: a->2? a heads: d1 pos1,
+    # d2 pos1 => c1(a)=2... plus d1 'b a' head b=1. c12: (a,b)=2, (b,a)=1
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    lp = lambda *ps: round(sum(math.log(p) for p in ps) / len(ps), 4)
+    assert got == {
+        1: (2, lp(2 / 2, 1 / 1)),
+        2: (1, lp(2 / 2)),
+        # doc 3: single word, no transitions -> absent
+    }
+    assert 3 not in got
