@@ -433,3 +433,89 @@ def bigram_logprob(
             ).alias("logprob"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus —
+    the tokenizer-training primitive: repeatedly merge the most
+    frequent adjacent symbol pair across the (frequency-weighted) word
+    vocabulary, exactly the Sennrich et al. procedure.
+
+    Tokenizer-style pre-filter: words are lowercased and restricted to
+    ^[a-z0-9]+$ (real BPE trainers pre-tokenize similarly; it also
+    keeps the symbol alphabet disjoint from the '|' separator used in
+    the delimited representation).
+
+    Deterministic: the argmax pair breaks ties by (count DESC, left,
+    right) over ASCII symbols; pair merging uses literal
+    replace('l|r|' -> 'lr|'), whose left-to-right non-overlapping
+    semantics are identical in Spark and DuckDB — so 'a|a|a|' merges
+    to 'aa|a|', the BPE convention, on both engines, and the oracle
+    replays every round bit-for-bit.
+
+    Output: (rank, left, right, merged, pair_count), rank 1-based.
+
+    Scale: the working state is the DISTINCT-WORD vocabulary with
+    counts — corpus-size-independent after the first aggregation (the
+    one data-sized shuffle). Each round is a vocab-sized pair
+    explode/count plus a map-side replace; the driver collects exactly
+    ONE row per round (the argmax pair), and lineage is truncated per
+    round with an eager localCheckpoint so the plan doesn't grow with
+    rank count.
+    """
+    words = df.select(
+        F.explode(
+            F.transform(words_expr(text_col), lambda w: F.lower(w))
+        ).alias("__w")
+    ).filter(F.col("__w").rlike("^[a-z0-9]+$"))
+    vocab = (
+        words.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wc"))
+        .select(
+            F.regexp_replace("__w", "(.)", "$1|").alias("__repr"),
+            "__wc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split("__repr", "\\|")  # trailing empty element
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 2),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("w1"),
+                F.element_at(syms, i + 1).alias("w2"),
+            ),
+        )
+        counts = (
+            vocab.filter(F.size(syms) >= 3)
+            .select(F.explode(pairs).alias("__p"), "__wc")
+            .groupBy(
+                F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
+            )
+            .agg(F.sum("__wc").alias("__c"))
+        )
+        best = counts.orderBy(
+            F.desc("__c"), F.col("__w1"), F.col("__w2")
+        ).limit(1).collect()
+        if not best:
+            break
+        w1, w2, c = best[0]["__w1"], best[0]["__w2"], int(best[0]["__c"])
+        merges.append((rank, w1, w2, w1 + w2, c))
+        vocab = vocab.select(
+            F.expr(
+                "replace(__repr, "
+                f"'{w1}|{w2}|', '{w1}{w2}|')"
+            ).alias("__repr"),
+            "__wc",
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )

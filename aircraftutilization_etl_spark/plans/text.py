@@ -635,3 +635,80 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bigram_logprob(d).orderBy("doc_id")
+
+
+BPE_N_MERGES = 8
+
+
+def _bpe_ctes(n: int) -> str:
+    """CTE chain replaying every BPE round (kmeans-oracle style): the
+    hash match certifies each round's argmax pair AND the merged vocab
+    it produced, not just the final merge table."""
+    parts = [
+        """
+    bpe_words AS (
+        SELECT lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE regexp_matches(lower(t.w), '^[a-z0-9]+$')
+    ),
+    vocab0 AS (
+        SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS repr,
+               COUNT(*) AS wc
+        FROM bpe_words GROUP BY w
+    )"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(f"""
+    pairs{i} AS (
+        SELECT s[CAST(j AS INT)] AS w1, s[CAST(j + 1 AS INT)] AS w2,
+               SUM(wc) AS c
+        FROM (SELECT str_split(repr, '|') AS s, wc FROM vocab{i - 1}) t,
+             LATERAL unnest(range(1, len(s) - 1)) AS u(j)
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""
+    best{i} AS (
+        SELECT w1, w2, c FROM pairs{i} ORDER BY c DESC, w1, w2 LIMIT 1
+    )""")
+        parts.append(f"""
+    vocab{i} AS (
+        SELECT replace(repr, b.w1 || '|' || b.w2 || '|',
+                       b.w1 || b.w2 || '|') AS repr, wc
+        FROM vocab{i - 1}, best{i} b
+    )""")
+    return ",".join(parts)
+
+
+_BPE_FINAL = " UNION ALL ".join(
+    f"SELECT {i} AS rank, w1 AS \"left\", w2 AS \"right\", "
+    f"w1 || w2 AS merged, CAST(c AS BIGINT) AS pair_count FROM best{i}"
+    for i in range(1, BPE_N_MERGES + 1)
+)
+
+
+@query(
+    "q_text_bpe_merges",
+    f"""
+    WITH {_bpe_ctes(BPE_N_MERGES)}
+    SELECT * FROM ({_BPE_FINAL}) ORDER BY rank
+    """,
+)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the engine: the first 8 BPE merge rules
+    learned from the corpus (Sennrich-style — repeatedly merge the
+    most frequent adjacent symbol pair over the frequency-weighted
+    word vocabulary). Ties break (count DESC, left, right); pair
+    merging is left-to-right non-overlapping, identical in both
+    engines, so the oracle's unrolled CTE chain replays every round.
+
+    Scale (operators/text.bpe_merges): after one data-sized shuffle
+    (word counts), the working state is the distinct-word vocabulary —
+    corpus-size-independent; each round is a vocab-sized pair count
+    plus a map-side replace, lineage truncated per round; the driver
+    sees exactly one argmax row per round.
+    """
+    from ..operators.text import bpe_merges
+
+    d = table(spark, sf_dir, "documents")
+    return bpe_merges(d, BPE_N_MERGES)

@@ -309,3 +309,33 @@ def test_bigram_logprob_matches_hand_model(spark):
         # doc 3: single word, no transitions -> absent
     }
     assert 3 not in got
+
+
+def test_bpe_merges_hand_worked(spark):
+    from aircraftutilization_etl_spark.operators.text import bpe_merges
+
+    # vocab: 'aaab' x2, 'ab' x1
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_merges(df, 3).orderBy("rank").collect()]
+    # r1: (a,a) count 4 (2 per 'aaab', weight 2... left-to-right pairs);
+    #     'a|a|a|b|' merges to 'aa|a|b|' (non-overlapping)
+    # r2: (a,b) count 3 beats (aa,a) count 2
+    # r3: (aa,ab) count 2
+    assert got == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+
+
+def test_bpe_merges_filters_non_alnum_tokens(spark):
+    from aircraftutilization_etl_spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "xy xy a|b a|b a|b")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_merges(df, 1).collect()]
+    # 'a|b' tokens are outside the pre-tokenizer alphabet -> only 'xy'
+    assert got == [(1, "x", "y", "xy", 2)]
