@@ -33,6 +33,10 @@ HEADLINE = [
     "q_events_sessionize",
     "q_events_asof_last_click",
     "q_events_hourly_window",
+    "q_events_resample_ffill",  # gap-fill: 1-exchange lead+explode form
+    "q_text_bm25_topk",  # postings-broadcast lexical retrieval
+    "q_text_boilerplate",  # shingle common-set broadcast probe
+    "q_sample_temperature",  # sqrt-weighted quota resampling
     "q_flight_status_kernel",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
