@@ -519,3 +519,173 @@ def bpe_merges(
         merges,
         "rank int, left string, right string, merged string, pair_count bigint",
     )
+
+
+_SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    # (name, java_regex_class, re2_regex_class) — same ranges, two syntaxes
+    ("latin", "[A-Za-z\\u00C0-\\u024F]", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("cjk", "[\\u4E00-\\u9FFF]", r"[\x{4E00}-\x{9FFF}]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", r"[\x{0400}-\x{04FF}]"),
+    ("greek", "[\\u0370-\\u03FF]", r"[\x{0370}-\x{03FF}]"),
+)
+
+
+def script_profile_exprs(col: Column | str = "text") -> list[Column]:
+    """Per-document Unicode-script composition: character counts per
+    script class (latin/digit/CJK/Cyrillic/Greek), counted as
+    length(text) - length(text with the class removed) — pure codegen'd
+    string expressions, no explode, zero shuffles.
+
+    The multilingual-pipeline primitive under language routing: a
+    lang-ID label says what a doc claims to be, the script histogram
+    says what its bytes are (mixed-script docs are the classic
+    mojibake/injection symptom).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    for name, java_re, _ in _SCRIPT_CLASSES:
+        out.append(
+            (F.length(c) - F.length(F.regexp_replace(c, java_re, "")))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+    return out
+
+
+def dominant_script_expr(col: Column | str = "text") -> Column:
+    """Name of the script class with the highest character count; ties
+    break by class order (latin first, via the when-chain's first-wins
+    evaluation). 'other' when no class matches any character."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = [
+        (name, F.length(c) - F.length(F.regexp_replace(c, java_re, "")))
+        for name, java_re, _ in _SCRIPT_CLASSES
+    ]
+    mx = F.greatest(*[cnt for _, cnt in counts])
+    best = None
+    for name, cnt in counts:
+        cond = (cnt == mx) & (mx > 0)
+        best = F.when(cond, name) if best is None else best.when(cond, name)
+    return best.otherwise("other").alias("dominant_script")
+
+
+def inverted_index(
+    df: DataFrame,
+    min_df: int,
+    postings_per_term: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize a serving-shape inverted index: one row per term
+    with document frequency, total term frequency, and the top
+    ``postings_per_term`` postings as an ordered array of (doc, tf)
+    structs — tf-descending, doc-id ascending on ties, the impact-
+    ordered layout search engines store so scoring can early-exit.
+
+    Only terms with df >= min_df are kept (the serving index's long
+    tail is handled by the full postings table, not the hot shape).
+
+    Scale: one corpus pass to (doc, term, tf) with map-side combine;
+    the per-term truncated posting array is a per-group top-k (sorted
+    slice of collected structs) — group size bounds memory exactly
+    like any per-key top-k; df filtering prunes the vocabulary tail
+    before collection.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(words_expr(text_col), lambda w: F.lower(w))
+        ).alias("__w"),
+    )
+    tf = words.groupBy("__w", id_col).agg(F.count(F.lit(1)).alias("__tf"))
+    per_term = tf.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("__tf").alias("total_tf"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("__tf")).cast("long").alias("neg_tf"),
+                        F.col(id_col).cast("long").alias("doc"),
+                    )
+                )
+            ),
+            1,
+            postings_per_term,
+        ).alias("__top"),
+    )
+    # postings as 'doc:tf' strings, not structs: the oracle harness
+    # canonicalizes lists of scalars identically across engines, while
+    # struct rendering differs (Row tuple vs dict)
+    return (
+        per_term.filter(F.col("df") >= min_df)
+        .select(
+            F.col("__w").alias("term"),
+            F.col("df").cast("long").alias("df"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+            F.transform(
+                "__top",
+                lambda s: F.concat_ws(
+                    ":", s["doc"], (-s["neg_tf"]).cast("long")
+                ),
+            ).alias("postings"),
+        )
+    )
+
+
+def quality_calibrated(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-domain quality percentile (integer ppm): each document's
+    quality score re-expressed as its exact rank position inside its
+    own domain — (rank-1)·1e6 DIV (n-1), ties sharing the min rank.
+
+    THE cross-domain calibration step before any global quality
+    threshold: raw quality scores are not comparable across sources
+    (boilerplate-heavy domains compress the scale), so curation cuts
+    at "bottom 20% of each source", not "score < 0.6 globally".
+
+    Scale: one shuffle on the domain for the rank window — the same
+    per-group bound as stratified sampling; scores are computed in the
+    same pass (codegen'd expressions, no second scan).
+    """
+    raw = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        token_count_expr(text_col).alias("__n_tokens"),
+        mean_word_length_expr(text_col).alias("__mwl"),
+        punct_ratio_expr(text_col).alias("__punct"),
+    )
+    scored = raw.select(
+        id_col,
+        domain_col,
+        quality_score_expr(
+            n_tokens=F.col("__n_tokens"),
+            mwl=F.col("__mwl"),
+            punct=F.col("__punct"),
+        ).alias("quality_score"),
+    )
+    w = Window.partitionBy(domain_col).orderBy("quality_score")
+    n = Window.partitionBy(domain_col)
+    ranked = scored.select(
+        id_col,
+        domain_col,
+        "quality_score",
+        F.rank().over(w).alias("__r"),
+        F.count(F.lit(1)).over(n).alias("__n"),
+    )
+    # integer DIV, not float division + floor: a correctly-rounded
+    # double quotient can land ON an integer the exact quotient sits
+    # just below, and the oracle's // is exact
+    return ranked.select(
+        id_col,
+        domain_col,
+        "quality_score",
+        F.expr("(__r - 1) * 1000000 DIV greatest(__n - 1, 1)")
+        .cast("bigint")
+        .alias("pct_ppm"),
+    )

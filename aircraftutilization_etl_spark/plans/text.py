@@ -712,3 +712,141 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bpe_merges(d, BPE_N_MERGES)
+
+
+def _script_sql() -> tuple[str, str]:
+    """(count column SQL, dominant CASE SQL) generated from the same
+    class table the Spark expressions use — one source of truth."""
+    from ..operators.text import _SCRIPT_CLASSES
+
+    counts = {
+        name: (
+            "(length(text) - length("
+            f"regexp_replace(text, '{re2}', '', 'g')))"
+        )
+        for name, _, re2 in _SCRIPT_CLASSES
+    }
+    cols = ", ".join(
+        f"CAST({expr} AS BIGINT) AS n_{name}" for name, expr in counts.items()
+    )
+    mx = "greatest(" + ", ".join(counts.values()) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'other' " + " ".join(
+        f"WHEN {expr} = {mx} THEN '{name}'"
+        for name, expr in counts.items()
+    ) + " END"
+    return cols, case
+
+
+_SCRIPT_COLS, _SCRIPT_CASE = _script_sql()
+
+
+@query(
+    "q_text_script_profile",
+    f"""
+    SELECT doc_id, lang, {_SCRIPT_COLS},
+           {_SCRIPT_CASE} AS dominant_script
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document (latin/digit/CJK/
+    Cyrillic/Greek character counts + dominant class) — what a doc's
+    BYTES are, against what its lang label claims; mixed-script docs
+    are the classic mojibake/injection symptom a multilingual curation
+    pipeline screens for.
+
+    Scale: pure codegen'd string expressions over the scan — zero
+    shuffles, zero Python; the Spark and oracle predicates are
+    generated from one class table (Java vs RE2 syntax).
+    """
+    from ..operators.text import dominant_script_expr, script_profile_exprs
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        *script_profile_exprs(),
+        dominant_script_expr(),
+    )
+
+
+INDEX_MIN_DF = 5
+INDEX_POSTINGS = 10
+
+
+@query(
+    "q_text_inverted_index",
+    f"""
+    WITH words AS (
+        SELECT doc_id, lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+    ),
+    tf AS (SELECT w AS term, doc_id, COUNT(*) AS tf FROM words GROUP BY 1, 2)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           (list(doc_id || ':' || tf ORDER BY tf DESC, doc_id)
+            )[1:{INDEX_POSTINGS}] AS postings
+    FROM tf
+    GROUP BY term
+    HAVING COUNT(*) >= {INDEX_MIN_DF}
+    ORDER BY term
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-shape inverted index: per term, document frequency,
+    total tf, and the impact-ordered top-10 postings ('doc:tf'
+    strings, tf-descending) — the layout a search engine stores so
+    scoring can early-exit; pairs with q_text_bm25_topk as the build
+    side of lexical retrieval.
+
+    Scale (operators/text.inverted_index): one corpus pass with
+    map-side combine; per-term truncated posting arrays are a per-group
+    top-k (memory bounds at group size); df filtering prunes the
+    vocabulary tail before collection.
+    """
+    from ..operators.text import inverted_index
+
+    d = table(spark, sf_dir, "documents")
+    return inverted_index(d, INDEX_MIN_DF, INDEX_POSTINGS)
+
+
+@query(
+    "q_text_quality_calibrated",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               ROUND((
+                   (CASE WHEN {_N_TOKENS} >= 20 THEN 1.0
+                         ELSE {_N_TOKENS} / 20.0 END)
+                 + (CASE WHEN {_MWL} BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                 + (1.0 - least({_PUNCT_RATIO} * 5, 1.0))
+               ) / 3, 4) AS quality_score
+        FROM documents
+    )
+    SELECT doc_id, source, quality_score,
+           CAST((RANK() OVER (PARTITION BY source ORDER BY quality_score)
+                 - 1) * 1000000
+                // greatest(COUNT(*) OVER (PARTITION BY source) - 1, 1)
+                AS BIGINT) AS pct_ppm
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source quality percentile (integer ppm, ties share the
+    min rank) — the calibration step before any global quality cut:
+    raw scores aren't comparable across sources, so curation thresholds
+    at 'bottom N% of each source', not a global score.
+
+    Scale (operators/text.quality_calibrated): one shuffle on the
+    source for the rank window (per-group bound as stratified
+    sampling); scores computed in the same pass; pure integer DIV for
+    the percentile so both engines agree exactly.
+    """
+    from ..operators.text import quality_calibrated
+
+    d = table(spark, sf_dir, "documents")
+    return quality_calibrated(d)

@@ -339,3 +339,101 @@ def test_bpe_merges_filters_non_alnum_tokens(spark):
     got = [tuple(r) for r in bpe_merges(df, 1).collect()]
     # 'a|b' tokens are outside the pre-tokenizer alphabet -> only 'xy'
     assert got == [(1, "x", "y", "xy", 2)]
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            dominant_script_expr,
+            script_profile_exprs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "hello world 42"),
+                (2, "汉字汉字ab"),   # 4 CJK + 2 latin
+                (3, "привет"),  # cyrillic
+                (4, "...!!!"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (
+                r["n_latin"], r["n_digit"], r["n_cjk"],
+                r["n_cyrillic"], r["dominant_script"],
+            )
+            for r in df.select(
+                "doc_id", *script_profile_exprs(), dominant_script_expr()
+            ).collect()
+        }
+        assert out[1] == (10, 2, 0, 0, "latin")
+        assert out[2] == (2, 0, 4, 0, "cjk")
+        assert out[3] == (0, 0, 0, 6, "cyrillic")
+        assert out[4] == (0, 0, 0, 0, "other")
+
+    def test_tie_breaks_by_class_order(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            dominant_script_expr,
+        )
+
+        df = spark.createDataFrame([(1, "ab汉字")], "doc_id long, text string")
+        got = df.select(dominant_script_expr()).first()[0]
+        assert got == "latin"  # 2 latin == 2 cjk -> earlier class wins
+
+
+class TestInvertedIndex:
+    def test_postings_impact_ordered_and_truncated(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            inverted_index,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "x x x y"),
+                (2, "x y"),
+                (3, "x x y"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["term"]: r for r in inverted_index(df, 1, 2).collect()}
+        x = out["x"]
+        assert (x["df"], x["total_tf"]) == (3, 6)
+        # tf desc, doc asc; truncated to 2
+        assert x["postings"] == ["1:3", "3:2"]
+        y = out["y"]
+        assert y["postings"] == ["1:1", "2:1"]
+
+    def test_min_df_prunes(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            inverted_index,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "common rare"), (2, "common")], "doc_id long, text string"
+        )
+        terms = {r["term"] for r in inverted_index(df, 2, 5).collect()}
+        assert terms == {"common"}
+
+
+def test_quality_calibrated_percentiles(spark):
+    from aircraftutilization_etl_spark.operators.text import (
+        quality_calibrated,
+    )
+
+    # source A: 3 docs with strictly increasing quality (longer = better
+    # up to 20 tokens); source B: 2 identical docs (rank tie -> same ppm)
+    df = spark.createDataFrame(
+        [
+            (1, "A", "one two three"),
+            (2, "A", "one two three four five six seven eight"),
+            (3, "A", " ".join(["tok"] * 25)),
+            (4, "B", "same text here now"),
+            (5, "B", "same text here now"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r["pct_ppm"] for r in quality_calibrated(df).collect()}
+    assert out[1] == 0
+    assert out[2] == 500_000
+    assert out[3] == 1_000_000
+    assert out[4] == out[5] == 0  # tied min rank
