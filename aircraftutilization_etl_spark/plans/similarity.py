@@ -420,3 +420,90 @@ def q_emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+MRL_DIMS = 32  # truncated prefix length (full vectors are 64-d)
+
+
+@query(
+    "q_emb_matryoshka_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv,
+                      CAST(embedding[1:{MRL_DIMS}] AS DOUBLE[]) AS qt
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id,
+                      CAST(embedding AS DOUBLE[]) AS cv,
+                      CAST(embedding[1:{MRL_DIMS}] AS DOUBLE[]) AS ct
+               FROM embeddings),
+    exact_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    trunc_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(
+                       list_dot_product(qt, ct)
+                       / (sqrt(list_dot_product(qt, qt))
+                          * sqrt(list_dot_product(ct, ct))), 6
+                   ) DESC, neighbor_id
+               ) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(t.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT * FROM exact_scored WHERE rank <= {TOP_K}) e
+      LEFT JOIN (SELECT * FROM trunc_scored WHERE rank <= {TOP_K}) t
+        ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall gauge (matryoshka-style): recall@5
+    of cosine top-k computed on the first 32 of 64 dimensions against
+    full-dimension ground truth, per query, integer ppm — the number
+    that prices the 2x speed/memory win of truncated embeddings before
+    an operator commits an index to it. Measured here: mean ≈ 0.24 —
+    these synthetic vectors carry no matryoshka training, so truncation
+    costs most of the neighborhood; an MRL-trained embedding would sit
+    near 1.0, and THAT difference is exactly what the gauge exists to
+    reveal.
+
+    Scale: both sides are the corpus-streaming GEMM (operators/
+    similarity.cosine_topk) — the truncated pass literally halves the
+    matrix bytes streamed; the comparison join is top-k-sized. At
+    production scale this is the gauge you run on a sample BEFORE
+    rebuilding a trillion-vector index at half width.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    trunc = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice("embedding", 1, MRL_DIMS).alias("embedding")
+    )
+    exact = cosine_topk(queries, e, TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    approx = cosine_topk(trunc(queries), trunc(e), TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("trunc_neighbor")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["exact_neighbor"] == approx["trunc_neighbor"]),
+        "left",
+    ).select(exact["query_id"], approx["trunc_neighbor"])
+    return joined.groupBy("query_id").agg(
+        F.count("trunc_neighbor").alias("n_hits"),
+        F.expr(
+            f"CAST(COUNT(trunc_neighbor) * 1000000 DIV {TOP_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
