@@ -273,11 +273,13 @@ def boilerplate_scores(
     document with >= SHINGLE_N words.
 
     Scale: the common-shingle set is the heavy-hitter tail of the
-    shingle-count aggregate — tiny relative to the corpus — so the
-    membership probe is a broadcast semi-style inner join on the
-    exploded shingles; per-doc totals and common counts then aggregate
-    on the id key. Two data-sized shuffles (shingle count, per-doc
-    agg), both with map-side combine.
+    shingle-count aggregate — tiny relative to the corpus — so
+    membership is a broadcast LEFT join over the exploded shingles
+    with totals and common-hits counted in ONE doc-keyed aggregation:
+    two shingle-explode passes total (count pass, probe pass) and two
+    data-sized shuffles, both map-side combined. (A totals/commons
+    split would re-explode the corpus a third time and pay an extra
+    doc-keyed join.)
     """
     from .dedup import doc_shingles
 
@@ -286,23 +288,18 @@ def boilerplate_scores(
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
-        .select("shingle")
-    )
-    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    commons = (
-        sh.join(F.broadcast(common), "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("shingle", F.lit(1).alias("__hit"))
     )
     return (
-        totals.join(commons, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
-            F.expr(
-                "coalesce(n_common, 0) * 1000000 DIV n_shingles"
-            ).alias("boilerplate_ppm"),
+        sh.join(F.broadcast(common), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("__hit").cast("long").alias("n_common"),
+        )
+        .withColumn(
+            "boilerplate_ppm",
+            F.expr("n_common * 1000000 DIV n_shingles"),
         )
     )
 
@@ -345,7 +342,11 @@ def bm25_topk(
         ).alias("__w"),
     )
     tf = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
-    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    # doc length is size(words) — a shuffle-free per-row projection,
+    # NOT a second explode+aggregate pass over the corpus
+    dl = df.select(
+        F.col(id_col), F.size(words_expr(text_col)).alias("__dl")
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
     )
