@@ -50,6 +50,41 @@ def hourly_event_counts(
     )
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding-window counts/sums over an event stream: ``window``-long
+    windows advancing every ``slide`` — each event lands in
+    window/slide overlapping windows. The smoothing shape rate
+    monitors use where tumbling buckets alias; the batch twin is
+    q_events_hopping_window.
+
+    Scale: the expansion into window/slide rows happens map-side before
+    the partial aggregation, so the shuffle carries one partial per
+    (task, window) — and the watermark still caps live state at
+    (horizon / slide) windows per key.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_cents",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     id_cols: tuple[str, ...] = ("event_id",),

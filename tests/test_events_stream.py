@@ -7,6 +7,7 @@ import os
 import time
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from aircraftutilization_etl_spark.streaming.events_stream import (
     dedup_stream,
@@ -327,3 +328,82 @@ def test_stream_static_rejects_right_join(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="inner/left"):
         enrich_with_dimension(stream, dim, on="user_id", how="right")
+
+
+def test_hopping_stream_matches_batch_windows(spark, tmp_path):
+    """Finalized sliding windows from the stream equal the batch
+    window(ts, '1 hour', '15 minutes') aggregation over the same
+    on-time rows."""
+    from aircraftutilization_etl_spark.streaming.events_stream import (
+        hopping_event_counts,
+    )
+
+    in_dir = tmp_path / "hop_in"
+    in_dir.mkdir()
+    rows = [
+        (1, BASE + dt.timedelta(minutes=5), "click", 1.0),
+        (2, BASE + dt.timedelta(minutes=20), "click", 2.5),
+        (3, BASE + dt.timedelta(minutes=70), "view", 4.0),
+    ]
+    _write_batch(in_dir / "h0.parquet", order=0, rows=rows)
+    # push the watermark far past every window end
+    _write_batch(
+        in_dir / "h1.parquet",
+        order=1,
+        rows=[(9, BASE + dt.timedelta(hours=9), "click", 0.0)],
+    )
+    _write_batch(
+        in_dir / "h2.parquet",
+        order=2,
+        rows=[(10, BASE + dt.timedelta(hours=10), "click", 0.0)],
+    )
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out_path = tmp_path / "hop_out"
+    q = (
+        hopping_event_counts(stream, watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", str(out_path))
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            progress = q.lastProgress
+            if progress and progress["batchId"] >= 3 and progress[
+                "numInputRows"
+            ] == 0:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(out_path)).collect()
+    }
+    batch_df = spark.createDataFrame(rows, schema)
+    expected = {
+        tuple(r)
+        for r in batch_df.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("ws")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
+        )
+        .collect()
+    }
+    # every on-time window finalized exactly once, none extra (the
+    # watermark-pusher events' own windows are not yet closed)
+    assert expected <= got
+    late_windows = got - expected
+    assert all(w[0] >= BASE + dt.timedelta(hours=8) for w in late_windows)
