@@ -103,6 +103,89 @@ def lang_id_expr(
     return F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unknown"))
 
 
+# --- Gopher-style rule gate ------------------------------------------------
+#
+# Rule-based document filtering in the style of the Gopher/MassiveText
+# curation rules (Rae et al. 2021, §A1.1): hard per-document predicates
+# rather than a blended score — a doc must clear EVERY rule to enter the
+# training corpus. Thresholds are constructor arguments; the defaults are
+# tuned to this corpus's scale so each rule actually discriminates.
+#
+# Every rule is a per-row map over the words array (no shuffle, no
+# Python), so the gate costs one projection over the scan at any corpus
+# size, and composes with the curation funnel's other stages in the same
+# single-pass plan.
+
+GOPHER_DEFAULTS = {
+    "min_words": 30,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_top_word_share": 0.125,
+    "min_alpha_word_ratio": 0.8,
+    "min_distinct_stopwords": 2,
+}
+
+
+def gopher_metrics(col: Column | str = "text") -> dict[str, Column]:
+    """The raw per-doc measurements the Gopher rules threshold.
+
+    ``top_word_share`` (fraction of tokens taken by the single most
+    frequent token — Gopher's repetition screen) is an O(v·n) per-row
+    fold over the distinct words; v is the per-doc vocabulary, so this
+    stays cheap even for long documents.
+    """
+    words = words_expr(col)
+    words_lower = F.transform(words, F.lower)
+    n = F.size(words)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words_lower),
+            lambda w: F.size(F.filter(words_lower, lambda x: x == w)),
+        )
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS]),
+            lambda s: F.array_contains(words_lower, s),
+        )
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_word_length_expr(col),
+        "top_word_share": top_count / F.greatest(n, F.lit(1)),
+        "alpha_word_ratio": alpha / F.greatest(n, F.lit(1)),
+        "n_distinct_stopwords": stops,
+    }
+
+
+def gopher_flags(
+    metrics: dict[str, Column], thresholds: dict | None = None
+) -> dict[str, Column]:
+    """Gopher rule booleans over pre-materialized metrics columns.
+
+    Passing metrics in (rather than recomputing from text) lets the
+    caller alias the raw measurements once per row and reference them
+    from both the flags and the report output (see q_text_quality's
+    layered-projection note).
+    """
+    t = {**GOPHER_DEFAULTS, **(thresholds or {})}
+    return {
+        "f_word_count": metrics["n_words"].between(
+            t["min_words"], t["max_words"]
+        ),
+        "f_mean_word_len": metrics["mean_word_len"].between(
+            t["min_mean_word_len"], t["max_mean_word_len"]
+        ),
+        "f_repetition": metrics["top_word_share"] <= t["max_top_word_share"],
+        "f_alpha_words": metrics["alpha_word_ratio"]
+        >= t["min_alpha_word_ratio"],
+        "f_stopwords": metrics["n_distinct_stopwords"]
+        >= t["min_distinct_stopwords"],
+    }
+
+
 def fingerprint_expr(col: Column | str = "text") -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -850,3 +850,105 @@ def q_text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return quality_calibrated(d)
+
+
+_WORDS_LOWER = f"list_transform({_WORDS}, w -> lower(w))"
+_GOPHER_TOP = (
+    f"list_max(list_transform(list_distinct({_WORDS_LOWER}),"
+    f" w -> len(list_filter({_WORDS_LOWER}, x -> x = w))))"
+    f" / greatest({_N_TOKENS}, 1)"
+)
+_GOPHER_ALPHA = (
+    f"len(list_filter({_WORDS}, w -> regexp_matches(w, '[A-Za-z]')))"
+    f" / greatest({_N_TOKENS}, 1)"
+)
+_GOPHER_STOPS = (
+    f"len(list_filter([{_STOPWORDS_SQL}],"
+    f" s -> list_contains({_WORDS_LOWER}, s)))"
+)
+
+
+@query(
+    "q_text_gopher_rules",
+    f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               {_N_TOKENS} AS n_words,
+               {_MWL} AS mwl,
+               {_GOPHER_TOP} AS top_share,
+               {_GOPHER_ALPHA} AS alpha_ratio,
+               {_GOPHER_STOPS} AS n_stops
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS INT) AS n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(top_share, 4) AS top_word_share,
+           ROUND(alpha_ratio, 4) AS alpha_word_ratio,
+           CAST(n_stops AS INT) AS n_distinct_stopwords,
+           n_words BETWEEN 30 AND 100000 AS f_word_count,
+           mwl BETWEEN 3.0 AND 10.0 AS f_mean_word_len,
+           top_share <= 0.125 AS f_repetition,
+           alpha_ratio >= 0.8 AS f_alpha_words,
+           n_stops >= 2 AS f_stopwords,
+           (n_words BETWEEN 30 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+               AND top_share <= 0.125 AND alpha_ratio >= 0.8
+               AND n_stops >= 2 AS passes
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style hard rule gate (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, top-word repetition
+    share, alphabetic-word ratio, distinct-stopword floor — a doc must
+    clear EVERY rule. Complements the blended q_text_quality score: rule
+    gates are auditable (each flag says WHY a doc died), which is what
+    curation post-mortems need.
+
+    Scale: per-row map over the scan, zero shuffles, zero Python; the
+    repetition fold is O(per-doc vocab × doc len) per row.
+    """
+    from ..operators.text import gopher_flags, gopher_metrics
+
+    d = table(spark, sf_dir, "documents")
+    m = gopher_metrics("text")
+    raw = d.select(
+        "doc_id",
+        "source",
+        m["n_words"].alias("__n"),
+        m["mean_word_len"].alias("__mwl"),
+        m["top_word_share"].alias("__top"),
+        m["alpha_word_ratio"].alias("__alpha"),
+        m["n_distinct_stopwords"].alias("__stops"),
+    )
+    flags = gopher_flags(
+        {
+            "n_words": F.col("__n"),
+            "mean_word_len": F.col("__mwl"),
+            "top_word_share": F.col("__top"),
+            "alpha_word_ratio": F.col("__alpha"),
+            "n_distinct_stopwords": F.col("__stops"),
+        }
+    )
+    return raw.select(
+        "doc_id",
+        "source",
+        F.col("__n").cast("int").alias("n_words"),
+        F.round("__mwl", 4).alias("mean_word_len"),
+        F.round("__top", 4).alias("top_word_share"),
+        F.round("__alpha", 4).alias("alpha_word_ratio"),
+        F.col("__stops").cast("int").alias("n_distinct_stopwords"),
+        flags["f_word_count"].alias("f_word_count"),
+        flags["f_mean_word_len"].alias("f_mean_word_len"),
+        flags["f_repetition"].alias("f_repetition"),
+        flags["f_alpha_words"].alias("f_alpha_words"),
+        flags["f_stopwords"].alias("f_stopwords"),
+        (
+            flags["f_word_count"]
+            & flags["f_mean_word_len"]
+            & flags["f_repetition"]
+            & flags["f_alpha_words"]
+            & flags["f_stopwords"]
+        ).alias("passes"),
+    )

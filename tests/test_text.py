@@ -437,3 +437,51 @@ def test_quality_calibrated_percentiles(spark):
     assert out[2] == 500_000
     assert out[3] == 1_000_000
     assert out[4] == out[5] == 0  # tied min rank
+
+
+class TestGopherRules:
+    def _metrics(self, spark, text):
+        from aircraftutilization_etl_spark.operators.text import (
+            gopher_flags,
+            gopher_metrics,
+        )
+
+        df = spark.createDataFrame([(text,)], "text string")
+        m = gopher_metrics("text")
+        f = gopher_flags(m)
+        row = df.select(
+            *[v.alias(k) for k, v in m.items()],
+            *[v.alias(k) for k, v in f.items()],
+        ).collect()[0]
+        return row.asDict()
+
+    def test_repetition_flag(self, spark):
+        # 'spam' holds 5/8 of the tokens -> share 0.625 > 0.125 -> fail
+        r = self._metrics(spark, "spam spam spam spam spam one two three")
+        assert r["top_word_share"] == 5 / 8
+        assert not r["f_repetition"]
+
+    def test_top_share_case_insensitive(self, spark):
+        r = self._metrics(spark, "The the THE one")
+        assert r["top_word_share"] == 3 / 4
+
+    def test_stopword_floor_counts_distinct(self, spark):
+        # 'the' repeated is ONE distinct stopword -> fails the >=2 floor
+        r = self._metrics(spark, "the the the the word")
+        assert r["n_distinct_stopwords"] == 1
+        assert not r["f_stopwords"]
+        r2 = self._metrics(spark, "the quick fox of glory")
+        assert r2["n_distinct_stopwords"] == 2
+        assert r2["f_stopwords"]
+
+    def test_alpha_ratio(self, spark):
+        # 2 of 4 tokens contain a letter
+        r = self._metrics(spark, "abc 123 456 d7")
+        assert r["alpha_word_ratio"] == 0.5
+        assert not r["f_alpha_words"]
+
+    def test_word_count_bounds(self, spark):
+        r = self._metrics(spark, " ".join(["w"] * 29))
+        assert not r["f_word_count"]
+        r2 = self._metrics(spark, " ".join(f"w{i}" for i in range(30)))
+        assert r2["f_word_count"]
