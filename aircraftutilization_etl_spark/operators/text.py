@@ -773,3 +773,60 @@ def quality_calibrated(
         .cast("bigint")
         .alias("pct_ppm"),
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its tokens are under a TARGET-domain
+    unigram model than under the raw-corpus model,
+    ``avg_w[ln p_target(w) - ln p_raw(w)]`` with add-1 smoothing over the
+    raw vocabulary. High scores mark raw docs that look like the target
+    domain — the selection signal for importance resampling.
+
+    ``is_target`` is a boolean Column over ``df``'s rows defining the
+    target exemplar set (e.g. ``F.col("source") == "src0"``); the raw
+    model is the whole corpus, so the target set needs no separate scan.
+
+    Scale: ONE pass over the exploded tokens builds both models —
+    conditional partial aggregation (count + count-if) on the token key,
+    so the vocabulary-sized model frame is the only shuffle output; docs
+    then join the model on the token (vocab << corpus, AQE broadcasts)
+    and reduce per doc. No Python, no driver-side model.
+    """
+    words = df.select(
+        id_col,
+        is_target.alias("__tgt"),
+        F.explode(
+            F.transform(words_expr(col), lambda w: F.lower(w))
+        ).alias("__w"),
+    )
+    counts = words.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.count_if("__tgt").alias("__ct"),
+    )
+    totals = counts.agg(
+        F.sum("__cr").alias("__tr"),
+        F.sum("__ct").alias("__tt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "__w",
+        (
+            F.log((F.col("__ct") + 1) / (F.col("__tt") + F.col("__v")))
+            - F.log((F.col("__cr") + 1) / (F.col("__tr") + F.col("__v")))
+        ).alias("__lr"),
+    )
+    return (
+        words.join(model, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__lr"), 4).alias("dsir_logratio"),
+        )
+    )

@@ -952,3 +952,68 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & flags["f_stopwords"]
         ).alias("passes"),
     )
+
+
+DSIR_TARGET_SOURCE = "src0"
+
+
+@query(
+    "q_text_dsir_weights",
+    f"""
+    WITH words AS (
+        SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS tgt, lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+    ),
+    counts AS (
+        SELECT w, COUNT(*) AS cr, COUNT(*) FILTER (tgt) AS ct
+        FROM words GROUP BY w
+    ),
+    totals AS (
+        SELECT SUM(cr) AS tr, SUM(ct) AS tt, COUNT(*) AS v FROM counts
+    ),
+    model AS (
+        SELECT w, ln((ct + 1) / (tt + v)) - ln((cr + 1) / (tr + v)) AS lr
+        FROM counts CROSS JOIN totals
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(lr), 4) AS dsir_logratio
+        FROM words JOIN model USING (w)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_logratio,
+           CAST(ROW_NUMBER() OVER (ORDER BY dsir_logratio DESC, doc_id)
+                AS BIGINT) AS dsir_rank
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every doc scored by
+    ``avg ln(p_target/p_raw)`` under add-1-smoothed unigram models, with
+    the target domain defined as ``source = 'src0'``; ``dsir_rank``
+    orders the corpus for importance resampling (rank over the ROUNDED
+    score + doc id, so the cut is engine-portable).
+
+    Scale (operators/text.dsir_logratio): one token shuffle builds BOTH
+    models via conditional aggregation, vocab-sized model join (AQE
+    broadcasts), one doc shuffle for the reduce; the global rank is a
+    single ordered window — at 100 TB swap it for the range-partitioned
+    two-phase rank (operators/sampling's running-count pattern) if the
+    full ordering must materialize rather than a top-N cut.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.text import dsir_logratio
+
+    d = table(spark, sf_dir, "documents")
+    scored = dsir_logratio(d, F.col("source") == DSIR_TARGET_SOURCE)
+    w = Window.orderBy(F.desc("dsir_logratio"), "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logratio",
+        F.row_number().over(w).cast("bigint").alias("dsir_rank"),
+    )

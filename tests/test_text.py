@@ -485,3 +485,29 @@ class TestGopherRules:
         assert not r["f_word_count"]
         r2 = self._metrics(spark, " ".join(f"w{i}" for i in range(30)))
         assert r2["f_word_count"]
+
+
+def test_dsir_logratio_hand_model(spark):
+    import math
+
+    from aircraftutilization_etl_spark.operators.text import dsir_logratio
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "tgt"), (2, "b c", "raw")],
+        "doc_id int, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logratio(df, F.col("source") == "tgt").collect()
+    }
+    # counts: a cr=2 ct=2 | b cr=2 ct=1 | c cr=1 ct=0; tr=5 tt=3 v=3
+    lr = {
+        "a": math.log(3 / 6) - math.log(3 / 8),
+        "b": math.log(2 / 6) - math.log(3 / 8),
+        "c": math.log(1 / 6) - math.log(2 / 8),
+    }
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["dsir_logratio"] == round((2 * lr["a"] + lr["b"]) / 3, 4)
+    assert out[2]["dsir_logratio"] == round((lr["b"] + lr["c"]) / 2, 4)
+    # target doc looks more like the target domain than the raw doc
+    assert out[1]["dsir_logratio"] > out[2]["dsir_logratio"]
