@@ -552,6 +552,24 @@ def bpe_merges(
     round with an eager localCheckpoint so the plan doesn't grow with
     rank count.
     """
+    merges, _ = _bpe_train(df, n_merges, text_col)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_train(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Shared BPE training loop → (merge rules, trained vocabulary).
+
+    The returned vocabulary DataFrame is (__w, __repr, __wc): each
+    distinct corpus word with its post-training delimited segmentation
+    — i.e. the encoder's lookup table, already materialized as a free
+    byproduct of training (the per-round replace IS encoding).
+    """
     words = df.select(
         F.explode(
             F.transform(words_expr(text_col), lambda w: F.lower(w))
@@ -561,6 +579,7 @@ def bpe_merges(
         words.groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__wc"))
         .select(
+            "__w",
             F.regexp_replace("__w", "(.)", "$1|").alias("__repr"),
             "__wc",
         )
@@ -592,16 +611,62 @@ def bpe_merges(
         w1, w2, c = best[0]["__w1"], best[0]["__w2"], int(best[0]["__c"])
         merges.append((rank, w1, w2, w1 + w2, c))
         vocab = vocab.select(
+            "__w",
             F.expr(
                 "replace(__repr, "
                 f"'{w1}|{w2}|', '{w1}{w2}|')"
             ).alias("__repr"),
             "__wc",
         ).localCheckpoint(eager=True)
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        merges,
-        "rank int, left string, right string, merged string, pair_count bigint",
+    return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize every document with a BPE tokenizer trained on the same
+    corpus — the counting side of tokenizer/data co-design: per-doc BPE
+    token counts and the chars-per-token compression each doc achieves
+    under the learned vocabulary (low compression = text the tokenizer
+    segments poorly, a curation signal).
+
+    Word-level encoding trick: documents are NOT re-segmented; the
+    trained vocabulary (distinct word → merged segmentation, a free
+    byproduct of training — see _bpe_train) is the encoder. Docs explode
+    to words and join the vocab on the word key; per-word token count is
+    ``len(split(repr)) - 1``. Zipf makes the vocab minuscule relative to
+    the corpus, so the join broadcasts — encoding 100 TB is one
+    map-side hash join + one per-doc reduce, no Python, no re-merge.
+
+    Output: (id, n_words, n_bpe_tokens, n_chars, compression) over the
+    tokenizer's [a-z0-9]+ word filter.
+    """
+    _, vocab = _bpe_train(df, n_merges, text_col)
+    encoder = vocab.select(
+        "__w",
+        (F.size(F.split("__repr", "\\|")) - 1).alias("__wtoks"),
+        F.length("__w").alias("__wlen"),
+    )
+    doc_words = df.select(
+        id_col,
+        F.explode(
+            F.transform(words_expr(text_col), lambda w: F.lower(w))
+        ).alias("__w"),
+    ).filter(F.col("__w").rlike("^[a-z0-9]+$"))
+    return (
+        doc_words.join(F.broadcast(encoder), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__wtoks").alias("n_bpe_tokens"),
+            F.sum("__wlen").alias("n_chars"),
+            F.round(
+                F.sum("__wlen") / F.sum("__wtoks"), 4
+            ).alias("compression"),
+        )
     )
 
 

@@ -1017,3 +1017,47 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_logratio",
         F.row_number().over(w).cast("bigint").alias("dsir_rank"),
     )
+
+
+@query(
+    "q_text_bpe_encode",
+    f"""
+    WITH {_bpe_ctes(BPE_N_MERGES)},
+    encoder AS (
+        SELECT replace(repr, '|', '') AS w,
+               len(str_split(repr, '|')) - 1 AS wtoks
+        FROM vocab{BPE_N_MERGES}
+    ),
+    docw AS (
+        SELECT doc_id, lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE regexp_matches(lower(t.w), '^[a-z0-9]+$')
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wtoks) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(length(w)) AS DOUBLE)
+                 / CAST(SUM(wtoks) AS DOUBLE), 4) AS compression
+    FROM docw JOIN encoder USING (w)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained BPE tokenizer to every document: per-doc
+    token counts and chars-per-token compression under the learned
+    vocabulary. The oracle re-trains the tokenizer via the same unrolled
+    round-by-round CTE chain as q_text_bpe_merges, then encodes through
+    the final vocabulary's segmentations — a hash match certifies
+    training AND encoding end to end.
+
+    Scale (operators/text.bpe_encode): training state is vocab-sized;
+    encoding is a broadcast word→tokens join plus one per-doc reduce —
+    no re-segmentation of the corpus, no Python.
+    """
+    from ..operators.text import bpe_encode
+
+    d = table(spark, sf_dir, "documents")
+    return bpe_encode(d, BPE_N_MERGES).orderBy("doc_id")

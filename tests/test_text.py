@@ -511,3 +511,20 @@ def test_dsir_logratio_hand_model(spark):
     assert out[2]["dsir_logratio"] == round((lr["b"] + lr["c"]) / 2, 4)
     # target doc looks more like the target domain than the raw doc
     assert out[1]["dsir_logratio"] > out[2]["dsir_logratio"]
+
+
+def test_bpe_encode_hand_worked(spark):
+    from aircraftutilization_etl_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "lowest low")],
+        "doc_id int, text string",
+    )
+    # merges: (l,o) then (lo,w) -> low=1 tok, lower=low|e|r=3, lowest=4
+    out = {r["doc_id"]: r for r in bpe_encode(df, 2).collect()}
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_bpe_tokens"] == 5
+    assert out[1]["n_chars"] == 11
+    assert out[1]["compression"] == 2.2
+    assert out[2]["n_bpe_tokens"] == 5
+    assert out[2]["compression"] == 1.8
