@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .similarity import quantize_embeddings
 
@@ -125,3 +126,218 @@ def kmeans_int8(
     )
     codes.unpersist()
     return out
+
+
+# --- product quantization (PQ) ---------------------------------------------
+#
+# The billion-scale ANN compression standard (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): split each vector into m
+# subvectors, train an independent k-centroid codebook per subspace, store
+# every vector as m small codes, and answer queries by Asymmetric Distance
+# Computation — per query, precompute the m×k lookup table of exact
+# subspace distances once, then score any corpus vector with m table
+# lookups instead of d multiplies.
+#
+# Formulated on the same int8 grid as kmeans_int8 (see module docstring):
+# every subspace distance is an exact BIGINT, every codebook update an
+# exact floor-of-ratio — so an independent engine replays training,
+# encoding, the per-query LUTs and every ADC score bit-for-bit.
+
+
+def _sub_split(codes: DataFrame, m: int, id_col: str) -> DataFrame:
+    """(id, qvec) → (id, sub, svec): m subvector rows per vector."""
+    sd = (F.size("qvec") / m).cast("int")
+    return codes.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub"),
+                    F.slice("qvec", s * sd + 1, sd).alias("svec"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(id_col, "__s.sub", "__s.svec")
+
+
+def _sq_dist_cols(a, b):
+    """Exact BIGINT squared L2 distance between two int array columns."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("bigint") - y) * (x.cast("bigint") - y)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _codebook_lit(codebooks: list[list[list[int]]]):
+    """m×k×sd literal nested array — the broadcast model."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in c])
+                    for c in codebooks[s]
+                ]
+            )
+            for s in range(len(codebooks))
+        ]
+    )
+
+
+def _pq_assign(scodes: DataFrame, codebooks: list[list[list[int]]]) -> DataFrame:
+    """(id, sub, svec) → + (code, dist): argmin over the row's own
+    subspace codebook — map-only against the broadcast literal model,
+    ties to the lowest code index."""
+    dists = F.transform(
+        F.element_at(_codebook_lit(codebooks), F.col("sub") + 1),
+        lambda c: _sq_dist_cols(F.col("svec"), c),
+    )
+    return scodes.select(
+        "*",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("code"),
+        F.array_min(dists).alias("dist"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[list[int]]], DataFrame]:
+    """Train m independent subspace codebooks (k centroids each) with
+    the kmeans_int8 protocol per subspace → (codebooks, scodes).
+
+    Deterministic protocol (the oracle replays it): seeds are the k
+    smallest ids' subvectors (cluster index in id order, identical
+    across subspaces); per iteration, exact-integer argmin assignment
+    (ties → lowest code) then floor-of-ratio codebook update per
+    (sub, code, dim), empty cells keeping their previous centroid.
+
+    Scale: assignment is map-only against the m·k·(d/m) literal model
+    (same total work as one full-vector k-means pass); the update is one
+    shuffle with m·k·(d/m) = k·d result groups; the driver holds k·d
+    integers per round — the model, never the data.
+    """
+    codes = (
+        quantize_embeddings(df, id_col, vec_col)
+        .select(F.col(id_col), "qvec")
+    )
+    scodes = _sub_split(codes, m, id_col).persist()
+    seed_rows = (
+        scodes.filter(F.col("sub") == 0)
+        .select(id_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    seed_ids = [r[id_col] for r in seed_rows]
+    seed_sub = {
+        (r[id_col], r["sub"]): list(r["svec"])
+        for r in scodes.filter(F.col(id_col).isin(seed_ids)).collect()
+    }
+    codebooks = [
+        [seed_sub[(i, s)] for i in sorted(seed_ids)] for s in range(m)
+    ]
+
+    for _ in range(iterations):
+        assigned = _pq_assign(scodes, codebooks)
+        stats = (
+            assigned.select(
+                "sub", "code", F.posexplode("svec").alias("spos", "x")
+            )
+            .groupBy("sub", "code", "spos")
+            .agg(F.floor(F.sum("x") / F.count(F.lit(1))).alias("val"))
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in codebooks]
+        for row in stats:
+            new_books[row["sub"]][row["code"]][row["spos"]] = int(row["val"])
+        codebooks = new_books
+    return codebooks, scodes
+
+
+def pq_encode(
+    scodes: DataFrame, codebooks: list[list[list[int]]], id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, sub, svec) + codebooks → (id, codes array<int>): each vector
+    compressed to m codes (the PQ index payload — 4 bytes replacing
+    d floats here; 1:64 at d=64)."""
+    return (
+        _pq_assign(scodes, codebooks)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_adc_topk(
+    scodes: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[int]]],
+    n_queries: int,
+    k_top: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: per query, precompute the m×k LUT of exact subspace
+    distances to every codebook centroid, then score each corpus vector
+    with m BIGINT lookups — the classic IVF-PQ scoring kernel.
+
+    The query LUT frame is n_queries rows (model-sized) and broadcasts;
+    corpus vectors stream through the lookup fold map-side, so the only
+    shuffle is the per-query top-k window over corpus×n_queries scored
+    rows — swap for a map-side partial top-k combine at extreme scale
+    (the cosine_topk pattern).
+    """
+    lut_rows = F.transform(
+        F.element_at(_codebook_lit(codebooks), F.col("sub") + 1),
+        lambda c: _sq_dist_cols(F.col("svec"), c),
+    )
+    luts = (
+        scodes.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), "sub", lut_rows.alias("lr"))
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "lr"))),
+                lambda x: x["lr"],
+            ).alias("lut")
+        )
+    )
+    m = len(codebooks)
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("lut", s), F.element_at("codes", s) + 1
+        ),
+    )
+    scored = (
+        encoded.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -366,3 +366,207 @@ def q_emb_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("negative_id"),
         )
     )
+
+
+# --- product quantization (operators/clustering.py PQ section) -------------
+
+M_SUB = 16
+K_PQ = 16
+PQ_ITERS = 2
+
+
+def _pq_ctes(m: int, k: int, iters: int) -> tuple[str, str]:
+    """(CTE chain, encode-CTE name) replaying PQ training per subspace
+    and the final per-(vector, subspace) code assignment."""
+    parts = [
+        _CODES_CTE,
+        f"""
+    sdim AS (SELECT (MAX(pos) + 1) // {m} AS sd FROM codes)""",
+        f"""
+    scodes AS (
+        SELECT vec_id, CAST(pos // sd AS INT) AS sub,
+               CAST(pos % sd AS INT) AS spos, q
+        FROM codes CROSS JOIN sdim
+    )""",
+        f"""
+    pqseeds AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM (SELECT DISTINCT vec_id FROM scodes ORDER BY vec_id LIMIT {k})
+    )""",
+        """
+    pqcent0 AS (
+        SELECT c.sub, s.code, c.spos, c.q AS val
+        FROM pqseeds s JOIN scodes c USING (vec_id)
+    )""",
+    ]
+    for i in range(1, iters + 2):
+        # rounds 1..iters train; round iters+1 is the encode assignment
+        # against the final codebooks (no update follows it)
+        parts.append(f"""
+    pqdist{i} AS (
+        SELECT c.vec_id, c.sub, t.code,
+               CAST(SUM((c.q - t.val) * (c.q - t.val)) AS BIGINT) AS dist
+        FROM scodes c JOIN pqcent{i - 1} t
+          ON c.sub = t.sub AND c.spos = t.spos
+        GROUP BY c.vec_id, c.sub, t.code
+    )""")
+        parts.append(f"""
+    pqassign{i} AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, code) AS rn
+            FROM pqdist{i}
+        ) WHERE rn = 1
+    )""")
+        if i <= iters:
+            parts.append(f"""
+    pqcent{i} AS (
+        SELECT p.sub, p.code, p.spos, COALESCE(u.val, p.val) AS val
+        FROM pqcent{i - 1} p LEFT JOIN (
+            SELECT a.sub, a.code, c.spos,
+                   CAST(FLOOR(CAST(SUM(c.q) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS val
+            FROM pqassign{i} a JOIN scodes c
+              ON a.vec_id = c.vec_id AND a.sub = c.sub
+            GROUP BY a.sub, a.code, c.spos
+        ) u ON u.sub = p.sub AND u.code = p.code AND u.spos = p.spos
+    )""")
+    return ",".join(parts), f"pqassign{iters + 1}"
+
+
+_PQ_CTES, _PQ_ENC = _pq_ctes(M_SUB, K_PQ, PQ_ITERS)
+
+_PQ_ADC_CTES = f"""
+    pqlut AS (
+        SELECT c.vec_id AS query_id, c.sub, t.code,
+               CAST(SUM((c.q - t.val) * (c.q - t.val)) AS BIGINT) AS dist
+        FROM scodes c JOIN pqcent{PQ_ITERS} t
+          ON c.sub = t.sub AND c.spos = t.spos
+        WHERE c.vec_id < {N_QUERIES}
+        GROUP BY c.vec_id, c.sub, t.code
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(SUM(l.dist) AS BIGINT) AS adc_dist
+        FROM {_PQ_ENC} e JOIN pqlut l
+          ON e.sub = l.sub AND e.code = l.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    ),
+    adc_ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )"""
+
+
+def _pq_pipeline(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side PQ build → (embeddings, scodes, encoded, books)."""
+    from ..operators.clustering import pq_encode, pq_train
+
+    e = table(spark, sf_dir, "embeddings")
+    books, scodes = pq_train(e, m=M_SUB, k=K_PQ, iterations=PQ_ITERS)
+    return e, scodes, pq_encode(scodes, books), books
+
+
+@query(
+    "q_emb_pq_topk",
+    f"""
+    WITH {_PQ_CTES},
+    {_PQ_ADC_CTES}
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM adc_ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): train m=4 subspace
+    codebooks (k=8, kmeans_int8 protocol per subspace), compress every
+    vector to 4 codes, and answer the standard query set by Asymmetric
+    Distance Computation — per query one m×k LUT of exact subspace
+    distances, then m BIGINT lookups per corpus vector. The oracle
+    replays training, encoding, every LUT entry and every ADC score.
+
+    Scale: the index is 4 bytes/vector (1:64 at d=64); scoring streams
+    the corpus map-side against the broadcast query LUTs — the IVF-PQ
+    memory/bandwidth profile that makes billion-vector ANN feasible.
+    """
+    from ..operators.clustering import pq_adc_topk
+
+    _, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
+    out = pq_adc_topk(
+        scodes, encoded, books, N_QUERIES, TOP_K
+    ).localCheckpoint(eager=True)
+    scodes.unpersist()
+    return out
+
+
+@query(
+    "q_emb_pq_recall",
+    f"""
+    WITH {_PQ_CTES},
+    {_PQ_ADC_CTES},
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    exact_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT * FROM exact_scored WHERE rank <= {TOP_K}) e
+      LEFT JOIN (SELECT * FROM adc_ranked WHERE rank <= {TOP_K}) a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of PQ-ADC against exact-cosine ground truth —
+    the fourth column of the ANN strategy table (untrained IVF cells,
+    SRP buckets, k-means cells, now 4-byte PQ codes): what does 64×
+    compression cost in recall at identical query cost? Unit-norm
+    corpus makes ADC-L2 order directly comparable with cosine order.
+
+    Scale: ground truth is the corpus-streaming GEMM; the PQ side is
+    the map-only ADC plan; the comparison join is top-k-sized.
+    """
+    from ..operators.clustering import pq_adc_topk
+
+    e, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
+    adc = pq_adc_topk(scodes, encoded, books, N_QUERIES, TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("adc_neighbor")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(queries, e, TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    joined = exact.join(
+        adc,
+        (exact["query_id"] == adc["query_id"])
+        & (exact["exact_neighbor"] == adc["adc_neighbor"]),
+        "left",
+    ).select(exact["query_id"], adc["adc_neighbor"])
+    out = (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("adc_neighbor").alias("n_hits"),
+            F.expr(
+                f"CAST(COUNT(adc_neighbor) * 1000000 DIV {TOP_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    scodes.unpersist()
+    return out

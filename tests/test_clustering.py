@@ -127,3 +127,77 @@ def test_kmeans_distances_are_exact_integers(spark, vectors):
     for r in rows:
         assert isinstance(r["dist"], int) and r["dist"] >= 0
         assert not math.isnan(r["dist"])
+
+
+class TestProductQuantization:
+    def _tiny(self, spark):
+        # 6 vectors in 2 obvious groups per subspace, d=4, m=2
+        rows = [
+            (0, [1.0, 1.0, -1.0, -1.0]),
+            (1, [1.0, 0.9, -0.9, -1.0]),
+            (2, [-1.0, -1.0, 1.0, 1.0]),
+            (3, [-0.9, -1.0, 1.0, 0.9]),
+            (4, [1.0, 1.0, 1.0, 1.0]),
+            (5, [-1.0, -1.0, -1.0, -1.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+
+    def test_train_encode_shapes(self, spark):
+        from aircraftutilization_etl_spark.operators.clustering import (
+            pq_encode,
+            pq_train,
+        )
+
+        books, scodes = pq_train(self._tiny(spark), m=2, k=2, iterations=2)
+        assert len(books) == 2 and len(books[0]) == 2
+        assert all(len(c) == 2 for book in books for c in book)
+        enc = {r["vec_id"]: list(r["codes"]) for r in
+               pq_encode(scodes, books).collect()}
+        assert set(enc) == {0, 1, 2, 3, 4, 5}
+        assert all(len(v) == 2 for v in enc.values())
+        # near-identical vectors get identical codes
+        assert enc[0] == enc[1]
+        assert enc[2] == enc[3]
+        # opposite vectors get different codes in every subspace
+        assert enc[0][0] != enc[2][0] and enc[0][1] != enc[2][1]
+        scodes.unpersist()
+
+    def test_adc_equals_lut_sum(self, spark):
+        """ADC score of (query, vector) == exact sum of subspace
+        distances between the query's subvectors and the vector's
+        assigned centroids — verified by recomputing in Python."""
+        from aircraftutilization_etl_spark.operators.clustering import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+        from aircraftutilization_etl_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        df = self._tiny(spark)
+        books, scodes = pq_train(df, m=2, k=2, iterations=1)
+        enc_df = pq_encode(scodes, books)
+        enc = {r["vec_id"]: list(r["codes"]) for r in enc_df.collect()}
+        q = {
+            r["vec_id"]: list(r["qvec"])
+            for r in quantize_embeddings(df).select("vec_id", "qvec").collect()
+        }
+        out = pq_adc_topk(scodes, enc_df, books, n_queries=2, k_top=6)
+        rows = out.collect()
+        assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+        sd = 2
+        for r in rows:
+            qv = q[r["query_id"]]
+            expected = sum(
+                sum(
+                    (qv[s * sd + i] - books[s][enc[r["neighbor_id"]][s]][i])
+                    ** 2
+                    for i in range(sd)
+                )
+                for s in range(2)
+            )
+            assert r["adc_dist"] == expected
+        scodes.unpersist()
