@@ -114,3 +114,103 @@ def pagerank(
     out_edges.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as canonical (item_a < item_b) edge rows.
+
+    Degree-ordered orientation (the scale-correct trick): each
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher one, making the graph acyclic with out-degrees bounded by
+    O(sqrt(m)) — wedge generation then costs sum(outdeg²) = O(m^1.5)
+    TOTAL even on power-law graphs, where id-ordered wedges around a
+    celebrity hub would blow up quadratically. Each triangle closes
+    exactly once; per-node counts explode the closed triple.
+
+    Coefficient is integer ppm — 2·t·10⁶ DIV d·(d−1) — so the output is
+    bit-identical across engines and partitionings (no float division).
+
+    Shape: degree build is one shuffle over the symmetrized edges; the
+    wedge join and the closing-edge join are equi-joins on node/pair
+    keys; everything else is map-side.
+    """
+    sym = edges.select(
+        F.col("item_a").alias("u"), F.col("item_b").alias("v")
+    ).union(
+        edges.select(F.col("item_b").alias("u"), F.col("item_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient: (deg, id)-smaller endpoint -> larger
+    e = (
+        edges.join(
+            deg.select(F.col("u").alias("item_a"), F.col("d").alias("da")),
+            "item_a",
+        )
+        .join(
+            deg.select(F.col("u").alias("item_b"), F.col("d").alias("db")),
+            "item_b",
+        )
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | (
+                    (F.col("da") == F.col("db"))
+                    & (F.col("item_a") < F.col("item_b"))
+                ),
+                F.col("item_a"),
+            )
+            .otherwise(F.col("item_b"))
+            .alias("src"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | (
+                    (F.col("da") == F.col("db"))
+                    & (F.col("item_a") < F.col("item_b"))
+                ),
+                F.col("item_b"),
+            )
+            .otherwise(F.col("item_a"))
+            .alias("dst"),
+        )
+    )
+    # wedges out of a common source close on an oriented edge; the
+    # dst-pair ordering dedupes the two wedge orderings around src
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closing = e.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    tri = w.join(
+        closing,
+        (F.least("b", "c") == F.col("x")) & (F.greatest("b", "c") == F.col("y")),
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.when(F.col("d") >= 2,
+                   F.expr("2 * coalesce(n_triangles, 0) * 1000000 "
+                          "DIV (d * (d - 1))"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("clustering_ppm"),
+        )
+    )

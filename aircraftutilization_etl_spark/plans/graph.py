@@ -90,3 +90,68 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item vocabulary is tiny relative to the event stream: keep the
     # per-iteration rank table on a few partitions
     return pagerank(edges, N_ITER, rank_partitions=4)
+
+
+@query(
+    "q_graph_triangles",
+    f"""
+    WITH {_EDGES_SQL},
+    und AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+    deg AS (SELECT src AS u, COUNT(*) AS d FROM edges GROUP BY src),
+    ori AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                    THEN a ELSE b END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                    THEN b ELSE a END AS dst
+        FROM und JOIN deg da ON da.u = und.a JOIN deg db ON db.u = und.b
+    ),
+    wedges AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    closing AS (SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+                FROM ori),
+    tri AS (
+        SELECT a, b, c FROM wedges JOIN closing
+          ON LEAST(wedges.b, wedges.c) = closing.x
+         AND GREATEST(wedges.b, wedges.c) = closing.y
+    ),
+    pn AS (
+        SELECT u, COUNT(*) AS t FROM (
+            SELECT a AS u FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY u
+    )
+    SELECT deg.u AS node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.d >= 2
+                     THEN 2 * COALESCE(pn.t, 0) * 1000000
+                          // (deg.d * (deg.d - 1))
+                     ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM deg LEFT JOIN pn ON pn.u = deg.u
+    ORDER BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient (integer ppm) per
+    node of the item co-occurrence graph — the community-density gauge
+    next to PageRank's centrality gauge.
+
+    Scale (operators/graph.triangle_stats): degree-ordered edge
+    orientation bounds wedge generation at O(m^1.5) on power-law
+    graphs (id-ordering would be quadratic around hubs); the close is
+    an equi-join on the canonical pair key; coefficients are integer
+    DIV so both engines agree bit-for-bit.
+    """
+    from ..operators.graph import triangle_stats
+
+    ev = table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).filter(F.col("item").isNotNull())
+    edges = cooccurrence_pairs(ui, "user_id", "item").select(
+        "item_a", "item_b"
+    )
+    return triangle_stats(edges).orderBy("node")

@@ -57,3 +57,21 @@ def test_partitioning_independent(spark):
     a = {tuple(r) for r in pagerank(df, 4).collect()}
     b = {tuple(r) for r in pagerank(df.repartition(11), 4).collect()}
     assert a == b
+
+
+def test_triangle_stats_hand_graph(spark):
+    from aircraftutilization_etl_spark.operators.graph import triangle_stats
+
+    # triangle 1-2-3, pendant 3-4, triangle-free square 5-6-7-8
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8), (5, 8)],
+        "item_a int, item_b int",
+    )
+    out = {r["node"]: r for r in triangle_stats(edges).collect()}
+    assert out[1]["n_triangles"] == 1 and out[1]["degree"] == 2
+    assert out[1]["clustering_ppm"] == 1_000_000
+    assert out[3]["degree"] == 3 and out[3]["n_triangles"] == 1
+    assert out[3]["clustering_ppm"] == 333_333
+    assert out[4]["n_triangles"] == 0 and out[4]["clustering_ppm"] == 0
+    for n in (5, 6, 7, 8):
+        assert out[n]["n_triangles"] == 0 and out[n]["degree"] == 2
