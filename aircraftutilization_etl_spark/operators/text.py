@@ -895,3 +895,84 @@ def dsir_logratio(
             F.round(F.avg("__lr"), 4).alias("dsir_logratio"),
         )
     )
+
+
+def source_divergence(
+    df: DataFrame, group_col: str = "source", col: str = "text"
+) -> DataFrame:
+    """KL(p_group || p_corpus) in nats per group over add-1 smoothed
+    unigram models (smoothing over the CORPUS vocabulary, so every
+    group's distribution is supported wherever the corpus's is and the
+    divergence is finite).
+
+    Unseen-word handling: a group's smoothed p assigns 1/(ts+V) to each
+    vocab word it never uses; those terms are generated from the
+    vocab×group grid anti-joined against the seen set — vocabulary-
+    sized work, not corpus-sized.
+    """
+    words = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.transform(words_expr(col), lambda w: F.lower(w))
+        ).alias("__w"),
+    )
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__cc"))
+    vstats = vocab.agg(
+        F.sum("__cc").alias("__tc"), F.count(F.lit(1)).alias("__v")
+    )
+    src = words.groupBy("__g", "__w").agg(F.count(F.lit(1)).alias("__cs"))
+    stot = src.groupBy("__g").agg(F.sum("__cs").alias("__ts"))
+
+    seen = (
+        src.join(vocab, "__w")
+        .join(F.broadcast(stot), "__g")
+        .crossJoin(F.broadcast(vstats))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                ((F.col("__cs") + 1.0) / (F.col("__ts") + F.col("__v")))
+                * (
+                    F.log(
+                        (F.col("__cs") + 1.0)
+                        / (F.col("__ts") + F.col("__v"))
+                    )
+                    - F.log(
+                        (F.col("__cc") + 1.0)
+                        / (F.col("__tc") + F.col("__v"))
+                    )
+                )
+            ).alias("__kl_seen"),
+            F.count(F.lit(1)).alias("n_seen_words"),
+        )
+    )
+    unseen = (
+        df.select(F.col(group_col).alias("__g"))
+        .distinct()
+        .crossJoin(vocab)
+        .join(src.select("__g", "__w"), ["__g", "__w"], "left_anti")
+        .join(F.broadcast(stot), "__g")
+        .crossJoin(F.broadcast(vstats))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                (F.lit(1.0) / (F.col("__ts") + F.col("__v")))
+                * (
+                    F.log(F.lit(1.0) / (F.col("__ts") + F.col("__v")))
+                    - F.log(
+                        (F.col("__cc") + 1.0)
+                        / (F.col("__tc") + F.col("__v"))
+                    )
+                )
+            ).alias("__kl_unseen")
+        )
+    )
+    return (
+        seen.join(unseen, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_seen_words").cast("bigint").alias("n_seen_words"),
+            F.round(
+                F.col("__kl_seen") + F.coalesce("__kl_unseen", F.lit(0.0)), 4
+            ).alias("kl_nats"),
+        )
+    )

@@ -814,3 +814,51 @@ def q_events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "q_events_moving_avg",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(value) AS day_value
+        FROM events
+        GROUP BY day
+    )
+    SELECT day, n_events, ROUND(day_value, 2) AS day_value,
+           ROUND(AVG(day_value) OVER w, 4) AS ma7,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
+    FROM daily
+    WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event value — the calendar-aware
+    RANGE frame (interval windows skip missing days correctly, unlike a
+    ROWS frame which would silently span gaps).
+
+    Scale: one shuffle collapses the stream to one row per day; the
+    window then runs over the day-count-sized series (a single ordered
+    partition is fine BECAUSE the input is pre-aggregated — never run
+    calendar windows over raw events). The frame orders by the integer
+    epoch-day so Spark's numeric RANGE and DuckDB's agree exactly.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("day_value"),
+    )
+    w = (
+        Window.orderBy(F.unix_date("day"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.round("day_value", 2).alias("day_value"),
+        F.round(F.avg("day_value").over(w), 4).alias("ma7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_in_window"),
+    ).orderBy("day")

@@ -301,3 +301,110 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q_unpivot_measures",
+    """
+    WITH melted AS (
+        SELECT l_returnflag, l_linestatus, measure, value
+        FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+                     l_extendedprice, l_discount, l_tax FROM lineitem)
+        UNPIVOT (value FOR measure IN
+                 (l_quantity, l_extendedprice, l_discount, l_tax))
+    )
+    SELECT l_returnflag, l_linestatus, measure,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(AVG(value), 4) AS mean
+    FROM melted
+    GROUP BY l_returnflag, l_linestatus, measure
+    ORDER BY l_returnflag, l_linestatus, measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt) of the four lineitem measures,
+    re-aggregated per (flag, status, measure) — the schema-normalization
+    operator feeding generic per-metric dashboards and data-quality
+    monitors.
+
+    Scale: unpivot is a map-side row expansion (4 output rows per input,
+    no shuffle of its own); the aggregate that follows shuffles the
+    usual partial-agg way. Expressed with the native DataFrame.unpivot
+    (Expand node) — no UNION of four scans, so the fact table is read
+    once.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    melted = li.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return (
+        melted.groupBy("l_returnflag", "l_linestatus", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.avg("value"), 4).alias("mean"),
+        )
+        .orderBy("l_returnflag", "l_linestatus", "measure")
+    )
+
+
+@query(
+    "q_stats_regression",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation, sample
+    covariance, OLS slope/intercept of price on quantity, price stddev —
+    the statistical-aggregate surface (CORR/COVAR/REGR_*) an analytics
+    engine owes its users beyond SUM/AVG.
+
+    Scale: all five are single-pass mergeable moment sketches (sum, sum
+    of squares, co-moments) — partial aggregation does the work
+    map-side; no second pass, no value buffering. Rounding at the edge
+    absorbs the engines' differing summation orders.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+                "price_qty_corr"
+            ),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+                "price_qty_covar"
+            ),
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 2
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("intercept"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias(
+                "price_stddev"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

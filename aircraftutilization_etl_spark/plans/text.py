@@ -1061,3 +1061,69 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bpe_encode(d, BPE_N_MERGES).orderBy("doc_id")
+
+
+@query(
+    "q_text_source_divergence",
+    """
+    WITH words AS (
+        SELECT source, lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+    ),
+    vocab AS (SELECT w, COUNT(*) AS cc FROM words GROUP BY w),
+    vstats AS (SELECT SUM(cc) AS tc, COUNT(*) AS v FROM vocab),
+    src AS (
+        SELECT source, w, COUNT(*) AS cs FROM words GROUP BY source, w
+    ),
+    stot AS (SELECT source, SUM(cs) AS ts FROM src GROUP BY source),
+    -- add-1 smoothing over the corpus vocabulary: unseen words
+    -- contribute p_s = 1/(ts+v) mass; sum them via the complement
+    seen AS (
+        SELECT s.source,
+               SUM((s.cs + 1.0) / (t.ts + vs.v)
+                   * (ln((s.cs + 1.0) / (t.ts + vs.v))
+                      - ln((c.cc + 1.0) / (vs.tc + vs.v)))) AS kl_seen,
+               SUM((s.cs + 1.0)) AS mass_num,
+               COUNT(*) AS n_seen
+        FROM src s JOIN vocab c USING (w)
+             JOIN stot t USING (source) CROSS JOIN vstats vs
+        GROUP BY s.source
+    ),
+    unseen AS (
+        SELECT s.source,
+               SUM(1.0 / (t.ts + vs.v)
+                   * (ln(1.0 / (t.ts + vs.v))
+                      - ln((c.cc + 1.0) / (vs.tc + vs.v)))) AS kl_unseen
+        FROM (SELECT DISTINCT source FROM documents) s
+             CROSS JOIN vocab c
+             JOIN stot t ON t.source = s.source
+             CROSS JOIN vstats vs
+        WHERE NOT EXISTS (SELECT 1 FROM src x
+                          WHERE x.source = s.source AND x.w = c.w)
+        GROUP BY s.source
+    )
+    SELECT seen.source,
+           CAST(seen.n_seen AS BIGINT) AS n_seen_words,
+           ROUND(seen.kl_seen + COALESCE(unseen.kl_unseen, 0), 4)
+               AS kl_nats
+    FROM seen LEFT JOIN unseen ON unseen.source = seen.source
+    ORDER BY seen.source
+    """,
+)
+def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(p_source || p_corpus) over add-1
+    smoothed unigram distributions — the domain-drift gauge a corpus
+    monitor runs per ingest source (a source whose language diverges
+    from the mix gets curation attention before training).
+
+    Scale (operators/text.source_divergence): token shuffle → (source,
+    word) counts; the divergence sum runs over source×vocab — the
+    smoothed formulation needs the unseen-word mass too, generated by a
+    vocab×source grid minus the seen set (both vocabulary-sized, never
+    corpus-sized). All Python-free; ln at the edge, rounded.
+    """
+    from ..operators.text import source_divergence
+
+    d = table(spark, sf_dir, "documents")
+    return source_divergence(d).orderBy("source")

@@ -528,3 +528,24 @@ def test_bpe_encode_hand_worked(spark):
     assert out[1]["compression"] == 2.2
     assert out[2]["n_bpe_tokens"] == 5
     assert out[2]["compression"] == 1.8
+
+
+def test_source_divergence_hand_model(spark):
+    import math
+
+    from aircraftutilization_etl_spark.operators.text import source_divergence
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "g1"), (2, "b", "g2")],
+        "doc_id int, text string, source string",
+    )
+    out = {r["source"]: r for r in source_divergence(df).collect()}
+    # corpus: a cc=2, b cc=2, tc=4, v=2 -> p_c(a)=p_c(b)=0.5
+    kl1 = 0.6 * math.log(0.6 / 0.5) + 0.4 * math.log(0.4 / 0.5)
+    kl2 = (2 / 3) * math.log((2 / 3) / 0.5) + (1 / 3) * math.log(
+        (1 / 3) / 0.5
+    )
+    assert out["g1"]["n_seen_words"] == 2
+    assert out["g2"]["n_seen_words"] == 1
+    assert out["g1"]["kl_nats"] == round(kl1, 4)
+    assert out["g2"]["kl_nats"] == round(kl2, 4)
