@@ -272,3 +272,53 @@ def click_purchase_attribution(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
         "purchase_value",
     )
+
+
+def purchase_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Left-outer watermarked stream-stream join: EVERY purchase emits —
+    paired with each in-horizon click when one exists, with null click
+    columns otherwise. The outer member of the streaming join family:
+    attribution reports need the unconverted-purchase rows (organic
+    sales) as much as the converted ones.
+
+    Semantics at scale: Spark buffers the preserved (purchase) side in
+    the state store until the watermark proves no matching click can
+    still arrive — only then does the null-padded row emit. So outer
+    results trail the watermark by design; the same code on static
+    frames is a plain left join, which the batch-equivalence test
+    exploits. State on both sides is evicted by the time bound exactly
+    as in the inner variant.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    pairs = p.join(
+        c,
+        F.expr(
+            f"""user_id = p_user_id
+            AND click_ts >= purchase_ts - INTERVAL {horizon}
+            AND click_ts <= purchase_ts"""
+        ),
+        "leftOuter",
+    )
+    return pairs.select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -120,3 +120,85 @@ def test_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect
+
+@pytest.mark.slow
+def test_outer_stream_matches_batch(spark, tmp_path):
+    from aircraftutilization_etl_spark.streaming.events_stream import (
+        purchase_attribution_outer,
+    )
+
+    batches = _make_batches()
+    # add purchases with NO click in horizon (fresh users) — the rows
+    # only the outer join keeps
+    organic = [
+        (80001, T0 + timedelta(minutes=7), 100, "purchase", 500.0),
+        (80002, T0 + timedelta(minutes=40), 101, "purchase", 600.0),
+    ]
+    batches[0] = batches[0] + organic
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, b in enumerate(batches):
+        _events(b).to_parquet(
+            in_dir / f"b{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    static = spark.read.schema(schema).parquet(str(in_dir))
+    # sentinels (negative users) exist only to push the watermark; the
+    # stream correctly never emits the sentinel purchase itself (the
+    # watermark cannot pass the maximum event time), so equivalence is
+    # asserted over the real users
+    expect = {
+        tuple(r)
+        for r in purchase_attribution_outer(
+            static.filter("event_type = 'click'"),
+            static.filter("event_type = 'purchase'"),
+        ).collect()
+        if r["user_id"] >= 0
+    }
+    # the scenario exercises both arms
+    assert any(r[4] is None for r in expect)  # organic purchases
+    assert any(r[4] is not None for r in expect)  # attributed pairs
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = tmp_path / "out"
+    q = (
+        purchase_attribution_outer(
+            stream.filter("event_type = 'click'"),
+            stream.filter("event_type = 'purchase'"),
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = set()
+        while time.time() < deadline:
+            try:
+                got = {
+                    tuple(r)
+                    for r in spark.read.parquet(str(out)).collect()
+                    if r["user_id"] >= 0
+                }
+            except Exception:
+                got = set()
+            if got == expect:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert got == expect
