@@ -231,20 +231,14 @@ def pq_train(
         .select(F.col(id_col), "qvec")
     )
     scodes = _sub_split(codes, m, id_col).persist()
-    seed_rows = (
-        scodes.filter(F.col("sub") == 0)
-        .select(id_col)
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
-    seed_ids = [r[id_col] for r in seed_rows]
-    seed_sub = {
-        (r[id_col], r["sub"]): list(r["svec"])
-        for r in scodes.filter(F.col(id_col).isin(seed_ids)).collect()
-    }
+    # one model-sized collect: the k smallest ids' full code vectors,
+    # sliced into subspace seeds driver-side (matches the oracle's
+    # seeds-join-scodes exactly — slicing commutes with the id order)
+    seed_rows = codes.orderBy(id_col).limit(k).collect()
+    sd = len(seed_rows[0]["qvec"]) // m
     codebooks = [
-        [seed_sub[(i, s)] for i in sorted(seed_ids)] for s in range(m)
+        [list(r["qvec"][s * sd : (s + 1) * sd]) for r in seed_rows]
+        for s in range(m)
     ]
 
     for _ in range(iterations):

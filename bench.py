@@ -43,6 +43,10 @@ HEADLINE = [
     "q_text_quality",
     "q_emb_cosine_topk",
     "q_emb_near_dup_pairs",
+    "q_emb_pq_topk",  # PQ-ADC: broadcast LUTs over 4-byte codes
+    "q_text_dsir_weights",  # one-pass dual unigram models + vocab join
+    "q_stats_regression",  # mergeable moment sketches (CORR/REGR_*)
+    "q_events_moving_avg",  # calendar RANGE frame over pre-agg days
     "q_media_feature_extract",
     "q_curation_funnel",  # flagship: 4-stage curation in one plan
     "q_graph_pagerank",  # iterative: 5 synchronous shuffle rounds
