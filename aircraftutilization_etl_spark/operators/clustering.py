@@ -211,6 +211,7 @@ def pq_train(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_limit: int | None = None,
 ) -> tuple[list[list[list[int]]], DataFrame]:
     """Train m independent subspace codebooks (k centroids each) with
     the kmeans_int8 protocol per subspace → (codebooks, scodes).
@@ -225,6 +226,13 @@ def pq_train(
     (same total work as one full-vector k-means pass); the update is one
     shuffle with m·k·(d/m) = k·d result groups; the driver holds k·d
     integers per round — the model, never the data.
+
+    ``train_limit`` restricts the Lloyd iterations to the vectors with
+    id < limit — the production PQ protocol (Faiss/ScaNN train
+    codebooks on a bounded sample whatever the corpus size; a 100 TB
+    corpus cannot afford per-iteration full passes). Deterministic and
+    oracle-replayable because the sample is an id-prefix, not a random
+    draw. Encoding still covers the full corpus.
     """
     codes = (
         quantize_embeddings(df, id_col, vec_col)
@@ -241,8 +249,13 @@ def pq_train(
         for s in range(m)
     ]
 
+    train = (
+        scodes.filter(F.col(id_col) < train_limit)
+        if train_limit is not None
+        else scodes
+    )
     for _ in range(iterations):
-        assigned = _pq_assign(scodes, codebooks)
+        assigned = _pq_assign(train, codebooks)
         stats = (
             assigned.select(
                 "sub", "code", F.posexplode("svec").alias("spos", "x")

@@ -245,3 +245,76 @@ def resample_ffill(
         F.col("__v").alias("value_ffill"),
         (F.col("bucket_ts") == F.col("__b")).cast("int").alias("is_observed"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Resample + LINEAR interpolation — the second hypertable gap-fill
+    mode next to resample_ffill's locf: gap buckets between two
+    observations carry the linearly interpolated value
+    ``prev + (next - prev) · elapsed/gap_span`` instead of the held one.
+
+    Same one-exchange, no-join shape as resample_ffill: each observed
+    bucket emits itself plus its trailing gap rows via lead() +
+    sequence()/explode — but here the lead carries the NEXT observation's
+    value too, so every gap row knows both interpolation endpoints by
+    construction. Rounded to 4dp at the edge (the arithmetic itself is
+    order-fixed: (next-prev)·elapsed/span, integer second deltas).
+
+    Output: (key, bucket_ts, value_interp, is_observed).
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else (
+        F.window(F.col(ts_col), step).getField("start")
+    )
+    src = df.repartition(F.col(key_col))
+    obs = src.groupBy(F.col(key_col), bucket.alias("__b")).agg(
+        F.max_by(
+            F.col(value_col),
+            F.struct(F.col(ts_col), F.col(tiebreak_col)),
+        ).alias("__v")
+    )
+    w = Window.partitionBy(key_col).orderBy("__b")
+    nxt = obs.select(
+        key_col,
+        "__b",
+        "__v",
+        F.lead("__b").over(w).alias("__nb"),
+        F.lead("__v").over(w).alias("__nv"),
+    )
+    stopped = nxt.withColumn(
+        "__stop",
+        F.coalesce(
+            F.col("__nb") - F.expr(f"INTERVAL {step}"), F.col("__b")
+        ),
+    )
+    filled = stopped.select(
+        key_col,
+        "__b",
+        "__v",
+        "__nb",
+        "__nv",
+        F.explode(
+            F.sequence("__b", "__stop", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket_ts"),
+    )
+    elapsed = F.unix_timestamp("bucket_ts") - F.unix_timestamp("__b")
+    span = F.unix_timestamp("__nb") - F.unix_timestamp("__b")
+    interp = F.when(F.col("bucket_ts") == F.col("__b"), F.col("__v")).otherwise(
+        F.col("__v") + (F.col("__nv") - F.col("__v")) * elapsed / span
+    )
+    return filled.select(
+        key_col,
+        "bucket_ts",
+        # no edge rounding: the interpolation arithmetic is order-fixed
+        # (identical IEEE ops both engines), and decimal rounding of
+        # midpoints is the one place Spark (shortest-repr HALF_UP) and
+        # DuckDB (binary) genuinely disagree
+        interp.alias("value_interp"),
+        (F.col("bucket_ts") == F.col("__b")).cast("int").alias("is_observed"),
+    )

@@ -373,9 +373,10 @@ def q_emb_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 M_SUB = 16
 K_PQ = 16
 PQ_ITERS = 2
+PQ_TRAIN_LIMIT = 400  # Faiss-style bounded training sample (id-prefix)
 
 
-def _pq_ctes(m: int, k: int, iters: int) -> tuple[str, str]:
+def _pq_ctes(m: int, k: int, iters: int, train_limit: int) -> tuple[str, str]:
     """(CTE chain, encode-CTE name) replaying PQ training per subspace
     and the final per-(vector, subspace) code assignment."""
     parts = [
@@ -409,6 +410,7 @@ def _pq_ctes(m: int, k: int, iters: int) -> tuple[str, str]:
                CAST(SUM((c.q - t.val) * (c.q - t.val)) AS BIGINT) AS dist
         FROM scodes c JOIN pqcent{i - 1} t
           ON c.sub = t.sub AND c.spos = t.spos
+        {f"WHERE c.vec_id < {train_limit}" if i <= iters else ""}
         GROUP BY c.vec_id, c.sub, t.code
     )""")
         parts.append(f"""
@@ -436,7 +438,7 @@ def _pq_ctes(m: int, k: int, iters: int) -> tuple[str, str]:
     return ",".join(parts), f"pqassign{iters + 1}"
 
 
-_PQ_CTES, _PQ_ENC = _pq_ctes(M_SUB, K_PQ, PQ_ITERS)
+_PQ_CTES, _PQ_ENC = _pq_ctes(M_SUB, K_PQ, PQ_ITERS, PQ_TRAIN_LIMIT)
 
 _PQ_ADC_CTES = f"""
     pqlut AS (
@@ -468,7 +470,9 @@ def _pq_pipeline(spark: SparkSession, sf_dir: str):
     from ..operators.clustering import pq_encode, pq_train
 
     e = table(spark, sf_dir, "embeddings")
-    books, scodes = pq_train(e, m=M_SUB, k=K_PQ, iterations=PQ_ITERS)
+    books, scodes = pq_train(
+        e, m=M_SUB, k=K_PQ, iterations=PQ_ITERS, train_limit=PQ_TRAIN_LIMIT
+    )
     return e, scodes, pq_encode(scodes, books), books
 
 

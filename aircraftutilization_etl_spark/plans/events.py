@@ -862,3 +862,78 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("day_value").over(w), 4).alias("ma7"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_in_window"),
     ).orderBy("day")
+
+
+@query(
+    "q_events_resample_interp",
+    """
+    WITH src AS (
+        SELECT * FROM events WHERE user_id % 25 = 0 AND value IS NOT NULL
+    ),
+    obs AS (
+        SELECT user_id, bucket_ts, v FROM (
+            SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM src
+        ) WHERE rn = 1
+    ),
+    span AS (
+        SELECT user_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM span
+    ),
+    merged AS (
+        SELECT g.user_id, g.bucket_ts, o.v,
+               CASE WHEN o.user_id IS NULL THEN 0 ELSE 1 END AS is_observed
+        FROM grid g LEFT JOIN obs o USING (user_id, bucket_ts)
+    ),
+    anno AS (
+        SELECT user_id, bucket_ts, v, is_observed,
+               last_value(v IGNORE NULLS) OVER wprev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END
+                          IGNORE NULLS) OVER wprev AS pb,
+               first_value(v IGNORE NULLS) OVER wnext AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END
+                           IGNORE NULLS) OVER wnext AS nb
+        FROM merged
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY bucket_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wnext AS (PARTITION BY user_id ORDER BY bucket_ts
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_ts,
+           CASE WHEN is_observed = 1 THEN v
+                ELSE pv + (nv - pv)
+                     * date_diff('second', pb, bucket_ts)
+                     / date_diff('second', pb, nb)
+           END AS value_interp,
+           CAST(is_observed AS INT) AS is_observed
+    FROM anno
+    ORDER BY user_id, bucket_ts
+    """,
+)
+def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization with LINEAR interpolation — the
+    hypertable `interpolate()` twin of q_events_resample_ffill's locf:
+    gap buckets carry prev + (next−prev)·elapsed/span.
+
+    Scale (operators/events.resample_interpolate): same one-exchange,
+    no-join plan as the locf variant — the lead() carries both
+    interpolation endpoints onto every emitted gap row. The oracle
+    derives the semantics independently (grid + left join + IGNORE
+    NULLS window walks both directions), so agreement certifies the
+    recurrence, not a replay of the same shape.
+    """
+    from ..operators.events import resample_interpolate
+
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 25 == 0) & F.col("value").isNotNull()
+    )
+    return resample_interpolate(e, "user_id", "ts", "value", "event_id")

@@ -298,3 +298,35 @@ class TestResampleFfill:
         assert count_exchanges(out) == 1
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
+
+
+def test_resample_interpolate_hand_series(spark):
+    from datetime import datetime
+
+    from aircraftutilization_etl_spark.operators.events import (
+        resample_interpolate,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 7, 10.0),
+        (1, datetime(2024, 1, 1, 3, 10), 8, 40.0),  # 3-hour gap: 2 fills
+        (1, datetime(2024, 1, 1, 4, 20), 9, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double"
+    )
+    out = {
+        (r["user_id"], r["bucket_ts"].hour): r
+        for r in resample_interpolate(
+            df, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert out[(1, 0)]["value_interp"] == 10.0
+    assert out[(1, 0)]["is_observed"] == 1
+    # linear between 10@h0 and 40@h3: 20 at h1, 30 at h2
+    assert out[(1, 1)]["value_interp"] == 20.0
+    assert out[(1, 1)]["is_observed"] == 0
+    assert out[(1, 2)]["value_interp"] == 30.0
+    assert out[(1, 3)]["value_interp"] == 40.0
+    assert out[(1, 4)]["value_interp"] == 20.0
+    assert len(out) == 5
