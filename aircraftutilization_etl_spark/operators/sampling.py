@@ -267,3 +267,103 @@ def kfold_assign(
     """
     bucket = hash_bucket(F.col(key))
     return df.withColumn(col_name, (bucket % k).cast("int"))
+
+
+def shard_and_order(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    seed: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Seeded global training-order shuffle, materialized as shard +
+    position-within-shard — the "shuffle the corpus before training"
+    step, done without a global sort.
+
+    A true global ORDER BY md5 funnels the final ordering through a
+    range exchange whose reduce side must still write one global
+    sequence. Training readers don't need one sequence; they need S
+    independent shard files, each internally shuffled, whose
+    concatenation in any shard order is a uniform permutation. So:
+    shard = (first 4 md5 hex digits of seed:key) mod S — a narrow
+    projection — and pos = row_number within the shard ordered by the
+    full digest. One hash exchange on ``shard_col`` + per-shard sort:
+    exactly the work a partitioned writer does anyway, and each of the
+    S sort tasks handles ~N/S rows regardless of data skew, because the
+    digest is uniform over the key space.
+
+    Changing ``seed`` reshuffles everything (new digests); identical
+    seed+corpus replays the identical permutation on any engine or
+    partitioning — md5 is the portability anchor, as in hash_split.
+    """
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string")))
+    bucket = F.conv(F.substring(digest, 1, _PREFIX_LEN), 16, 10).cast("long")
+    shard = (bucket % n_shards).cast("int")
+    out = df.withColumn(shard_col, shard)
+    w = Window.partitionBy(shard_col).orderBy(digest, F.col(key))
+    return out.withColumn(pos_col, F.row_number().over(w).cast("long"))
+
+
+def mix_epochs(
+    df: DataFrame,
+    epochs_ppm: dict[str, int],
+    source_col: str = "source",
+    key: str = "doc_id",
+    copies_col: str = "copies",
+    epoch_col: str = "epoch_idx",
+) -> DataFrame:
+    """Realize a fractional-epoch source mix by deterministic row
+    replication — the standard way training recipes express "3.5 epochs
+    of wiki, 0.7 epochs of web" (e.g. the repetition-aware mixes in
+    LLaMA/GPT-3 data cards).
+
+    ``epochs_ppm`` maps source -> target epochs in parts-per-million
+    (3_500_000 = 3.5 epochs). Every row of source s gets
+    floor(e_s) copies; the fractional remainder is realized EXACTLY as
+    k_s = (n_s * (e_s mod 1e6)) DIV 1e6 extra copies, granted to the
+    k_s first rows in md5 order of the key — so the realized per-source
+    total is integer-exact, not Bernoulli-approximate, and which rows
+    repeat is reproducible on any engine. e_s < 1e6 downsamples
+    (floor = 0, only the md5-selected k_s survive), unifying up- and
+    down-sampling in one rule. Rows are exploded with a 0-based
+    ``epoch_col`` so downstream shuffling can interleave copies.
+
+    Scale: one tiny per-source count (map-side combine) broadcast back;
+    the data-sized work is the per-source md5 ranking (per-group
+    ordering, same bound as stratified_sample) and a map-side
+    posexplode whose fan-out is the epoch factor itself. Sources absent
+    from ``epochs_ppm`` are dropped (explicit mixes only — silence is
+    the one thing a data card can't audit).
+    """
+    spec = df.sparkSession.createDataFrame(
+        [(s, int(p)) for s, p in epochs_ppm.items()], f"{source_col} string, __eppm long"
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    quota = counts.join(spec, source_col).select(
+        source_col,
+        F.expr("__eppm DIV 1000000").alias("__base"),
+        F.expr("(__n * (__eppm % 1000000)) DIV 1000000").alias("__k"),
+    )
+    order = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(order, F.col(key))
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    with_copies = (
+        ranked.join(F.broadcast(quota), source_col)
+        .withColumn(
+            copies_col,
+            (
+                F.col("__base")
+                + F.when(F.col("__rn") <= F.col("__k"), 1).otherwise(0)
+            ).cast("int"),
+        )
+        .drop("__rn", "__base", "__k")
+    )
+    # array_repeat(·, 0) is empty, so posexplode drops copies=0 rows —
+    # no sequence(1,0) reverse-step trap
+    return with_copies.select(
+        "*",
+        F.posexplode(F.array_repeat(F.lit(1), F.col(copies_col))).alias(
+            epoch_col, "__one"
+        ),
+    ).drop("__one")

@@ -383,3 +383,109 @@ def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * 1000000 DIV fold_total").alias("share_ppm"),
         )
     )
+
+
+N_SHARDS = 8
+SHARD_SEED = "r4"
+
+@query(
+    "q_shard_order",
+    f"""
+    SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos FROM (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(digest, 1, 4) AS INTEGER)
+                    % {N_SHARDS} AS INT) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CAST('0x' || substr(digest, 1, 4) AS INTEGER)
+                                % {N_SHARDS}
+                   ORDER BY digest, doc_id) AS pos
+        FROM (SELECT doc_id,
+                     md5('{SHARD_SEED}:' || CAST(doc_id AS VARCHAR)) AS digest
+              FROM documents)
+    )
+    ORDER BY shard, pos
+    """,
+)
+def q_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order shuffle realized as 8 shards with
+    in-shard positions — the oracle replays the exact permutation (every
+    row's shard AND position), the strongest check a shuffle can carry.
+
+    Scale: shard assignment is a narrow projection; the only exchange
+    is the hash partition on shard + per-shard sort — the same work a
+    partitioned writer does, with uniform ~N/S rows per sort task
+    regardless of source/language skew (the digest is uniform).
+    """
+    from ..operators.sampling import shard_and_order
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        shard_and_order(d, "doc_id", N_SHARDS, seed=SHARD_SEED)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+# fractional-epoch mix: cycles 0.25x .. 3.75x across the 20 sources, so
+# the query exercises pure downsampling (base 0), pure fractional
+# repeats, and multi-epoch replication in one run
+EPOCHS_PPM = {f"src{i}": (i % 8) * 500_000 + 250_000 for i in range(20)}
+
+def _mix_spec_values() -> str:
+    return ", ".join(f"('{s}', {p})" for s, p in EPOCHS_PPM.items())
+
+
+@query(
+    "q_mix_epochs",
+    f"""
+    WITH spec(source, eppm) AS (VALUES {_mix_spec_values()}),
+    counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ),
+    cop AS (
+        SELECT r.doc_id, r.source,
+               (s.eppm // 1000000)
+               + CASE WHEN r.rn <= (c.n * (s.eppm % 1000000)) // 1000000
+                      THEN 1 ELSE 0 END AS copies
+        FROM ranked r JOIN spec s USING (source) JOIN counts c USING (source)
+    ),
+    expl AS (
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, copies)) - 1 AS INT) AS epoch_idx
+        FROM cop
+    )
+    SELECT source, epoch_idx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM expl
+    GROUP BY source, epoch_idx
+    ORDER BY source, epoch_idx
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch source mix (0.25x–3.75x cycling over the 20
+    sources) realized by deterministic replication; audited per
+    (source, epoch copy) with a doc_id checksum so the oracle pins
+    EXACTLY which rows earned the fractional extra copy, not just how
+    many.
+
+    Scale: tiny per-source count broadcast back; per-source md5 ranking
+    is the one data-sized exchange; replication is a map-side
+    posexplode. The audit aggregate is |sources|x|epochs| rows.
+    """
+    from ..operators.sampling import mix_epochs
+
+    d = table(spark, sf_dir, "documents")
+    mixed = mix_epochs(d, EPOCHS_PPM)
+    return (
+        mixed.groupBy("source", "epoch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("source", "epoch_idx")
+    )

@@ -323,3 +323,98 @@ class TestKfoldAssign:
 
         plan = kfold_assign(people, "id", 5)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestShardAndOrder:
+    def test_permutation_contract(self, people):
+        from aircraftutilization_etl_spark.operators.sampling import shard_and_order
+
+        out = shard_and_order(people, "id", 8, seed="s1").collect()
+        assert sorted(r.id for r in out) == list(range(1000))
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            assert 0 <= r.shard < 8
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    def test_seed_reshuffles_but_same_seed_replays(self, people):
+        from aircraftutilization_etl_spark.operators.sampling import shard_and_order
+
+        a = {(r.id, r.shard, r.pos) for r in shard_and_order(people, "id", 8, "a").collect()}
+        a2 = {(r.id, r.shard, r.pos) for r in shard_and_order(people, "id", 8, "a").collect()}
+        b = {(r.id, r.shard, r.pos) for r in shard_and_order(people, "id", 8, "b").collect()}
+        assert a == a2
+        assert a != b
+
+    def test_partitioning_invariant(self, people):
+        from aircraftutilization_etl_spark.operators.sampling import shard_and_order
+
+        a = {(r.id, r.shard, r.pos) for r in shard_and_order(people, "id", 8, "s").collect()}
+        b = {
+            (r.id, r.shard, r.pos)
+            for r in shard_and_order(people.repartition(13), "id", 8, "s").collect()
+        }
+        assert a == b
+
+    def test_shards_roughly_balanced(self, people):
+        from aircraftutilization_etl_spark.operators.sampling import shard_and_order
+
+        sizes = (
+            shard_and_order(people, "id", 8, "s")
+            .groupBy("shard")
+            .count()
+            .collect()
+        )
+        assert len(sizes) == 8
+        assert all(80 <= r["count"] <= 175 for r in sizes)
+
+
+class TestMixEpochs:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        )
+
+    def test_integer_exact_totals(self, docs):
+        from aircraftutilization_etl_spark.operators.sampling import mix_epochs
+
+        # 100 docs per source; 2.5x -> 250, 0.3x -> 30, 1.0x -> 100
+        spec = {"s0": 2_500_000, "s1": 300_000, "s2": 1_000_000}
+        out = mix_epochs(docs, spec).groupBy("source").count().collect()
+        got = {r.source: r["count"] for r in out}
+        assert got == {"s0": 250, "s1": 30, "s2": 100}
+
+    def test_epoch_idx_shape(self, docs):
+        from aircraftutilization_etl_spark.operators.sampling import mix_epochs
+
+        out = mix_epochs(docs, {"s0": 2_500_000, "s1": 300_000, "s2": 1_000_000})
+        rows = out.groupBy("source", "epoch_idx").count().collect()
+        got = {(r.source, r.epoch_idx): r["count"] for r in rows}
+        # s0: epochs 0,1 full (100 each) + 50 in epoch 2; s1: 30 in epoch 0
+        assert got[("s0", 0)] == 100 and got[("s0", 1)] == 100 and got[("s0", 2)] == 50
+        assert got[("s1", 0)] == 30
+        assert ("s1", 1) not in got
+        assert got[("s2", 0)] == 100
+
+    def test_extra_copies_follow_md5_order(self, docs):
+        from aircraftutilization_etl_spark.operators.sampling import mix_epochs
+
+        out = mix_epochs(docs, {"s0": 1_500_000, "s1": 1_000_000, "s2": 1_000_000})
+        doubled = {
+            r.doc_id
+            for r in out.filter("source = 's0' AND epoch_idx = 1").collect()
+        }
+        ranked = sorted(
+            (r.doc_id for r in docs.filter("source = 's0'").collect()),
+            key=lambda d: (__import__("hashlib").md5(str(d).encode()).hexdigest(), d),
+        )
+        assert doubled == set(ranked[:50])
+
+    def test_unlisted_sources_dropped(self, docs):
+        from aircraftutilization_etl_spark.operators.sampling import mix_epochs
+
+        out = mix_epochs(docs, {"s0": 1_000_000})
+        assert out.select("source").distinct().collect()[0].source == "s0"
