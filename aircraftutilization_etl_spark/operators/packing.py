@@ -38,6 +38,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import token_count_expr
 
@@ -116,3 +117,101 @@ def packing_efficiency(
             "AS BIGINT)"
         ).alias("fill_ppm"),
     )
+
+
+LENGTH_BUCKET_EDGES = (16, 32, 64)
+DEFAULT_BATCH_SIZE = 8
+
+
+def length_bucket_expr(n_tokens, edges=LENGTH_BUCKET_EDGES):
+    """Smallest configured power-of-2-ish edge >= n_tokens; NULL for
+    documents longer than the last edge (the overflow bucket).
+
+    A CASE chain over fixed edges instead of ceil(log2(n)) — log2 on the
+    bucket boundary is an ulp coin-flip across engines, an integer
+    comparison chain is not.
+    """
+    expr = None
+    for e in edges:
+        cond = n_tokens <= e
+        expr = F.when(cond, F.lit(e)) if expr is None else expr.when(cond, F.lit(e))
+    return expr.otherwise(F.lit(None)).cast("long")
+
+
+def padding_audit(
+    df: DataFrame,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    edges=LENGTH_BUCKET_EDGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding-waste audit of length-bucketed batching vs shuffled
+    global batching — the measurement that justifies (or rejects)
+    bucketing a corpus before batch assembly.
+
+    Dynamic padding pads every batch to its own longest member, so
+    waste = sum over batches of (batch_max * batch_size_actual - tokens).
+    Batches are formed over the md5 pseudo-shuffle order (the same
+    reproducible order the rest of the engine uses): once within each
+    length bucket ('bucketed'), once over the whole corpus ('global'
+    baseline). Output: one row per bucket plus one global row, each with
+    docs/batches/actual/padded token counts and integer waste_ppm.
+
+    Scale: the bucketed path is one exchange on the bucket key with
+    per-bucket rank (bounded by bucket population like any per-group
+    top-k); the global baseline needs a corpus-wide contiguous index,
+    which routes through the two-phase range-partitioned running count
+    (sampling.global_running_sum) — NOT a single-partition window. Both
+    audits aggregate to |buckets|+1 rows with map-side combine.
+    """
+    from .sampling import global_running_sum
+
+    md5 = F.md5(F.col(id_col).cast("string"))
+    sized = df.select(
+        F.col(id_col),
+        md5.alias("__ord"),
+        token_count_expr(text_col).cast("long").alias("n_tokens"),
+    )
+
+    def _audit(batched: DataFrame, policy: str, bucket_col):
+        per_batch = batched.groupBy(bucket_col.alias("bucket"), "batch_id").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max("n_tokens").alias("__mx"),
+            F.sum("n_tokens").alias("__s"),
+        )
+        return per_batch.groupBy("bucket").agg(
+            F.sum("__n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("__s").cast("bigint").alias("actual_tokens"),
+            F.sum(F.col("__mx") * F.col("__n")).cast("bigint").alias("padded_tokens"),
+        ).select(
+            F.lit(policy).alias("policy"),
+            "bucket",
+            "n_docs",
+            "n_batches",
+            "actual_tokens",
+            "padded_tokens",
+            F.expr(
+                "CAST((padded_tokens - actual_tokens) * 1000000 "
+                "DIV padded_tokens AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+
+    w = Window.partitionBy("bucket").orderBy("__ord", id_col)
+    bucketed = sized.withColumn(
+        "bucket", length_bucket_expr(F.col("n_tokens"), edges)
+    ).withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("bigint"),
+    )
+    bucketed_audit = _audit(bucketed, "bucketed", F.col("bucket"))
+
+    indexed = global_running_sum(
+        sized.withColumn("__one", F.lit(1)),
+        order_cols=["__ord", id_col],
+        value_col="__one",
+        out_col="__idx",
+    ).withColumn("batch_id", F.expr(f"CAST((__idx - 1) DIV {batch_size} AS BIGINT)"))
+    global_audit = _audit(indexed, "global", F.lit(None).cast("long"))
+
+    return bucketed_audit.unionByName(global_audit)

@@ -101,3 +101,84 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     land on already-bucketed data.
     """
     return packing_efficiency(pack_sequences(table(spark, sf_dir, "documents")))
+
+
+_BUCKET_CASE = """CASE WHEN n_tokens <= 16 THEN 16
+                       WHEN n_tokens <= 32 THEN 32
+                       WHEN n_tokens <= 64 THEN 64
+                       ELSE NULL END"""
+
+
+@query(
+    "q_pack_length_buckets",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    bb AS (
+        SELECT {_BUCKET_CASE} AS bucket, n_tokens,
+               CAST((ROW_NUMBER() OVER (
+                         PARTITION BY {_BUCKET_CASE}
+                         ORDER BY ord, doc_id) - 1) // 8 AS BIGINT) AS batch_id
+        FROM sized
+    ),
+    bba AS (
+        SELECT bucket, batch_id, COUNT(*) AS n, MAX(n_tokens) AS mx,
+               SUM(n_tokens) AS s
+        FROM bb GROUP BY bucket, batch_id
+    ),
+    buck AS (
+        SELECT 'bucketed' AS policy, CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(s) AS BIGINT) AS actual_tokens,
+               CAST(SUM(mx * n) AS BIGINT) AS padded_tokens
+        FROM bba GROUP BY bucket
+    ),
+    gb AS (
+        SELECT n_tokens,
+               CAST((ROW_NUMBER() OVER (ORDER BY ord, doc_id) - 1) // 8
+                    AS BIGINT) AS batch_id
+        FROM sized
+    ),
+    gba AS (
+        SELECT batch_id, COUNT(*) AS n, MAX(n_tokens) AS mx,
+               SUM(n_tokens) AS s
+        FROM gb GROUP BY batch_id
+    ),
+    gtot AS (
+        SELECT 'global' AS policy, CAST(NULL AS BIGINT) AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(s) AS BIGINT) AS actual_tokens,
+               CAST(SUM(mx * n) AS BIGINT) AS padded_tokens
+        FROM gba
+    ),
+    u AS (SELECT * FROM buck UNION ALL SELECT * FROM gtot)
+    SELECT policy, bucket, n_docs, n_batches, actual_tokens, padded_tokens,
+           CAST((padded_tokens - actual_tokens) * 1000000 // padded_tokens
+                AS BIGINT) AS waste_ppm
+    FROM u
+    ORDER BY policy, bucket
+    """,
+)
+def q_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-padding waste of length-bucketed batching (edges 16/32/64
+    tokens + overflow bucket, batch size 8) vs the shuffled-global
+    baseline — the audit that justifies bucketing a corpus before batch
+    assembly. The oracle rebuilds every batch from the same md5 order,
+    so batch membership, per-batch maxima, and the integer waste ratios
+    must all agree.
+
+    Scale: bucketed path = one exchange on the bucket key + per-bucket
+    rank; the global baseline's corpus-wide contiguous index routes
+    through the two-phase range-partitioned running count instead of a
+    single-partition window.
+    """
+    from ..operators.packing import padding_audit
+
+    d = table(spark, sf_dir, "documents")
+    return padding_audit(d).orderBy("policy", "bucket")

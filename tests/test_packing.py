@@ -73,3 +73,62 @@ def test_efficiency_audit_exact(spark):
 def test_capacity_validation(spark):
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark, [(1, "a b")]), capacity=0)
+
+
+class TestPaddingAudit:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # lengths 1..40 words over 40 docs: spans buckets 16/32/64
+        rows = [(i, " ".join(["w"] * ((i % 40) + 1))) for i in range(40)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_conservation_and_policies(self, docs):
+        from aircraftutilization_etl_spark.operators.packing import padding_audit
+
+        out = padding_audit(docs, batch_size=4).collect()
+        policies = {r.policy for r in out}
+        assert policies == {"bucketed", "global"}
+        total_actual = sum(
+            r.actual_tokens for r in out if r.policy == "bucketed"
+        )
+        g = [r for r in out if r.policy == "global"]
+        assert len(g) == 1 and g[0].bucket is None
+        # both policies cover the same corpus
+        assert g[0].actual_tokens == total_actual
+        assert g[0].n_docs == sum(r.n_docs for r in out if r.policy == "bucketed")
+        for r in out:
+            assert r.padded_tokens >= r.actual_tokens
+            assert 0 <= r.waste_ppm < 1_000_000
+
+    def test_bucketing_cannot_increase_waste(self, docs):
+        from aircraftutilization_etl_spark.operators.packing import padding_audit
+
+        out = padding_audit(docs, batch_size=4).collect()
+        bucketed_padded = sum(
+            r.padded_tokens for r in out if r.policy == "bucketed"
+        )
+        global_padded = [r for r in out if r.policy == "global"][0].padded_tokens
+        # same-order greedy batching over length-homogeneous buckets pads
+        # no more than batching the full shuffled corpus on this fixture
+        assert bucketed_padded <= global_padded
+
+    def test_overflow_bucket_is_null(self, spark):
+        from aircraftutilization_etl_spark.operators.packing import padding_audit
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(["w"] * 100)), (2, "a b")],
+            "doc_id long, text string",
+        )
+        out = padding_audit(docs, batch_size=4).collect()
+        overflow = [r for r in out if r.policy == "bucketed" and r.bucket is None]
+        assert len(overflow) == 1 and overflow[0].n_docs == 1
+
+    def test_partitioning_invariant(self, docs):
+        from aircraftutilization_etl_spark.operators.packing import padding_audit
+
+        a = {tuple(r) for r in padding_audit(docs, batch_size=4).collect()}
+        b = {
+            tuple(r)
+            for r in padding_audit(docs.repartition(7), batch_size=4).collect()
+        }
+        assert a == b
