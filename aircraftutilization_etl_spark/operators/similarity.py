@@ -464,3 +464,62 @@ def quantize_embeddings(
         F.round(scale, 6).alias("scale"),
         q.alias("qvec"),
     )
+
+
+def cosine_best_match(
+    corpus: DataFrame,
+    refs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Best cosine match of every corpus vector against a SMALL
+    reference set: (vec_id, best_ref_id, cosine) — the kernel of
+    embedding-space decontamination, where refs are benchmark items and
+    any corpus row scoring above a threshold is a semantic leak
+    candidate.
+
+    Unlike ``cosine_topk`` (per-QUERY top-k over the corpus) this
+    reduces per-CORPUS-row over the references, so the scan is the
+    whole job: refs broadcast, corpus streams through the GEMM, and the
+    kernel emits only each row's argmax candidates — every reference
+    within 1e-6 (the rounding quantum) of the row max, so the final
+    6-dp HALF_UP rounding + smallest-ref-id tie-break is decided by
+    Spark, not numpy's round-half-even. The only exchange is the
+    candidate table (~1 row of 24 bytes per corpus vector), never the
+    vectors.
+    """
+    rids, rmat = _collect_matrix(refs, id_col, vec_col)
+    rnorm = _normalize(rmat)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if batch.empty:
+                continue
+            cids = batch[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            sims = _normalize(cmat) @ rnorm.T  # (nb, nr)
+            mx = sims.max(axis=1)
+            rows, cols = np.nonzero(sims >= mx[:, None] - 1e-6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": cids[rows],
+                    "ref_id": rids[cols],
+                    "cosine_raw": sims[rows, cols],
+                }
+            )
+
+    cand = _ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+        fn, "vec_id long, ref_id long, cosine_raw double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round("cosine_raw", 6)), "ref_id"
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            F.col("ref_id").alias("best_ref_id"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )

@@ -77,3 +77,59 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = tagged.filter(F.col("split") == "benchmark")
     # driver compare is order-insensitive; no final sort
     return contamination_report(train, benchmark_shingle_set(bench))
+
+
+SEMANTIC_TAU = 0.35
+_COSINE = (
+    "list_dot_product(cv, rv)"
+    " / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(rv, rv)))"
+)
+
+
+@query(
+    "q_contamination_semantic",
+    f"""
+    WITH r AS (SELECT vec_id AS ref_id, CAST(embedding AS DOUBLE[]) AS rv
+               FROM embeddings WHERE label = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE label <> 0),
+    scored AS (
+        SELECT vec_id, ref_id, ROUND({_COSINE}, 6) AS cosine
+        FROM c CROSS JOIN r
+    ),
+    best AS (
+        SELECT vec_id, ref_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, ref_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, ref_id AS best_ref_id, cosine,
+           cosine >= {SEMANTIC_TAU} AS flagged
+    FROM best WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every corpus vector's best
+    cosine match against the benchmark reference set (label 0), flagged
+    at tau=0.35 — the semantic complement of the n-gram collision audit
+    (q_contamination_report), catching paraphrased benchmark leakage
+    that shares no 3-gram.
+
+    Scale: the reference set broadcasts (enforced budget); the corpus
+    streams through one GEMM scan emitting only per-row argmax
+    candidates, so the sole exchange is a 24-byte-per-vector candidate
+    table. The oracle replays every best match and flag.
+    """
+    from ..operators.similarity import cosine_best_match
+
+    e = table(spark, sf_dir, "embeddings")
+    best = cosine_best_match(
+        e.filter(F.col("label") != 0), e.filter(F.col("label") == 0)
+    )
+    return best.select(
+        "vec_id",
+        "best_ref_id",
+        "cosine",
+        (F.col("cosine") >= SEMANTIC_TAU).alias("flagged"),
+    ).orderBy("vec_id")

@@ -183,3 +183,55 @@ def test_collect_matrix_enforces_broadcast_budget(spark):
             sim.cosine_topk(df, df, 3)
     finally:
         sim.MAX_BROADCAST_QUERIES = orig
+
+
+class TestCosineBestMatch:
+    def test_matches_numpy_argmax(self, spark):
+        import numpy as np
+
+        from aircraftutilization_etl_spark.operators.similarity import (
+            cosine_best_match,
+        )
+
+        rng = np.random.default_rng(7)
+        corpus = rng.normal(size=(40, 8))
+        refs = rng.normal(size=(5, 8))
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in corpus[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        rdf = spark.createDataFrame(
+            [(100 + i, [float(x) for x in refs[i]]) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r.vec_id: (r.best_ref_id, r.cosine)
+            for r in cosine_best_match(cdf, rdf).collect()
+        }
+        cn = corpus.astype(np.float32).astype(np.float64)
+        rn = refs.astype(np.float32).astype(np.float64)
+        cn /= np.linalg.norm(cn, axis=1, keepdims=True)
+        rn /= np.linalg.norm(rn, axis=1, keepdims=True)
+        sims = cn @ rn.T
+        assert len(got) == 40
+        for i in range(40):
+            j = int(np.argmax(sims[i]))
+            assert got[i][0] == 100 + j
+            assert abs(got[i][1] - sims[i, j]) < 1e-5
+
+    def test_partitioning_invariant(self, spark):
+        from aircraftutilization_etl_spark.operators.similarity import (
+            cosine_best_match,
+        )
+
+        cdf = spark.range(30).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), x -> CAST(pmod(id * x, 11) AS FLOAT)) AS embedding",
+        )
+        rdf = spark.range(3).selectExpr(
+            "id + 500 AS vec_id",
+            "transform(sequence(1, 8), x -> CAST(pmod((id + 3) * x, 7) + 1 AS FLOAT)) AS embedding",
+        )
+        a = {tuple(r) for r in cosine_best_match(cdf, rdf).collect()}
+        b = {tuple(r) for r in cosine_best_match(cdf.repartition(9), rdf).collect()}
+        assert a == b
