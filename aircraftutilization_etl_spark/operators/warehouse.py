@@ -340,3 +340,45 @@ def hilbert_sql(a: str, b: str, source: str, bits: int = HILBERT_BITS) -> str:
     for name, expr in hilbert_steps(a, b, bits):
         query = f"SELECT *, {expr} AS {name} FROM ({query})"
     return query
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join facts to the dimension version in effect at fact time — the
+    point-in-time (a.k.a. temporal / PIT) join every SCD2 dimension
+    exists to answer. A fact at ``t`` matches the version with
+    ``valid_from <= t < valid_to`` (open-ended current row: NULL
+    valid_to). Inner join: facts before the key's first version drop.
+
+    Scale: an equi-join on ``key`` with the validity range as a join
+    residual — one exchange per side (or zero, bucketed/co-located),
+    and the per-row fan-in is bounded by that key's version count, the
+    quantity SCD2 already keeps small by collapsing no-op changes. This
+    beats the union+last_value as-of reformulation when version chains
+    are shallow (the SCD2 norm) because it reuses the join partitioning
+    and never re-sorts the fact stream.
+    """
+    f = facts.alias("f")
+    d = dim_history.alias("d")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (F.col(f"f.{fact_ts}") >= F.col(f"d.{valid_from}"))
+        & (
+            F.col(f"d.{valid_to}").isNull()
+            | (F.col(f"f.{fact_ts}") < F.col(f"d.{valid_to}"))
+        )
+    )
+    return f.join(d, cond, "inner").select(
+        "f.*",
+        *[
+            F.col(f"d.{c}").alias(c)
+            for c in dim_history.columns
+            if c != key
+        ],
+    )

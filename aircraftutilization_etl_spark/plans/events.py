@@ -937,3 +937,112 @@ def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 25 == 0) & F.col("value").isNotNull()
     )
     return resample_interpolate(e, "user_id", "ts", "value", "event_id")
+
+
+@query(
+    "q_events_markov_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type
+        FROM ordered WHERE next_type IS NOT NULL
+    ),
+    counts AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT from_type, SUM(n) AS row_total FROM counts GROUP BY from_type)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000000 // t.row_total AS BIGINT) AS p_ppm
+    FROM counts c JOIN tot t USING (from_type)
+    ORDER BY c.from_type, c.to_type
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every (from, to) event-type pair, the transition count
+    and integer-ppm row-conditional probability — the user-journey
+    fingerprint behind funnel design and anomaly baselines.
+
+    Scale: one shuffle on user_id for the lead() sequencing (per-user
+    sort, one row of look-ahead state), then a |types|^2 aggregate with
+    map-side combine; the row-normalizing totals table is |types| rows,
+    broadcast back. Integer ppm keeps the matrix engine-exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 1000000 DIV row_total").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q_events_windowed_topk",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(round(value * 100)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n, cents,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type) AS rank
+        FROM hourly
+    )
+    WHERE rank <= 3
+    ORDER BY window_start, rank
+    """,
+)
+def q_events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hourly window by volume (count-desc,
+    type-name tie-break) with exact cent totals — the windowed
+    leaderboard pattern (trending items per time bucket).
+
+    Scale: pre-aggregation shrinks the stream to |windows|x|types| rows
+    BEFORE any ranking, so the rank window sorts tiny groups; the plan
+    is one agg exchange plus one window exchange over the aggregated
+    table. Per-window top-k never sees raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), "event_type"
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", F.col("n").cast("bigint").alias("n"), "cents", "rank")
+        .orderBy("window_start", "rank")
+    )

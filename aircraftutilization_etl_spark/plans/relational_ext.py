@@ -408,3 +408,88 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+N_DEPTH_BUCKETS = 8
+
+
+@query(
+    "q_histogram_price",
+    f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    width AS (
+        SELECT 'width' AS hist_type, cents // 1000000 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+        FROM c GROUP BY cents // 1000000
+    ),
+    idx AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (
+                   ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER () AS total
+        FROM c
+    ),
+    depth AS (
+        SELECT 'depth' AS hist_type,
+               (rn - 1) * {N_DEPTH_BUCKETS} // total AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+        FROM idx GROUP BY (rn - 1) * {N_DEPTH_BUCKETS} // total
+    )
+    SELECT * FROM width UNION ALL SELECT * FROM depth
+    ORDER BY hist_type, bucket
+    """,
+)
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-grade column statistics for l_extendedprice: an
+    equi-width histogram ($10k integer-cent buckets) and an EXACT
+    equi-depth histogram (8 equal-population buckets with true
+    boundaries), the stats that drive selectivity estimates and skew
+    detection.
+
+    Scale: equi-width is a pure map-side bucketing + small aggregate.
+    Equi-depth needs every row's global rank in price order - computed
+    with the two-phase range-partitioned running count
+    (sampling.global_running_sum), NOT a single-partition window, so
+    the sort work spreads across range partitions; the oracle's plain
+    ROW_NUMBER replays the same total order (cents, orderkey,
+    linenumber).
+    """
+    from ..operators.sampling import global_running_sum
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    width = li.groupBy(F.expr("cents DIV 1000000").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    ).select(F.lit("width").alias("hist_type"), "bucket", "n_rows", "lo_cents", "hi_cents")
+
+    total = li.count()
+    indexed = global_running_sum(
+        li.withColumn("__one", F.lit(1)),
+        order_cols=["cents", "l_orderkey", "l_linenumber"],
+        value_col="__one",
+        out_col="__rn",
+    )
+    depth = (
+        indexed.withColumn(
+            "bucket", F.expr(f"(__rn - 1) * {N_DEPTH_BUCKETS} DIV {total}")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .select(F.lit("depth").alias("hist_type"), "bucket", "n_rows", "lo_cents", "hi_cents")
+    )
+    return width.unionByName(depth).orderBy("hist_type", "bucket")

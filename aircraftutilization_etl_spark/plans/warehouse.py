@@ -314,3 +314,79 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_scd2_point_in_time",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE event_type <> 'purchase'
+    ),
+    ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM src
+    ),
+    hist AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           CAST(round(f.value * 100) AS BIGINT) AS cents,
+           h.state, h.valid_from
+    FROM events f
+    JOIN hist h
+      ON f.user_id = h.user_id
+     AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    WHERE f.event_type = 'purchase'
+    ORDER BY f.event_id
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every purchase matched to the SCD2 state
+    version (built from the user's non-purchase activity) in effect at
+    purchase time — the temporal-join primitive behind "what plan was
+    the customer on when they bought". The oracle rebuilds the history
+    AND re-derives every fact->version match, so range-boundary
+    semantics (inclusive from, exclusive to, open current row) are
+    pinned exactly.
+
+    Scale: history is one shuffle on user_id (shared Exchange+Sort);
+    the PIT join is an equi-join on user_id with the validity range as
+    a residual - per-fact fan-in bounded by the key's version count.
+    """
+    from ..operators.warehouse import point_in_time_join
+
+    ev = table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        key="user_id",
+        attrs=["event_type"],
+        ts_col="ts",
+        tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        point_in_time_join(facts, hist, key="user_id", fact_ts="ts")
+        .select("event_id", "user_id", "ts", "cents", "state", "valid_from")
+        .orderBy("event_id")
+    )

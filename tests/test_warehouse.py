@@ -316,3 +316,53 @@ def test_hilbert_buckets_tighter_than_zorder(spark):
         )
     )
     assert h_area <= z_area
+
+
+class TestPointInTimeJoin:
+    def test_version_selection_and_boundaries(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            point_in_time_join,
+        )
+
+        hist = spark.createDataFrame(
+            [
+                (1, "bronze", 10, 20),
+                (1, "gold", 20, None),
+                (2, "silver", 5, 8),
+            ],
+            "user_id long, state string, valid_from long, valid_to long",
+        )
+        facts = spark.createDataFrame(
+            [
+                (100, 1, 10),   # inclusive lower bound -> bronze
+                (101, 1, 19),   # inside -> bronze
+                (102, 1, 20),   # exclusive upper / inclusive next -> gold
+                (103, 1, 99),   # open-ended current row -> gold
+                (104, 2, 8),    # at closed valid_to, no next version -> drop
+                (105, 2, 4),    # before first version -> drop
+                (106, 3, 10),   # unknown key -> drop
+            ],
+            "event_id long, user_id long, ts long",
+        )
+        out = {
+            r.event_id: r.state
+            for r in point_in_time_join(facts, hist, "user_id", "ts").collect()
+        }
+        assert out == {100: "bronze", 101: "bronze", 102: "gold", 103: "gold"}
+
+    def test_unique_match_per_fact(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            point_in_time_join,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, "a", 0, 10), (1, "b", 10, 20), (1, "c", 20, None)],
+            "user_id long, state string, valid_from long, valid_to long",
+        )
+        facts = spark.createDataFrame(
+            [(i, 1, t) for i, t in enumerate(range(0, 30))],
+            "event_id long, user_id long, ts long",
+        )
+        out = point_in_time_join(facts, hist, "user_id", "ts")
+        assert out.count() == 30
+        assert out.select("event_id").distinct().count() == 30
