@@ -55,3 +55,68 @@ def profile_columns(
         .select(F.explode("p").alias("p"))
         .select("p.*")
     )
+
+
+def constraint_audit(
+    df: DataFrame, checks: Sequence[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Data-contract validation: one row per named check with its
+    violation count, all computed in ONE scan — every check is a
+    conditional sum riding a single hash-aggregate, the same
+    one-pass discipline as profile_columns.
+
+    ``checks`` is [(check_name, violation_predicate_column)]; a row
+    violates a check when the predicate is TRUE. NULL predicates count
+    as violations too (an unevaluable contract is a broken one) —
+    callers who want NULL-tolerant rules must code the tolerance into
+    the predicate.
+    """
+    if not checks:
+        raise ValueError("constraint_audit needs at least one check")
+    n_rows = F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    aggs = [
+        F.sum(
+            F.when(pred.isNull() | pred, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias(name)
+        for name, pred in checks
+    ]
+    wide = df.agg(n_rows, *aggs)
+    # one wide row -> (check_name, n_violations, n_rows) via inline()
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(name).alias("n_violations"),
+            )
+            for name, _ in checks
+        ]
+    )
+    return wide.select(F.inline(pairs), "n_rows")
+
+
+def fk_orphans(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity probe: child rows whose key has no parent
+    (left anti join). Returns the orphan child rows; count it for the
+    audit number, keep it for the quarantine write.
+
+    Scale: one shuffle per side on the key (or zero if bucketed); the
+    anti join keeps no parent payload, so the build side is key-only.
+    """
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )
+
+
+def pk_duplicates(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Primary-key uniqueness probe: one row per duplicated key with its
+    multiplicity (n_rows > 1). One shuffle on the key columns with
+    map-side combine."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )

@@ -11,6 +11,7 @@ exact/approx percentile twins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.profile import profile_columns
 from .catalog import query, table
@@ -60,3 +61,110 @@ def q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     return profile_columns(li, _COLS, exact=False).orderBy("col_name")
+
+
+@query(
+    "q_dq_audit",
+    """
+    WITH base AS (
+        SELECT 'qty_out_of_range' AS check_name,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_out_of_range',
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'high_discount_policy',
+               CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_out_of_bounds',
+               CAST(SUM(CASE WHEN l_shipdate < DATE '1992-01-01'
+                             OR l_shipdate > DATE '1998-12-31'
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'returnflag_domain',
+               CAST(SUM(CASE WHEN l_returnflag NOT IN ('R', 'A', 'N')
+                             OR l_returnflag IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'fk_orphan_orderkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'pk_duplicate_rows',
+               (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
+                    SELECT COUNT(*) AS n FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber
+                    HAVING COUNT(*) > 1)),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem
+    )
+    SELECT * FROM base ORDER BY check_name
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit of the lineitem fact: domain/range rules and
+    a policy threshold in ONE conditional-aggregation scan, plus
+    referential integrity (orderkey orphans, anti join) and primary-key
+    uniqueness ((orderkey, linenumber) duplicate rows) — the validation
+    gate a warehouse runs before publishing a snapshot.
+
+    Scale: the five rule checks share a single scan (one hash
+    aggregate, no shuffle of data rows); the FK probe is a key-only
+    anti join; the PK probe is one exchange on the key with map-side
+    combine. Each result is a one-row frame; the union is free.
+    """
+    from ..operators.profile import constraint_audit, fk_orphans, pk_duplicates
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    rules = constraint_audit(
+        li,
+        [
+            ("qty_out_of_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+            ("discount_out_of_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+            ("high_discount_policy", F.col("l_discount") > 0.05),
+            (
+                "shipdate_out_of_bounds",
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("l_shipdate") > F.lit("1998-12-31").cast("date")),
+            ),
+            (
+                "returnflag_domain",
+                ~F.col("l_returnflag").isin("R", "A", "N")
+                | F.col("l_returnflag").isNull(),
+            ),
+        ],
+    )
+    n_li = li.count()
+    orphans = fk_orphans(li, orders, "l_orderkey", "o_orderkey")
+    fk_row = orphans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_violations")
+    ).select(
+        F.lit("fk_orphan_orderkey").alias("check_name"),
+        "n_violations",
+        F.lit(n_li).cast("bigint").alias("n_rows"),
+    )
+    pk_row = pk_duplicates(li, ["l_orderkey", "l_linenumber"]).agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_violations")
+    ).select(
+        F.lit("pk_duplicate_rows").alias("check_name"),
+        "n_violations",
+        F.lit(n_li).cast("bigint").alias("n_rows"),
+    )
+    return rules.unionByName(fk_row).unionByName(pk_row).orderBy("check_name")

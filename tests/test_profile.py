@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from aircraftutilization_etl_spark.operators.profile import profile_columns
 
@@ -70,3 +71,52 @@ def test_single_scan(df, spark):
 def test_empty_cols_rejected(df):
     with pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+class TestConstraintAudit:
+    def test_counts_and_null_violations(self, spark):
+        from aircraftutilization_etl_spark.operators.profile import (
+            constraint_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, None), (4, 60.0)],
+            "id long, qty double",
+        )
+        out = {
+            r.check_name: (r.n_violations, r.n_rows)
+            for r in constraint_audit(
+                df,
+                [
+                    ("qty_range", (F.col("qty") < 0) | (F.col("qty") > 50)),
+                    ("qty_not_null", F.col("qty").isNull()),
+                ],
+            ).collect()
+        }
+        # NULL predicate counts as a violation for qty_range too
+        assert out == {"qty_range": (3, 4), "qty_not_null": (1, 4)}
+
+    def test_requires_checks(self, spark):
+        import pytest as _pytest
+
+        from aircraftutilization_etl_spark.operators.profile import (
+            constraint_audit,
+        )
+
+        with _pytest.raises(ValueError):
+            constraint_audit(spark.range(1), [])
+
+    def test_fk_orphans_and_pk_duplicates(self, spark):
+        from aircraftutilization_etl_spark.operators.profile import (
+            fk_orphans,
+            pk_duplicates,
+        )
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 10), (2, 10), (3, 99)], "k long, fk long"
+        )
+        parent = spark.createDataFrame([(10,), (20,)], "pk long")
+        orphans = fk_orphans(child, parent, "fk", "pk").collect()
+        assert {r.k for r in orphans} == {3}
+        dups = pk_duplicates(child, ["k", "fk"]).collect()
+        assert [(r.k, r.fk, r.n_rows) for r in dups] == [(2, 10, 2)]
