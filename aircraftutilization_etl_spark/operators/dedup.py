@@ -606,3 +606,43 @@ def incremental_lsh_duplicates(
     batch_sh.unpersist()
     corpus_sh.unpersist()
     return result
+
+
+def containment_pairs(
+    shingles: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Directed shingle-set containment C(src→dst) = |src ∩ dst| / |src|
+    ≥ threshold — the asymmetric near-dup measure that catches a short
+    document quoted inside a much longer one, which Jaccard structurally
+    misses (a 50-shingle doc fully inside a 5000-shingle doc has
+    J ≈ 0.01 but C = 1.0).
+
+    Same candidate discipline as shingle_jaccard_pairs: pairs form only
+    through the equi-join on the shingle (cost Σ per-shingle freq², never
+    n²); the undirected intersection counts are computed once and emitted
+    in both directions with the direction's own denominator.
+    """
+    shingles = shingles.persist()
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

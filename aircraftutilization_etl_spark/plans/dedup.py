@@ -426,3 +426,49 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_duplicates(
         d.filter(is_new), d.filter(~is_new), JACCARD_THRESHOLD
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "q_dedup_containment",
+    f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    both_dirs AS (
+        SELECT id_a AS id_src, id_b AS id_dst,
+               ROUND(n_common / sa.n_shingles, 6) AS containment
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+        UNION ALL
+        SELECT id_b, id_a, ROUND(n_common / sb.n_shingles, 6)
+        FROM inter
+          JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_src, id_dst, containment
+    FROM both_dirs
+    WHERE containment >= {CONTAINMENT_THRESHOLD}
+    ORDER BY id_src, id_dst
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs (C(src→dst) ≥ 0.5): the
+    quote-inclusion detector — a short document mostly contained in a
+    longer one pairs here even when Jaccard (q_dedup_ngram_jaccard)
+    can't see it. Intersections are computed once per undirected pair
+    and re-emitted with per-direction denominators.
+
+    Scale: same shingle-equi-join candidate bound as the Jaccard pair
+    path (Σ per-shingle freq²); the direction fan-out is exactly 2×
+    the intersected pair count, never corpus-sized.
+    """
+    from ..operators.dedup import containment_pairs, doc_shingles
+
+    d = table(spark, sf_dir, "documents")
+    return containment_pairs(doc_shingles(d), CONTAINMENT_THRESHOLD)

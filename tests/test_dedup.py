@@ -249,3 +249,46 @@ def test_incremental_lsh_equals_full_rerun_slice(spark):
     }
     assert got == want
     assert want  # the fixture actually produces cross-boundary pairs
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_detected(self, spark):
+        from aircraftutilization_etl_spark.operators.dedup import (
+            containment_pairs,
+            doc_shingles,
+            shingle_jaccard_pairs,
+        )
+
+        quote = "the quick brown fox jumps over the lazy dog"
+        long_doc = quote + " " + " ".join(f"w{i}" for i in range(200))
+        docs = spark.createDataFrame(
+            [(1, quote), (2, long_doc)], "doc_id long, text string"
+        )
+        sh = doc_shingles(docs)
+        cont = {
+            (r.id_src, r.id_dst): r.containment
+            for r in containment_pairs(sh, 0.9).collect()
+        }
+        # the short doc is fully contained in the long one...
+        assert cont[(1, 2)] == 1.0
+        assert (2, 1) not in cont  # ...but not vice versa
+        # ...and Jaccard misses the pair entirely at the same bar
+        assert shingle_jaccard_pairs(doc_shingles(docs), 0.5).count() == 0
+
+    def test_direction_denominators(self, spark):
+        from aircraftutilization_etl_spark.operators.dedup import (
+            containment_pairs,
+            doc_shingles,
+        )
+
+        # doc 1: shingles {a b c, b c d}; doc 2 shares exactly one
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "b c d e f g")],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.id_src, r.id_dst): r.containment
+            for r in containment_pairs(doc_shingles(docs), 0.0).collect()
+        }
+        assert out[(1, 2)] == 0.5   # 1 common of doc1's 2 shingles
+        assert out[(2, 1)] == 0.25  # 1 common of doc2's 4 shingles
