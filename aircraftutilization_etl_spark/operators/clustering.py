@@ -239,9 +239,26 @@ def pq_train(
         .select(F.col(id_col), "qvec")
     )
     scodes = _sub_split(codes, m, id_col).persist()
-    # one model-sized collect: the k smallest ids' full code vectors,
-    # sliced into subspace seeds driver-side (matches the oracle's
-    # seeds-join-scodes exactly — slicing commutes with the id order)
+
+    if train_limit is not None:
+        # Bounded-sample protocol: the training set is model-scale BY
+        # CONTRACT (a constant-size id-prefix, independent of corpus
+        # size), so collect it ONCE and run the Lloyd rounds driver-side
+        # in numpy — one Spark job instead of one shuffle+collect per
+        # iteration, with bit-identical integer arithmetic (np.argmin =
+        # first minimum = lowest code; np.floor_divide = floor(sum/n)).
+        # This is the Faiss/ScaNN shape: the cluster touches the corpus
+        # only for encoding; training happens where the sample lives.
+        rows = (
+            scodes.filter(F.col(id_col) < train_limit)
+            .select(id_col, "sub", "svec")
+            .collect()
+        )
+        if len({r[id_col] for r in rows}) >= k:
+            books = _pq_train_local(rows, m, k, iterations, id_col)
+            return books, scodes
+
+    # full-corpus (or thin-sample fallback) distributed protocol
     seed_rows = codes.orderBy(id_col).limit(k).collect()
     sd = len(seed_rows[0]["qvec"]) // m
     codebooks = [
@@ -269,6 +286,38 @@ def pq_train(
             new_books[row["sub"]][row["code"]][row["spos"]] = int(row["val"])
         codebooks = new_books
     return codebooks, scodes
+
+
+def _pq_train_local(rows, m: int, k: int, iterations: int, id_col: str):
+    """Driver-side Lloyd rounds over the collected training sample —
+    EXACTLY the arithmetic of the distributed loop (and of the SQL
+    oracle): seeds are the k smallest ids' subvectors in id order;
+    assignment is integer-L2 argmin with ties to the lowest code;
+    update is floor(sum/count) per (sub, code, dim), empty cells keep
+    their previous centroid."""
+    import numpy as np
+
+    by_sub: dict[int, list] = {s: [] for s in range(m)}
+    for r in rows:
+        by_sub[r["sub"]].append((r[id_col], r["svec"]))
+    books = []
+    for s in range(m):
+        members = sorted(by_sub[s], key=lambda t: t[0])
+        x = np.array([list(v) for _, v in members], dtype=np.int64)
+        cb = x[:k].copy()  # k smallest ids' subvectors, id order
+        for _ in range(iterations):
+            d = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            code = d.argmin(axis=1)  # first min -> lowest code
+            new = cb.copy()
+            for c in range(k):
+                mask = code == c
+                if mask.any():
+                    new[c] = np.floor_divide(
+                        x[mask].sum(axis=0), int(mask.sum())
+                    )
+            cb = new
+        books.append([[int(v) for v in c] for c in cb])
+    return books
 
 
 def pq_encode(
