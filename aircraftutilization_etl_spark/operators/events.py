@@ -318,3 +318,48 @@ def resample_interpolate(
         interp.alias("value_interp"),
         (F.col("bucket_ts") == F.col("__b")).cast("int").alias("is_observed"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponential moving average (adjust-free recurrence:
+    y_0 = x_0, y_t = (1-alpha)*y_{t-1} + alpha*x_t) — the smoothing
+    primitive behind rate limiting, anomaly baselines, and metric
+    dashboards, inherently sequential per key.
+
+    The recurrence evaluates as literally ``(1-alpha)*prev + alpha*x``
+    in float64, in (ts, tiebreak) order — the exact op sequence the
+    recursive-CTE oracle replays, so IEEE determinism makes results
+    bit-identical across engines (pandas' own ``ewm`` is NOT used: its
+    internal op order is an implementation detail). alpha should be a
+    dyadic rational (0.25, 0.5) so both factors are exact doubles.
+
+    Scale: one shuffle on the key, then a linear pass per group
+    (applyInPandas) — the same per-key-sequential bound as sessionize;
+    group memory is the key's row count, the minimum any EWMA needs.
+    """
+    import pandas as pd
+
+    one_minus = 1.0 - alpha
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tiebreak], kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = vals.copy()
+        for i in range(1, len(out)):
+            out[i] = one_minus * out[i - 1] + alpha * vals[i]
+        pdf = pdf.copy()
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(key).applyInPandas(_smooth, out_schema)

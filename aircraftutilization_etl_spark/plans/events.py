@@ -1046,3 +1046,55 @@ def q_events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", F.col("n").cast("bigint").alias("n"), "cents", "rank")
         .orderBy("window_start", "rank")
     )
+
+
+@query(
+    "q_events_ewma",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    rec AS (
+        SELECT user_id, ts, event_id, value, rn,
+               CAST(value AS DOUBLE) AS ewma
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.ts, o.event_id, o.value, o.rn,
+               0.75 * r.ewma + 0.25 * o.value
+        FROM ordered o JOIN rec r
+          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, ROUND(value, 6) AS value,
+           ROUND(ewma, 6) AS ewma
+    FROM rec
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 0.25, adjust-free) of purchase values in
+    event order — the recursive-CTE oracle replays the identical
+    float64 op sequence ((1-a)*prev + a*x), so every smoothed value is
+    bit-checked, not approximately checked.
+
+    Scale: one shuffle on user_id, then a linear per-key pass
+    (applyInPandas) — group memory is the user's own purchase count.
+    """
+    from ..operators.events import ewma
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    sm = ewma(ev, key="user_id", ts_col="ts", value_col="value",
+              tiebreak="event_id", alpha=0.25)
+    return sm.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+    ).orderBy("user_id", "ts", "event_id")

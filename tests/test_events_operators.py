@@ -330,3 +330,50 @@ def test_resample_interpolate_hand_series(spark):
     assert out[(1, 3)]["value_interp"] == 40.0
     assert out[(1, 4)]["value_interp"] == 20.0
     assert len(out) == 5
+
+
+class TestEwma:
+    def test_recurrence_exact(self, spark):
+        from aircraftutilization_etl_spark.operators.events import ewma
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 4.0), (1, 2, 2, 8.0), (1, 3, 3, 0.0), (2, 1, 4, 2.0)],
+            "user_id long, ts long, event_id long, value double",
+        )
+        out = {
+            (r.user_id, r.ts): r.ewma
+            for r in ewma(df, "user_id", "ts", "value", "event_id", 0.25).collect()
+        }
+        assert out[(1, 1)] == 4.0
+        assert out[(1, 2)] == 0.75 * 4.0 + 0.25 * 8.0
+        assert out[(1, 3)] == 0.75 * (0.75 * 4.0 + 0.25 * 8.0)
+        assert out[(2, 1)] == 2.0
+
+    def test_tiebreak_orders_equal_timestamps(self, spark):
+        from aircraftutilization_etl_spark.operators.events import ewma
+
+        df = spark.createDataFrame(
+            [(1, 5, 2, 100.0), (1, 5, 1, 0.0)],
+            "user_id long, ts long, event_id long, value double",
+        )
+        out = {
+            r.event_id: r.ewma
+            for r in ewma(df, "user_id", "ts", "value", "event_id", 0.5).collect()
+        }
+        # event 1 first (tiebreak), event 2 smoothed from it
+        assert out[1] == 0.0
+        assert out[2] == 50.0
+
+    def test_partitioning_invariant(self, spark):
+        from aircraftutilization_etl_spark.operators.events import ewma
+
+        df = spark.range(200).selectExpr(
+            "id % 7 AS user_id", "id AS ts", "id AS event_id",
+            "CAST(pmod(id * 13, 97) AS DOUBLE) AS value",
+        )
+        a = {tuple(r) for r in ewma(df, "user_id", "ts", "value", "event_id").collect()}
+        b = {
+            tuple(r)
+            for r in ewma(df.repartition(11), "user_id", "ts", "value", "event_id").collect()
+        }
+        assert a == b
