@@ -1098,3 +1098,67 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round("ewma", 6).alias("ewma"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "q_events_rolling_active",
+    """
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM ud) d
+        JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY d.day
+    """,
+)
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: exact DAU, trailing-7-day WAU, and the
+    DAU/WAU stickiness ratio (integer ppm) per day.
+
+    Sliding-window COUNT DISTINCT doesn't decompose, so the exact path
+    reduces events to the (day, user) distinct grid FIRST (one
+    shuffle; |days|x|users| upper bound, vastly smaller than events),
+    then fans each row to its <=7 covering days through a broadcast
+    join with the tiny day list. At extreme cardinality the in-repo
+    mergeable-HLL path (q_sketch_reaggregation) replaces the exact
+    distinct; this query pins the exact semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    days = ud.select("day").distinct().select(F.col("day").alias("anchor"))
+    wau = (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+        .withColumnRenamed("anchor", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 DIV wau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
