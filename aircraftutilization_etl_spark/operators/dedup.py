@@ -646,3 +646,78 @@ def containment_pairs(
         F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def simhash_hamming_pairs(
+    simhashed: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """All document pairs whose SimHash fingerprints differ in at most
+    ``max_hamming`` bits, found WITHOUT the n² scan: the print is cut
+    into ``bands`` equal slices and candidates form only through an
+    equi-join on (band, slice). Pigeonhole guarantee: hamming ≤ h and
+    h < bands ⇒ at least one slice is identical, so the banded join
+    misses nothing (requires max_hamming < bands; enforced).
+
+    Exact Hamming verification runs only on candidates, as a per-row
+    sum of positionwise char inequalities over the bit string —
+    portable to the SQL oracle verbatim.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    width = bits // bands
+    slices = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring(sim_col, b * width + 1, width).alias("bkey"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("__b")
+    banded = simhashed.select(F.col(id_col), slices).select(
+        id_col, "__b.band", "__b.bkey"
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = simhashed.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("__sa")
+    )
+    sb = simhashed.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("__sb")
+    )
+    hamming = sum(
+        F.when(
+            F.substring("__sa", p + 1, 1) != F.substring("__sb", p + 1, 1),
+            1,
+        ).otherwise(0)
+        for p in range(bits)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

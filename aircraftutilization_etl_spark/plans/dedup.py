@@ -472,3 +472,55 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return containment_pairs(doc_shingles(d), CONTAINMENT_THRESHOLD)
+
+
+MAX_HAMMING = 2
+_SIM_BANDS = 4
+_SIM_BITS = 16
+
+
+def _simhash_pairs_sql() -> str:
+    inner = _simhash_sql().replace("ORDER BY doc_id", "")
+    width = _SIM_BITS // _SIM_BANDS
+    hamming = " + ".join(
+        f"CASE WHEN substr(sa.simhash, {p + 1}, 1) <> "
+        f"substr(sb.simhash, {p + 1}, 1) THEN 1 ELSE 0 END"
+        for p in range(_SIM_BITS)
+    )
+    return f"""
+    WITH sims AS ({inner}),
+    banded AS (
+        SELECT doc_id, CAST(b AS INT) AS band,
+               substr(simhash, CAST(b * {width} + 1 AS INT), {width}) AS bkey
+        FROM sims, LATERAL unnest(range(0, {_SIM_BANDS})) AS u(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({hamming} AS INT) AS hamming
+    FROM cand
+      JOIN sims sa ON sa.doc_id = id_a
+      JOIN sims sb ON sb.doc_id = id_b
+    WHERE {hamming} <= {MAX_HAMMING}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q_dedup_simhash_pairs", _simhash_pairs_sql())
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 2 over the 16-bit prints,
+    via the banded pigeonhole join (4 slices — any pair within the
+    Hamming budget shares a slice, so candidates-only verification is
+    exhaustive). Complements MinHash-LSH: SimHash weights every word
+    vote, so it pairs documents whose edits are spread thin.
+
+    Scale: prints are a per-row map; candidates form only through the
+    (band, slice) equi-join — cost Σ per-slice freq², never n²; exact
+    Hamming runs on candidates alone.
+    """
+    from ..operators.dedup import simhash_hamming_pairs, with_simhash
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(with_simhash(d), MAX_HAMMING)

@@ -292,3 +292,44 @@ class TestContainmentPairs:
         }
         assert out[(1, 2)] == 0.5   # 1 common of doc1's 2 shingles
         assert out[(2, 1)] == 0.25  # 1 common of doc2's 4 shingles
+
+
+class TestSimhashHammingPairs:
+    def test_exhaustive_vs_bruteforce(self, spark):
+        import itertools
+
+        from aircraftutilization_etl_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        prints = {
+            1: "0000000000000000",
+            2: "0000000000000011",  # d(1,2)=2
+            3: "0000000011110000",  # d(1,3)=4
+            4: "0000000000000001",  # d(1,4)=1, d(2,4)=1
+            5: "1111111111111111",
+        }
+        df = spark.createDataFrame(
+            list(prints.items()), "doc_id long, simhash string"
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_hamming_pairs(df, max_hamming=2).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(prints), 2):
+            d = sum(x != y for x, y in zip(prints[a], prints[b]))
+            if d <= 2:
+                want[(a, b)] = d
+        assert got == want
+
+    def test_rejects_unguaranteed_budget(self, spark):
+        import pytest as _pytest
+
+        from aircraftutilization_etl_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "0" * 16)], "doc_id long, simhash string")
+        with _pytest.raises(ValueError):
+            simhash_hamming_pairs(df, max_hamming=4, bands=4)
