@@ -411,6 +411,18 @@ def _simhash_bits(hashed, bits: int):
     return F.concat(*[bit(p) for p in range(bits)])
 
 
+def _word_hash_expr(w, bits: int):
+    """Per-word hex digest wide enough for ``bits`` vote digits: one
+    md5 covers 32 bits; wider prints concatenate salted digests
+    (md5(w) || md5('!1'||w) || ...) — the same construction the SQL
+    oracle spells out, so prints stay engine-portable at any width."""
+    n_hashes = (bits + 31) // 32
+    parts = [F.md5(w)] + [
+        F.md5(F.concat(F.lit(f"!{i}"), w)) for i in range(1, n_hashes)
+    ]
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
 def with_simhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -418,14 +430,72 @@ def with_simhash(
     out_col: str = "simhash",
     bits: int = 16,
 ) -> DataFrame:
-    """(id, simhash) with the word md5s materialized once per row; the
-    per-bit folds then only re-read the hash array."""
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(words_expr(text_col), lambda w: F.md5(w)).alias("__hashed"),
-    )
-    return hashed.select(
-        id_col, _simhash_bits(F.col("__hashed"), bits).alias(out_col)
+    """(id, simhash) fingerprints.
+
+    Two execution strategies with IDENTICAL output (bit p votes by hex
+    digit p of the per-word digest; same digest construction, same ±1
+    vote rule):
+
+    - bits ≤ 32: pure column expressions — the word digests materialize
+      once per row and each bit is one fold, all JVM-side.
+    - bits > 32: Spark's interpreted higher-order-function evaluation
+      makes ``bits`` folds per row the bottleneck (measured 21 s vs
+      <2 s at sf0.1 for 64-bit prints), so wide prints run as an
+      Arrow-batched mapInPandas kernel: votes accumulate in one numpy
+      matrix per batch, with a per-word digest cache exploiting natural
+      vocabulary repetition (zero shuffles either way).
+    """
+    if bits <= 32:
+        hashed = df.select(
+            F.col(id_col),
+            F.transform(
+                words_expr(text_col), lambda w: _word_hash_expr(w, bits)
+            ).alias("__hashed"),
+        )
+        return hashed.select(
+            id_col, _simhash_bits(F.col("__hashed"), bits).alias(out_col)
+        )
+
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    n_hashes = (bits + 31) // 32
+    thresh = ord("8")
+
+    def _prints(batches):
+        cache: dict[str, np.ndarray] = {}
+
+        def digits(word: str) -> np.ndarray:
+            v = cache.get(word)
+            if v is None:
+                hexs = hashlib.md5(word.encode()).hexdigest()
+                for i in range(1, n_hashes):
+                    hexs += hashlib.md5(f"!{i}{word}".encode()).hexdigest()
+                # vote vector: +1 where hex digit >= '8' else -1
+                v = np.where(
+                    np.frombuffer(hexs[:bits].encode(), dtype=np.uint8)
+                    >= thresh,
+                    1,
+                    -1,
+                ).astype(np.int32)
+                cache[word] = v
+            return v
+
+        for pdf in batches:
+            outs = []
+            for text in pdf[text_col]:
+                votes = np.zeros(bits, dtype=np.int32)
+                # split(trim(s), '\s+') semantics: '' yields ['']
+                for w in re.split(r"\s+", (text or "").strip()):
+                    votes += digits(w)
+                outs.append("".join("1" if x > 0 else "0" for x in votes))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: outs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _prints, f"{id_col} long, {out_col} string"
     )
 
 
@@ -663,9 +733,14 @@ def simhash_hamming_pairs(
     h < bands ⇒ at least one slice is identical, so the banded join
     misses nothing (requires max_hamming < bands; enforced).
 
-    Exact Hamming verification runs only on candidates, as a per-row
-    sum of positionwise char inequalities over the bit string —
-    portable to the SQL oracle verbatim.
+    Exact Hamming verification runs only on candidates — NOT as
+    per-character string comparisons (``bits`` interpreted substring
+    evaluations per candidate dominate the query when band slices
+    correlate and candidates are plentiful) but as ``bands`` integer
+    XOR + bit_count intrinsics over the band slices parsed to BIGINTs
+    once per document: popcount(a XOR b) summed over slices IS the
+    print's Hamming distance. The SQL oracle keeps the positionwise
+    character form — same value, independent derivation.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -673,19 +748,24 @@ def simhash_hamming_pairs(
             f"({max_hamming} >= {bands})"
         )
     width = bits // bands
-    slices = F.explode(
+    if width > 62:
+        raise ValueError("band slices must fit a signed BIGINT (width <= 62)")
+    # parse each band slice to an integer ONCE per document and
+    # materialize: the frame feeds four plan branches (both candidate
+    # join sides + both verify sides) and is signature-sized
+    # (id + `bands` longs), never the text
+    bints = simhashed.select(
+        F.col(id_col),
         F.array(
             *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.substring(sim_col, b * width + 1, width).alias("bkey"),
-                )
+                F.conv(F.substring(sim_col, b * width + 1, width), 2, 10)
+                .cast("long")
                 for b in range(bands)
             ]
-        )
-    ).alias("__b")
-    banded = simhashed.select(F.col(id_col), slices).select(
-        id_col, "__b.band", "__b.bkey"
+        ).alias("__bint"),
+    ).localCheckpoint(eager=True)
+    banded = bints.select(
+        F.col(id_col), F.posexplode("__bint").alias("band", "bkey")
     )
     cand = (
         banded.alias("a")
@@ -701,18 +781,13 @@ def simhash_hamming_pairs(
         )
         .distinct()
     )
-    sa = simhashed.select(
-        F.col(id_col).alias("id_a"), F.col(sim_col).alias("__sa")
-    )
-    sb = simhashed.select(
-        F.col(id_col).alias("id_b"), F.col(sim_col).alias("__sb")
-    )
+    sa = bints.select(F.col(id_col).alias("id_a"), F.col("__bint").alias("__ba"))
+    sb = bints.select(F.col(id_col).alias("id_b"), F.col("__bint").alias("__bb"))
     hamming = sum(
-        F.when(
-            F.substring("__sa", p + 1, 1) != F.substring("__sb", p + 1, 1),
-            1,
-        ).otherwise(0)
-        for p in range(bits)
+        F.bit_count(
+            F.element_at("__ba", b + 1).bitwiseXOR(F.element_at("__bb", b + 1))
+        )
+        for b in range(bands)
     )
     return (
         cand.join(sa, "id_a")

@@ -341,9 +341,14 @@ def ewma(
     internal op order is an implementation detail). alpha should be a
     dyadic rational (0.25, 0.5) so both factors are exact doubles.
 
-    Scale: one shuffle on the key, then a linear pass per group
-    (applyInPandas) — the same per-key-sequential bound as sessionize;
-    group memory is the key's row count, the minimum any EWMA needs.
+    Scale: one shuffle on the key + one sort within each partition,
+    then a SINGLE linear mapInPandas pass per partition — NOT
+    applyInPandas, which materializes a pandas frame per key and whose
+    per-group overhead dominates when keys are many and small (the
+    common case: millions of users, dozens of rows each). Keys are
+    contiguous in the partition-sorted order; the smoother resets at
+    key changes and carries (last_key, last_ewma) across Arrow batch
+    boundaries, so batch slicing never splits a recurrence.
     """
     import pandas as pd
 
@@ -352,14 +357,24 @@ def ewma(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} double"
 
-    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, tiebreak], kind="mergesort")
-        vals = pdf[value_col].to_numpy(dtype="float64")
-        out = vals.copy()
-        for i in range(1, len(out)):
-            out[i] = one_minus * out[i - 1] + alpha * vals[i]
-        pdf = pdf.copy()
-        pdf[out_col] = out
-        return pdf
+    def _smooth(batches):
+        last_key, last_val = object(), 0.0  # sentinel: matches no key
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf[key].to_numpy()
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            out = vals.copy()
+            for i in range(len(out)):
+                if keys[i] == last_key:
+                    out[i] = one_minus * last_val + alpha * vals[i]
+                last_key, last_val = keys[i], out[i]
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
 
-    return df.groupBy(key).applyInPandas(_smooth, out_schema)
+    return (
+        df.repartition(F.col(key))
+        .sortWithinPartitions(key, ts_col, tiebreak)
+        .mapInPandas(_smooth, out_schema)
+    )

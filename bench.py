@@ -54,6 +54,13 @@ HEADLINE = [
     "q_pack_sequences",  # applyInPandas per-bucket linear pass
     "q_contamination_report",  # broadcast benchmark-shingle probe
     "q_chunk_documents_gear",  # production CDC: gear-hash mapInPandas
+    "q_shard_order",  # seeded shard shuffle: the partitioned-writer plan
+    "q_mix_epochs",  # fractional-epoch replication via map-side posexplode
+    "q_histogram_price",  # exact equi-depth via two-phase global rank
+    "q_contamination_semantic",  # map-only GEMM best-match vs broadcast refs
+    "q_dedup_simhash_pairs",  # banded Hamming pigeonhole join
+    "q_events_ewma",  # per-key sequential smoothing (applyInPandas)
+    "q_scd2_point_in_time",  # temporal join: equi-key + validity residual
 ]
 
 
