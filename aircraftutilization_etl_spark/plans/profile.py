@@ -168,3 +168,68 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_li).cast("bigint").alias("n_rows"),
     )
     return rules.unionByName(fk_row).unionByName(pk_row).orderBy("check_name")
+
+
+K_ANON = 5
+
+
+@query(
+    "q_privacy_k_anonymity",
+    f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) // 500 AS value_bucket,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_below_k,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS suppression_ppm
+    FROM cells
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) of the events table under the
+    quasi-identifier set (event_type, day, $5 value bucket): per event
+    type, how many equivalence cells fall below k and how many rows a
+    suppression release would drop (integer ppm) — the governance
+    number a privacy review asks for before sharing derived data.
+
+    Scale: one hash aggregate over the quasi-identifier cells (map-side
+    combine), then a |types|-row rollup; no joins, no windows.
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT) DIV 500").alias(
+            "value_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    below = F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0))
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cells_below_k"),
+            F.sum(below).cast("bigint").alias("rows_at_risk"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.expr(
+                f"SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) * 1000000"
+                " DIV SUM(n)"
+            ).alias("suppression_ppm"),
+        )
+        .orderBy("event_type")
+    )
