@@ -574,3 +574,92 @@ def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scodes.unpersist()
     return out
+
+
+_QUANT_EXPL = """
+    v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS scale
+        FROM embeddings
+    ),
+    qq AS (
+        SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+               CAST(CASE WHEN scale = 0 THEN 0
+                         ELSE FLOOR(e[CAST(i AS INT)] * 127 / scale) END
+                    AS BIGINT) AS q
+        FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(i)
+    )
+"""
+
+
+@query(
+    "q_emb_centroid_confusion",
+    f"""
+    WITH {_QUANT_EXPL},
+    cent AS (
+        SELECT label, dim,
+               CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM qq GROUP BY label, dim
+    ),
+    dist AS (
+        SELECT qq.vec_id, qq.label AS true_label, cent.label AS cand,
+               SUM((qq.q - cent.c) * (qq.q - cent.c)) AS d
+        FROM qq JOIN cent ON qq.dim = cent.dim
+        GROUP BY qq.vec_id, qq.label, cent.label
+    ),
+    pred AS (
+        SELECT vec_id, true_label, cand AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cand) AS rn
+        FROM dist
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def q_emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label confusion matrix in the int8-quantized
+    space: per-label integer centroids (floor-of-mean per dim — exact),
+    every vector classified to its argmin-distance centroid (ties to
+    the smallest label), confusion counts per (true, predicted) pair —
+    the label-coherence gauge that tells you whether embedding labels
+    are separable before training anything.
+
+    Scale: centroids are a (labels x dims)-sized aggregate collected as
+    the model; classification is a map-only codegen fold against the
+    literal centroids (no join, no fan-out); the confusion aggregate is
+    |labels|^2 rows. The oracle replays quantization, centroids, every
+    distance and every argmin.
+    """
+    from ..operators.clustering import _assign
+    from ..operators.similarity import quantize_embeddings
+
+    e = table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e).join(e.select("vec_id", "label"), "vec_id")
+    cent_rows = (
+        q.select("label", F.posexplode("qvec").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.floor(F.sum("x") / F.count(F.lit(1))).alias("c"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = int(r["c"])
+    labels = sorted(by_label)
+    centroids = [
+        [by_label[lbl][d] for d in sorted(by_label[lbl])] for lbl in labels
+    ]
+    label_arr = F.array(*[F.lit(int(lbl)) for lbl in labels])
+    assigned = _assign(q.select("vec_id", "label", "qvec"), centroids)
+    return (
+        assigned.select(
+            F.col("label").alias("true_label"),
+            F.element_at(label_arr, F.col("cluster") + 1).alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -1127,3 +1127,65 @@ def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return source_divergence(d).orderBy("source")
+
+
+@query(
+    "q_text_zipf_spectrum",
+    """
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    f AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+    cls AS (
+        SELECT CASE WHEN freq >= 11 THEN 11 ELSE freq END AS freq_class,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS occurrences
+        FROM f GROUP BY 1
+    ),
+    tot AS (SELECT SUM(occurrences) AS total_occ FROM cls)
+    SELECT CAST(freq_class AS INT) AS freq_class, n_words, occurrences,
+           CAST(occurrences * 1000000 // total_occ AS BIGINT) AS mass_ppm
+    FROM cls, tot
+    ORDER BY freq_class
+    """,
+)
+def q_text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-of-frequency spectrum (frequency classes 1..10,
+    11+ pooled): how many distinct words occur exactly f times and what
+    share of all tokens they carry — the hapax/Zipf shape that flags
+    OCR noise (bloated hapax class) or templated text (mass piled on
+    the head) before training a tokenizer on the corpus.
+
+    Scale: one explode + two cascading aggregates, all map-side
+    combinable; the spectrum is <= 11 rows and the total is a scalar
+    broadcast. No joins over data-sized frames.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    f = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    cls = (
+        f.groupBy(
+            F.when(F.col("freq") >= 11, 11)
+            .otherwise(F.col("freq"))
+            .cast("int")
+            .alias("freq_class")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("occurrences"),
+        )
+    )
+    tot = cls.agg(F.sum("occurrences").alias("t"))
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .select(
+            "freq_class",
+            "n_words",
+            "occurrences",
+            F.expr("occurrences * 1000000 DIV t").alias("mass_ppm"),
+        )
+        .orderBy("freq_class")
+    )
