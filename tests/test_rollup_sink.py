@@ -1,0 +1,113 @@
+"""Replay-idempotent streaming rollup sink (streaming/rollup_sink.py).
+
+Contract under test: (1) the streamed rollup equals the one-shot batch
+GROUP BY over all data; (2) REPLAYING a micro-batch (the crash-between-
+sink-and-checkpoint case foreachBatch must survive) changes nothing;
+(3) compaction folds epochs without changing the merged result.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aircraftutilization_etl_spark.streaming.rollup_sink import (
+    RollupSpec,
+    compact_rollup,
+    read_rollup,
+    start_rollup_sink,
+    write_epoch_partial,
+)
+
+SPEC = RollupSpec(keys=["event_type"], sums=["cents"], mins=["cents"], maxs=["cents"])
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, cents long")
+
+
+def _expected(spark, all_rows):
+    return {
+        (r.event_type, r.n_rows, r.sum_cents, r.min_cents, r.max_cents)
+        for r in _batch(spark, all_rows)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .collect()
+    }
+
+
+def _got(spark, path):
+    return {
+        tuple(r)
+        for r in read_rollup(spark, path, SPEC)
+        .select("event_type", "n_rows", "sum_cents", "min_cents", "max_cents")
+        .collect()
+    }
+
+
+class TestEpochPartialSink:
+    def test_matches_batch_groupby_and_replay_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "rollup")
+        b0 = [("click", 100), ("view", 50), ("click", 10)]
+        b1 = [("click", 7), ("purchase", 900)]
+        write_epoch_partial(_batch(spark, b0), 0, path, SPEC)
+        write_epoch_partial(_batch(spark, b1), 1, path, SPEC)
+        assert _got(spark, path) == _expected(spark, b0 + b1)
+        # crash-replay of batch 1: same epoch overwritten -> no change
+        write_epoch_partial(_batch(spark, b1), 1, path, SPEC)
+        assert _got(spark, path) == _expected(spark, b0 + b1)
+
+    def test_compaction_preserves_rollup(self, spark, tmp_path):
+        path = str(tmp_path / "rollup")
+        batches = [
+            [("a", 1), ("b", 2)],
+            [("a", 10)],
+            [("c", -5), ("a", 3)],
+        ]
+        for i, rows in enumerate(batches):
+            write_epoch_partial(_batch(spark, rows), i, path, SPEC)
+        before = _got(spark, path)
+        assert compact_rollup(spark, path, SPEC) == 3
+        assert _got(spark, path) == before
+        # post-compaction increments keep merging correctly
+        write_epoch_partial(_batch(spark, [("b", 100)]), 3, path, SPEC)
+        allrows = [r for b in batches for r in b] + [("b", 100)]
+        assert _got(spark, path) == _expected(spark, allrows)
+        # compacting again folds the new epoch into the base
+        assert compact_rollup(spark, path, SPEC) == 1
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        import json
+        import os
+        import time
+
+        src = tmp_path / "src"
+        src.mkdir()
+        path = str(tmp_path / "rollup")
+        ckpt = str(tmp_path / "ckpt")
+        rows = [("click", 5), ("view", 9), ("click", 1)]
+        with open(src / "b0.json", "w") as f:
+            for t, c in rows:
+                f.write(json.dumps({"event_type": t, "cents": c}) + "\n")
+        stream = (
+            spark.readStream.schema("event_type string, cents long")
+            .json(str(src))
+        )
+        q = start_rollup_sink(stream, path, ckpt, SPEC)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                if os.path.exists(path) and _got(spark, path) == _expected(
+                    spark, rows
+                ):
+                    break
+                time.sleep(0.5)
+            assert _got(spark, path) == _expected(spark, rows)
+        finally:
+            q.stop()
