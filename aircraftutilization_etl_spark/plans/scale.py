@@ -103,3 +103,77 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+SKEW_HEAVY_FACTOR = 2  # a key is "heavy" above 2x the mean group size
+
+
+@query(
+    "q_skew_report",
+    f"""
+    WITH g AS (
+        SELECT l_orderkey AS key, COUNT(*) AS n
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_n
+        FROM g
+    )
+    SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.n_rows AS BIGINT) AS n_rows,
+           CAST(s.max_n AS BIGINT) AS max_group,
+           CAST(s.n_rows * 1000000 // s.n_keys AS BIGINT) AS mean_group_ppm,
+           CAST(s.max_n * s.n_keys * 1000000 // s.n_rows AS BIGINT)
+               AS skew_factor_ppm,
+           CAST((SELECT COUNT(*) FROM g, stats st
+                 WHERE g.n * st.n_keys > {SKEW_HEAVY_FACTOR} * st.n_rows)
+                AS BIGINT) AS heavy_keys,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM g, stats st
+                 WHERE g.n * st.n_keys > {SKEW_HEAVY_FACTOR} * st.n_rows)
+                * 1000000 // s.n_rows AS BIGINT) AS heavy_rows_ppm
+    FROM stats s
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnosis for the lineitem orderkey: group
+    count, largest group, integer skew factor (max/mean), and how many
+    keys (and what row share) sit above 2x the mean — the numbers that
+    decide between a plain shuffle, AQE skew splitting, and salting
+    (operators/scale.salted_join) BEFORE paying for the wrong plan.
+
+    All ratios are integer ppm (cross-multiplied comparisons, no float
+    thresholds). Scale: one keyed aggregate with map-side combine, then
+    scalar reductions over the |keys|-sized frame; the heavy-key probes
+    broadcast the 3-value stats row.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    heavy = (
+        g.crossJoin(F.broadcast(stats))
+        .filter(F.expr(f"n * n_keys > {SKEW_HEAVY_FACTOR} * n_rows"))
+        .agg(
+            F.count(F.lit(1)).alias("hk"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("hr"),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(heavy))
+        .select(
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("max_n").cast("bigint").alias("max_group"),
+            F.expr("n_rows * 1000000 DIV n_keys").alias("mean_group_ppm"),
+            F.expr("max_n * n_keys * 1000000 DIV n_rows").alias(
+                "skew_factor_ppm"
+            ),
+            F.col("hk").cast("bigint").alias("heavy_keys"),
+            F.expr("hr * 1000000 DIV n_rows").alias("heavy_rows_ppm"),
+        )
+    )

@@ -20,6 +20,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..schemas import empty_df, require_columns
@@ -39,6 +40,48 @@ def read_parquet_or_empty(
     if not fs.exists(jvm_path):
         return empty_df(spark, schema)
     return spark.read.schema(schema).parquet(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, target: StructType
+) -> DataFrame:
+    """Schema-evolution-tolerant scan: parquet written across schema
+    generations (columns ADDED or RETIRED over time) reads back as ONE
+    frame in the target schema — the long-lived-sink reality the
+    strict reader above can't serve, because passing an explicit
+    schema makes old files silently yield nulls for absent columns
+    with no way to also drop retired ones.
+
+    Mechanics: scan with mergeSchema (footer-union of all file
+    schemas), then project to ``target`` — columns absent from every
+    file materialize as typed nulls, present columns CAST to the
+    target type (so the TARGET may widen uniformly, e.g. int files
+    read as a bigint column), and retired columns drop. Files must
+    agree on a stored column's physical type — parquet schema merge
+    rejects per-file type drift (int here, bigint there), which is a
+    WRITER bug this reader deliberately surfaces rather than papers
+    over. Missing path → typed empty frame, same as
+    read_parquet_or_empty.
+
+    Scale note: mergeSchema reads file FOOTERS, not data; column
+    pruning and predicate pushdown still reach the scan because the
+    projection is a plain select over the merged relation.
+    """
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(jvm_path):
+        return empty_df(spark, target)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    have = {f.name for f in merged.schema.fields}
+    cols = [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in target.fields
+    ]
+    return merged.select(*cols)
 
 
 class StateStore:

@@ -202,3 +202,51 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
     assert not os.path.exists(path + "__compacting")
     assert spark.read.parquet(path).count() == 1000
     assert stats2["files_before"] == stats2["files_after"] == 1
+
+
+class TestEvolvedRead:
+    def test_generations_unify_to_target(self, spark, tmp_path):
+        from pyspark.sql.types import StructType
+
+        from aircraftutilization_etl_spark.sources.parquet_io import (
+            read_parquet_evolved,
+        )
+
+        path = str(tmp_path / "sink")
+        # generation 1: (id int, v int) — before the column was added
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, v int").write.mode(
+            "append"
+        ).parquet(path)
+        # generation 2: adds `tag`; the TARGET widens id/v to bigint
+        spark.createDataFrame(
+            [(3, 30, "x")], "id int, v int, tag string"
+        ).write.mode("append").parquet(path)
+        target = StructType.fromDDL("id bigint, v bigint, tag string")
+        out = read_parquet_evolved(spark, path, target)
+        assert [f.simpleString() for f in out.schema.fields] == [
+            "id:bigint", "v:bigint", "tag:string",
+        ]
+        rows = {r.id: (r.v, r.tag) for r in out.collect()}
+        assert rows == {1: (10, None), 2: (20, None), 3: (30, "x")}
+
+    def test_retired_columns_drop_and_missing_path_is_empty(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql.types import StructType
+
+        from aircraftutilization_etl_spark.sources.parquet_io import (
+            read_parquet_evolved,
+        )
+
+        path = str(tmp_path / "sink2")
+        spark.createDataFrame(
+            [(1, "junk", 2.5)], "id int, legacy string, v double"
+        ).write.parquet(path)
+        target = StructType.fromDDL("id bigint, v double")
+        out = read_parquet_evolved(spark, path, target)
+        assert out.columns == ["id", "v"]
+        assert out.collect()[0].asDict() == {"id": 1, "v": 2.5}
+        empty = read_parquet_evolved(
+            spark, str(tmp_path / "nope"), target
+        )
+        assert empty.columns == ["id", "v"] and empty.count() == 0
