@@ -985,14 +985,20 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    # row totals via a window over the |types|^2 counts frame — a
+    # broadcast-join formulation would recompute the whole pairs
+    # pipeline for the build side (no exchange reuse across the
+    # broadcast boundary); the window costs one tiny exchange instead
+    wt = Window.partitionBy("from_type")
     return (
-        counts.join(F.broadcast(tot), "from_type")
-        .select(
+        counts.select(
             "from_type",
             "to_type",
             F.col("n").cast("bigint").alias("n"),
-            F.expr("n * 1000000 DIV row_total").alias("p_ppm"),
+            F.expr(
+                "CAST(n * 1000000 DIV SUM(n) OVER "
+                "(PARTITION BY from_type) AS BIGINT)"
+            ).alias("p_ppm"),
         )
         .orderBy("from_type", "to_type")
     )

@@ -182,3 +182,59 @@ def test_partition_pruning_on_fact_sink(spark, tmp_path):
     plan = plan_of(scan)
     assert "PartitionFilters" in plan
     assert scan.count() == 1
+
+
+class TestRound4PlanShapes:
+    """Exchange budgets for the round-4 operators — the plan shapes the
+    scale analysis promises (COVERAGE.md round-4 tables)."""
+
+    def test_shard_order_single_data_exchange(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import count_exchanges
+        from aircraftutilization_etl_spark.operators.sampling import (
+            shard_and_order,
+        )
+
+        df = spark.range(100).selectExpr("id AS doc_id")
+        out = shard_and_order(df, "doc_id", 8, "s")
+        # one hash exchange feeding the per-shard rank window
+        assert count_exchanges(out) == 1
+
+    def test_markov_transitions_exchange_budget(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import count_exchanges
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        df = CATALOG["q_events_markov_transitions"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        # user sequencing + pair aggregate + tiny totals (+ final sort);
+        # must NOT grow with a per-row or per-pair join
+        assert count_exchanges(df) <= 5
+
+    def test_pit_join_is_single_equi_join(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            point_in_time_join,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, "a", 0, 10)],
+            "user_id long, state string, valid_from long, valid_to long",
+        )
+        facts = spark.createDataFrame(
+            [(1, 1, 5)], "event_id long, user_id long, ts long"
+        )
+        plan = executed_plan(point_in_time_join(facts, hist, "user_id", "ts"))
+        # the validity range must ride the equi-join as a residual, not
+        # become a nested-loop / cartesian join
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    def test_ewma_python_is_arrow_batched_only(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import python_nodes
+        from aircraftutilization_etl_spark.operators.events import ewma
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 1.0)], "user_id long, ts long, event_id long, value double"
+        )
+        nodes = python_nodes(ewma(df, "user_id", "ts", "value", "event_id"))
+        assert "row" not in nodes
+        assert nodes.get("arrow") == ["MapInPandas"]  # one Arrow lane only
