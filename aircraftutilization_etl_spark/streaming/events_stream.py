@@ -322,3 +322,64 @@ def purchase_attribution_outer(
         "click_id",
         "click_ts",
     )
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Streaming twin of ``operators.events.ewma``: per-user adjust-free
+    exponential smoothing ((1-a)*prev + a*x) as keyed running state —
+    every event is emitted immediately with its smoothed value, and the
+    single carried double survives micro-batch boundaries in the state
+    store (contrast the batch twin, which re-sorts a partition per run).
+
+    Equivalence contract (proven in tests/test_events_stream.py): for
+    any split of a per-key-ordered event log into micro-batches, the
+    streamed ewma values equal the batch operator's. Events are folded
+    in (ts, event_id) order WITHIN a batch, so only cross-batch
+    disorder breaks equivalence — the same in-order-source caveat as
+    every running-state stream; put a watermarked sort (or the batch
+    twin) in front of an out-of-order feed.
+
+    Scale: state is one double per user; emission is append-mode, so
+    sinks see each event exactly once.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    one_minus = 1.0 - alpha
+    out_schema = (
+        "user_id long, ts timestamp, event_id long, value double, "
+        "ewma double"
+    )
+
+    def _update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        frames = [p for p in pdf_iter if not p.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"], kind="mergesort")
+        has_last = state.exists
+        last = state.get[0] if has_last else 0.0
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out = vals.copy()
+        for i in range(len(out)):
+            if has_last:
+                out[i] = one_minus * last + alpha * vals[i]
+            has_last, last = True, out[i]
+        state.update((float(last),))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "ewma": out,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType="last double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -407,3 +407,72 @@ def test_hopping_stream_matches_batch_windows(spark, tmp_path):
     assert expected <= got
     late_windows = got - expected
     assert all(w[0] >= BASE + dt.timedelta(hours=8) for w in late_windows)
+
+
+def test_ewma_stream_matches_batch_operator(spark, tmp_path):
+    """Split an ordered per-key event log into micro-batches at
+    arbitrary points; the streamed running EWMA must equal the batch
+    operator on the full log, value for value."""
+    from aircraftutilization_etl_spark.operators.events import ewma
+    from aircraftutilization_etl_spark.streaming.events_stream import ewma_stream
+
+    in_dir = tmp_path / "ewma_in"
+    in_dir.mkdir()
+    rows = []
+    eid = 0
+    for minute in range(12):
+        for user in (1, 2):
+            rows.append(
+                (eid, BASE + dt.timedelta(minutes=minute), "click",
+                 float((eid * 7) % 13), user)
+            )
+            eid += 1
+    # three uneven batches, each internally in event order
+    cuts = [rows[:5], rows[5:6], rows[6:]]
+    for i, chunk in enumerate(cuts):
+        _write_batch(in_dir / f"b{i}.parquet", rows=chunk, order=i, with_user=True)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double, "
+            "user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out_dir = str(tmp_path / "ewma_out")
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                if spark.read.parquet(out_dir).count() == len(rows):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        streamed = {
+            (r.user_id, r.event_id): r.ewma
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(
+        [(u, ts, e, v) for (e, ts, _t, v, u) in rows],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    expected = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma(batch_df, "user_id", "ts", "value", "event_id").collect()
+    }
+    assert streamed == expected
