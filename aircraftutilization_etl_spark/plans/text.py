@@ -1189,3 +1189,78 @@ def q_text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("freq_class")
     )
+
+
+N_PHASES = 4
+
+
+@query(
+    "q_curriculum_phases",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST({_N_TOKENS} AS BIGINT) AS n_tokens,
+               ROUND((
+                   (CASE WHEN {_N_TOKENS} >= 20 THEN 1.0
+                         ELSE {_N_TOKENS} / 20.0 END)
+                 + (CASE WHEN {_MWL} BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                 + (1.0 - least({_PUNCT_RATIO} * 5, 1.0))
+               ) / 3, 4) AS quality_score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, quality_score,
+               ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS rn,
+               COUNT(*) OVER () AS total
+        FROM scored
+    )
+    SELECT CAST((rn - 1) * {N_PHASES} // total AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(quality_score) AS min_score,
+           MAX(quality_score) AS max_score
+    FROM ranked
+    GROUP BY (rn - 1) * {N_PHASES} // total
+    ORDER BY phase
+    """,
+)
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum carve: the corpus split into 4 equal-population
+    phases by descending quality score (phase 0 = cleanest quartile),
+    with per-phase doc/token totals and score envelopes — the
+    quality-ordered schedule a curriculum-learning run feeds from.
+
+    Scale: the global quality rank routes through the two-phase
+    range-partitioned running count (ascending on the NEGATED rounded
+    score — same total order as the oracle's DESC rank), never a
+    single-partition window; the phase audit is a 4-row aggregate.
+    """
+    from ..operators.sampling import global_running_sum
+    from ..operators.text import quality_score_expr, token_count_expr
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        token_count_expr("text").cast("bigint").alias("n_tokens"),
+        F.round(quality_score_expr(F.col("text")), 4).alias("quality_score"),
+    ).withColumn("__negq", -F.col("quality_score"))
+    total = scored.count()
+    indexed = global_running_sum(
+        scored.withColumn("__one", F.lit(1)),
+        order_cols=["__negq", "doc_id"],
+        value_col="__one",
+        out_col="__rn",
+    )
+    return (
+        indexed.withColumn(
+            "phase", F.expr(f"(__rn - 1) * {N_PHASES} DIV {total}")
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+        .orderBy("phase")
+    )
