@@ -489,3 +489,72 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "epoch_idx")
     )
+
+
+@query(
+    "q_mix_manifest",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS sqrt_w
+        FROM counts
+    ),
+    tot AS (SELECT SUM(sqrt_w) AS wtot, SUM(n_tokens) AS ttot FROM w)
+    SELECT w.source, CAST(w.n_docs AS BIGINT) AS n_docs,
+           w.n_tokens,
+           CAST(w.sqrt_w * 1000000 // t.wtot AS BIGINT) AS target_share_ppm,
+           CAST(w.n_tokens * 1000000 // t.ttot AS BIGINT) AS natural_share_ppm,
+           CAST(w.sqrt_w * 1000000 // t.wtot AS BIGINT)
+               - CAST(w.n_tokens * 1000000 // t.ttot AS BIGINT) AS shift_ppm
+    FROM w, tot t
+    ORDER BY w.source
+    """,
+)
+def q_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card mixing manifest: per source, its natural token
+    share versus the sqrt-temperature target share (alpha = 1/2, the
+    same correctly-rounded integer weights as q_sample_temperature) and
+    the signed ppm shift the resampler will apply — the one-page table
+    a training run's data card publishes before any rows move.
+
+    Scale: one aggregate to |sources| rows; everything after is
+    model-sized arithmetic. IEEE sqrt is correctly rounded, so the
+    integer weights replay exactly in the oracle.
+    """
+    from ..operators.text import token_count_expr
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_expr("text").cast("bigint")).alias("n_tokens"),
+    )
+    w = counts.withColumn(
+        "sqrt_w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000).cast(
+            "bigint"
+        ),
+    )
+    tot = w.agg(
+        F.sum("sqrt_w").alias("wtot"), F.sum("n_tokens").alias("ttot")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("sqrt_w * 1000000 DIV wtot").alias("target_share_ppm"),
+            F.expr("n_tokens * 1000000 DIV ttot").alias("natural_share_ppm"),
+            F.expr(
+                "sqrt_w * 1000000 DIV wtot - n_tokens * 1000000 DIV ttot"
+            ).alias("shift_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.warehouse import (
     merge_rollups,
@@ -389,4 +390,52 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_in_time_join(facts, hist, key="user_id", fact_ts="ts")
         .select("event_id", "user_id", "ts", "cents", "state", "valid_from")
         .orderBy("event_id")
+    )
+
+
+@query(
+    "q_changelog_snapshot",
+    """
+    SELECT user_id, event_type AS latest_type, ts AS latest_ts,
+           CAST(round(value * 100) AS BIGINT) AS latest_cents,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_changelog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: the latest row per key (ts, then event_id
+    as the total-order tiebreak) plus the key's change count — the
+    MERGE-free upsert that turns an append-only CDC log into a current
+    snapshot, the read side of every keyed ingest.
+
+    Scale: one exchange on the key; the latest-row rank and the count
+    share the same partitioning (single Exchange feeding both Window
+    operators); per-key state is one row of look-behind, and the
+    changelog never joins anything.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("latest_type"),
+            F.col("ts").alias("latest_ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("latest_cents"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
     )
