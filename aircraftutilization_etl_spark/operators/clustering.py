@@ -338,29 +338,20 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
+def _adc_luts(
     scodes: DataFrame,
-    encoded: DataFrame,
     codebooks: list[list[list[int]]],
     n_queries: int,
-    k_top: int,
-    id_col: str = "vec_id",
+    id_col: str,
 ) -> DataFrame:
-    """ADC top-k: per query, precompute the m×k LUT of exact subspace
-    distances to every codebook centroid, then score each corpus vector
-    with m BIGINT lookups — the classic IVF-PQ scoring kernel.
-
-    The query LUT frame is n_queries rows (model-sized) and broadcasts;
-    corpus vectors stream through the lookup fold map-side, so the only
-    shuffle is the per-query top-k window over corpus×n_queries scored
-    rows — swap for a map-side partial top-k combine at extreme scale
-    (the cosine_topk pattern).
-    """
+    """(query_id, lut): per query the m×k table of exact subspace
+    distances to every codebook centroid — the model-sized frame ADC
+    scoring broadcasts."""
     lut_rows = F.transform(
         F.element_at(_codebook_lit(codebooks), F.col("sub") + 1),
         lambda c: _sq_dist_cols(F.col("svec"), c),
     )
-    luts = (
+    return (
         scodes.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("query_id"), "sub", lut_rows.alias("lr"))
         .groupBy("query_id")
@@ -371,8 +362,11 @@ def pq_adc_topk(
             ).alias("lut")
         )
     )
-    m = len(codebooks)
-    score = F.aggregate(
+
+
+def _adc_score_expr(m: int):
+    """Σ_s lut[s][codes[s]] — m BIGINT lookups per (corpus, query)."""
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
         F.lit(0).cast("bigint"),
         lambda acc, s: acc
@@ -380,12 +374,9 @@ def pq_adc_topk(
             F.element_at("lut", s), F.element_at("codes", s) + 1
         ),
     )
-    scored = (
-        encoded.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(luts))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("adc_dist"))
-    )
+
+
+def _adc_rank(scored: DataFrame, k_top: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -397,3 +388,78 @@ def pq_adc_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def pq_adc_topk(
+    scodes: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[int]]],
+    n_queries: int,
+    k_top: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: per query, precompute the m×k LUT of exact subspace
+    distances to every codebook centroid, then score each corpus vector
+    with m BIGINT lookups — the flat (exhaustive-scan) PQ search.
+
+    The query LUT frame is n_queries rows (model-sized) and broadcasts;
+    corpus vectors stream through the lookup fold map-side, so the only
+    shuffle is the per-query top-k window over corpus×n_queries scored
+    rows — swap for a map-side partial top-k combine at extreme scale
+    (the cosine_topk pattern).
+    """
+    luts = _adc_luts(scodes, codebooks, n_queries, id_col)
+    scored = (
+        encoded.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_score_expr(len(codebooks)).alias("adc_dist"),
+        )
+    )
+    return _adc_rank(scored, k_top)
+
+
+def ivfpq_adc_topk(
+    scodes: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[int]]],
+    cells: DataFrame,
+    n_queries: int,
+    k_top: int,
+    id_col: str = "vec_id",
+    cell_col: str = "cluster",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011, the billion-vector architecture):
+    coarse cells prune the search to the query's own cell (probe=1),
+    PQ-ADC scores only the survivors — compute drops by the cell count
+    ON TOP of the 16-byte-code memory cut, the multiplicative trade
+    flat PQ (pq_adc_topk) and plain IVF (ivf_topk) each take alone.
+
+    ``cells`` is (id, cell) from the trained coarse quantizer
+    (kmeans_int8). The LUT frame gains the query's cell and broadcasts;
+    corpus codes join it ON THE CELL, so a corpus vector is scored
+    against the queries in its cell only — the join equality does the
+    pruning, no post-filter.
+    """
+    cq = cells.select(
+        F.col(id_col).alias("query_id"), F.col(cell_col).alias("cell")
+    )
+    cn = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("cell")
+    )
+    luts = _adc_luts(scodes, codebooks, n_queries, id_col).join(cq, "query_id")
+    scored = (
+        encoded.withColumnRenamed(id_col, "neighbor_id")
+        .join(cn, "neighbor_id")
+        .join(F.broadcast(luts), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_score_expr(len(codebooks)).alias("adc_dist"),
+        )
+    )
+    return _adc_rank(scored, k_top)

@@ -663,3 +663,164 @@ def q_emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# --- IVF-PQ: coarse k-means cells pruning + PQ-ADC scoring ---------------
+
+# the kmeans and PQ CTE chains share the leading `codes` CTE; strip it
+# from the PQ chain before composing both into one WITH clause
+assert _PQ_CTES.startswith(_CODES_CTE)
+_PQ_TAIL = _PQ_CTES[len(_CODES_CTE) + 1 :]
+
+_IVFPQ_CTES = f"""{_KMEANS_CTES},
+    {_PQ_TAIL},
+    coarse_dist AS (
+        SELECT c.vec_id, t.cluster,
+               CAST(SUM((c.q - t.val) * (c.q - t.val)) AS BIGINT) AS dist
+        FROM codes c JOIN {_FINAL_CENT} t USING (pos)
+        GROUP BY c.vec_id, t.cluster
+    ),
+    coarse_cells AS (
+        SELECT vec_id, cluster AS cell FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM coarse_dist
+        ) WHERE rn = 1
+    ),
+    pqlut AS (
+        SELECT c.vec_id AS query_id, c.sub, t.code,
+               CAST(SUM((c.q - t.val) * (c.q - t.val)) AS BIGINT) AS dist
+        FROM scodes c JOIN pqcent{PQ_ITERS} t
+          ON c.sub = t.sub AND c.spos = t.spos
+        WHERE c.vec_id < {N_QUERIES}
+        GROUP BY c.vec_id, c.sub, t.code
+    ),
+    ivfadc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(SUM(l.dist) AS BIGINT) AS adc_dist
+        FROM {_PQ_ENC} e
+          JOIN coarse_cells ce ON ce.vec_id = e.vec_id
+          JOIN pqlut l ON e.sub = l.sub AND e.code = l.code
+          JOIN coarse_cells cu
+            ON cu.vec_id = l.query_id AND cu.cell = ce.cell
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    ),
+    ivfadc_ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rank
+        FROM ivfadc
+    )"""
+
+
+def _ivfpq_spark(spark: SparkSession, sf_dir: str):
+    from ..operators.clustering import ivfpq_adc_topk
+
+    e, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
+    cells = kmeans_int8(e, k=K_CLUSTERS, iterations=KMEANS_ITERS).select(
+        "vec_id", "cluster"
+    )
+    out = ivfpq_adc_topk(
+        scodes, encoded, books, cells, N_QUERIES, TOP_K
+    ).localCheckpoint(eager=True)
+    scodes.unpersist()
+    return out
+
+
+@query(
+    "q_emb_ivfpq_topk",
+    f"""
+    WITH {_IVFPQ_CTES}
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM ivfadc_ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the billion-vector architecture): trained k-means
+    coarse cells prune the candidate set to the query's own cell
+    (probe=1), then PQ-ADC scores only the survivors — the compute cut
+    of IVF multiplied by the 16-byte-code memory cut of PQ. The oracle
+    replays BOTH quantizer trainings, the cell assignments, every LUT
+    entry, and every surviving ADC score.
+
+    Scale: cells co-partition the code table; the LUT frame (now
+    carrying the query's cell) broadcasts into an equi-join ON the
+    cell, so pruning is the join equality itself, not a post-filter.
+    """
+    return _ivfpq_spark(spark, sf_dir)
+
+
+@query(
+    "q_emb_ivfpq_recall",
+    f"""
+    WITH {_IVFPQ_CTES},
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    exact_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT * FROM exact_scored WHERE rank <= {TOP_K}) e
+      LEFT JOIN (SELECT * FROM ivfadc_ranked WHERE rank <= {TOP_K}) i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of IVF-PQ against brute-force cosine ground
+    truth — the honesty gauge for the compound approximation (coarse
+    pruning loss x code-quantization loss). Measured ~ 0.28 mean at
+    sf0.01, completing the ANN comparison table: untrained cells
+    ~ 0.11, SRP ~ 0.30, flat PQ ~ 0.34, trained cells ~ 0.46 — i.e.
+    probe=1 pruning costs flat PQ ~6 points here; at production scale
+    the remedy is multi-probe, and the cost it buys back is the
+    cell-count compute cut.
+
+    Scale: ground truth is the streaming GEMM top-k; the IVF-PQ leg is
+    the cell-pruned ADC join; the comparison is a per-query left join
+    over two k-row-per-query frames.
+    """
+    from ..operators.similarity import cosine_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    approx = _ivfpq_spark(spark, sf_dir)
+    exact = cosine_topk(
+        e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K
+    ).select("query_id", F.col("neighbor_id").alias("exact_neighbor"))
+    hits = exact.join(
+        approx.select(
+            "query_id", F.col("neighbor_id").alias("exact_neighbor")
+        ),
+        ["query_id", "exact_neighbor"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"COALESCE(n_hits, 0) * 1000000 DIV {TOP_K}").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
