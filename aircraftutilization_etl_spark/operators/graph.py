@@ -214,3 +214,97 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("clustering_ppm"),
         )
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") → (node, component) with component = the
+    component's minimum node id.
+
+    Why a second algorithm next to label propagation
+    (dedup.duplicate_clusters): propagation needs DIAMETER rounds — the
+    right choice for near-dup clusters (tiny diameters), a scale
+    hazard for arbitrary graphs where chains can be long. Star
+    contraction converges in O(log^2 n) rounds on ANY topology by
+    rewiring every node toward its neighborhood minimum:
+
+    - large-star: for each node u, connect every STRICTLY LARGER
+      neighbor to min(N(u) ∪ {u});
+    - small-star: connect every neighbor ≤ u (and u) to that minimum.
+
+    Each phase is one groupBy(min) + one join re-keyed on the
+    neighbor — two exchanges per phase, lineage truncated per round
+    (the same localCheckpoint discipline as every iterative loop
+    here). Convergence = the canonical edge set stops changing,
+    detected with a count + XOR-folded hash (two scalars to the
+    driver, never the data); a stable star graph IS the component
+    assignment.
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = edges.select(F.col("u").alias("node")).distinct()
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhood minimum per u over the symmetric view, u included
+        sym = _sym(e)
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        linked = sym.join(m, "u")
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = linked.filter(keep).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        if not large:
+            out = out.unionByName(m.select("u", F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free (a SUM of
+            # 64-bit hashes trips ANSI overflow)
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = _fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _star(edges, large=True).localCheckpoint(eager=True)
+        edges = _star(edges, large=False).localCheckpoint(eager=True)
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not stabilize within "
+            f"{max_rounds} rounds"
+        )
+    # stable state: every non-root points directly at its component min
+    roots = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        all_nodes.join(roots, all_nodes.node == roots.u, "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )

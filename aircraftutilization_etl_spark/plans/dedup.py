@@ -537,3 +537,47 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         with_simhash(d, bits=_SIM_BITS), MAX_HAMMING, bits=_SIM_BITS
     )
+
+
+@query(
+    "q_dedup_clusters_star",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+        UNION
+        SELECT id_b, id_a FROM lsh_pairs
+    ),
+    closure(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    )
+    SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+    FROM closure
+    GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same duplicate groups as q_dedup_clusters, computed by
+    large-star/small-star contraction instead of label propagation —
+    the two backends must agree exactly (and both must match the
+    recursive-closure oracle). Propagation pays DIAMETER rounds and is
+    right for shallow near-dup clusters; star contraction pays
+    O(log^2 n) rounds on ANY topology, the safe default when an
+    adversarial corpus can chain duplicates arbitrarily long.
+
+    Scale: two exchanges per phase (neighborhood-min groupBy + re-key
+    join), per-round lineage truncation, two scalars to the driver per
+    round for the convergence check.
+    """
+    from ..operators.graph import connected_components_star
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(d, JACCARD_THRESHOLD)
+    return (
+        connected_components_star(pairs)
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
+    )

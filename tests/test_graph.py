@@ -75,3 +75,60 @@ def test_triangle_stats_hand_graph(spark):
     assert out[4]["n_triangles"] == 0 and out[4]["clustering_ppm"] == 0
     for n in (5, 6, 7, 8):
         assert out[n]["n_triangles"] == 0 and out[n]["degree"] == 2
+
+
+class TestStarComponents:
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, "id_a long, id_b long")
+
+    def test_long_chain_converges_fast(self, spark):
+        from aircraftutilization_etl_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        # a 60-node path: label propagation would need 60 rounds; star
+        # contraction must finish far inside 25
+        chain = [(i, i + 1) for i in range(60)]
+        out = connected_components_star(self._pairs(spark, chain))
+        rows = out.collect()
+        assert len(rows) == 61
+        assert {r.component for r in rows} == {0}
+
+    def test_matches_label_propagation_on_random_graphs(self, spark):
+        import random
+
+        from aircraftutilization_etl_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+        from aircraftutilization_etl_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        rng = random.Random(42)
+        for trial in range(3):
+            edges = [
+                (rng.randrange(40), rng.randrange(40)) for _ in range(35)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            pairs = self._pairs(spark, edges)
+            star = {
+                (r.node, r.component)
+                for r in connected_components_star(pairs).collect()
+            }
+            lp = {
+                (r.doc_id, r.cluster_id)
+                for r in duplicate_clusters(pairs, max_iterations=40).collect()
+            }
+            assert star == lp, f"trial {trial} diverged"
+
+    def test_two_components_and_isolated_root_labels(self, spark):
+        from aircraftutilization_etl_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        pairs = self._pairs(spark, [(5, 9), (9, 7), (20, 30)])
+        got = {
+            r.node: r.component
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20}
