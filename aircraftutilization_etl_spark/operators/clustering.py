@@ -77,7 +77,8 @@ def kmeans_int8(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_model: bool = False,
+):
     """Lloyd's k-means on int8-quantized vectors → (id, cluster, dist).
 
     Deterministic protocol (what the oracle replays):
@@ -91,7 +92,9 @@ def kmeans_int8(
       the true floor for |sum| < 2^53). A cluster that loses all members
       keeps its previous centroid.
     - **Output**: final assignment against the post-update centroids,
-      with the exact BIGINT squared distance.
+      with the exact BIGINT squared distance. With ``return_model``,
+      returns (assignment, centroids) so callers can rank cells per
+      query (multi-probe IVF) without retraining.
     """
     codes = (
         quantize_embeddings(df, id_col, vec_col)
@@ -125,6 +128,8 @@ def kmeans_int8(
         .localCheckpoint(eager=True)
     )
     codes.unpersist()
+    if return_model:
+        return out, centroids
     return out
 
 

@@ -824,3 +824,153 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+N_PROBE = 2
+
+
+@query(
+    "q_emb_ivfpq_probe2_recall",
+    f"""
+    WITH {_IVFPQ_CTES},
+    probe_cells AS (
+        SELECT vec_id AS query_id, cluster AS cell FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM coarse_dist WHERE vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBE}
+    ),
+    ivfadc2 AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(SUM(l.dist) AS BIGINT) AS adc_dist
+        FROM {_PQ_ENC} e
+          JOIN coarse_cells ce ON ce.vec_id = e.vec_id
+          JOIN probe_cells p ON p.cell = ce.cell
+          JOIN pqlut l ON l.query_id = p.query_id
+            AND e.sub = l.sub AND e.code = l.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    ),
+    ivfadc2_ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rank
+        FROM ivfadc2
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    exact_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT * FROM exact_scored WHERE rank <= {TOP_K}) e
+      LEFT JOIN (SELECT * FROM ivfadc2_ranked WHERE rank <= {TOP_K}) i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_emb_ivfpq_probe2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at probe=2: each query additionally scores its
+    second-nearest coarse cell — the dial every IVF deployment turns
+    (probes trade compute back for recall). Against probe=1
+    (q_emb_ivfpq_recall, ~0.28) the extra cell buys ~3 points here
+    (measured ~0.31 mean at sf0.01), converging toward flat PQ's 0.34
+    ceiling as probes approach the cell count.
+
+    Scale: the probe list is model-sized (n_queries x probes rows
+    riding the broadcast LUT frame); corpus-side cost grows linearly
+    with the probe count, never with the cell count. A corpus vector
+    meets a query at most once (one home cell, distinct probe cells),
+    so the cell join needs no dedup.
+    """
+    from ..operators.clustering import (
+        _adc_luts,
+        _adc_rank,
+        _adc_score_expr,
+        _sq_dist_expr,
+        kmeans_int8,
+    )
+    from ..operators.similarity import cosine_topk, quantize_embeddings
+    from pyspark.sql.window import Window as _W
+
+    e = table(spark, sf_dir, "embeddings")
+    _, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
+    corpus_cells, cents = kmeans_int8(
+        e, k=K_CLUSTERS, iterations=KMEANS_ITERS, return_model=True
+    )
+    qcodes = quantize_embeddings(
+        e.filter(F.col("vec_id") < N_QUERIES)
+    ).select("vec_id", "qvec")
+    melted = qcodes.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.array(*[_sq_dist_expr("qvec", c) for c in cents])
+        ).alias("cell", "dist"),
+    )
+    wp = _W.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        melted.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cell")
+    )
+    luts = _adc_luts(scodes, books, N_QUERIES, "vec_id").join(
+        probes, "query_id"
+    )
+    cn = corpus_cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster").alias("cell"),
+    )
+    scored = (
+        encoded.withColumnRenamed("vec_id", "neighbor_id")
+        .join(cn, "neighbor_id")
+        .join(F.broadcast(luts), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_score_expr(len(books)).alias("adc_dist"),
+        )
+    )
+    approx = (
+        _adc_rank(scored, TOP_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    scodes.unpersist()
+    exact = cosine_topk(
+        e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K
+    ).select("query_id", F.col("neighbor_id").alias("exact_neighbor"))
+    per_q = (
+        exact.join(
+            approx.withColumnRenamed("neighbor_id", "exact_neighbor"),
+            ["query_id", "exact_neighbor"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"COALESCE(n_hits, 0) * 1000000 DIV {TOP_K}").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
