@@ -581,3 +581,76 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_dedup_minhash_estimate",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    agree AS (
+        SELECT p.id_a, p.id_b,
+               SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                   AS n_agree
+        FROM lsh_pairs p
+          JOIN minhashes ma ON ma.doc_id = p.id_a
+          JOIN minhashes mb ON mb.doc_id = p.id_b AND mb.seed = ma.seed
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT a.id_a, a.id_b, p.jaccard,
+           CAST(a.n_agree * 1000000 // {MINHASH_K} AS BIGINT)
+               AS estimate_ppm,
+           CAST(a.n_agree * 1000000 // {MINHASH_K}
+                - CAST(round(p.jaccard * 1000000) AS BIGINT) AS BIGINT)
+               AS err_ppm
+    FROM agree a JOIN lsh_pairs p
+      ON p.id_a = a.id_a AND p.id_b = a.id_b
+    ORDER BY a.id_a, a.id_b
+    """,
+)
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: per verified near-dup pair,
+    the Jaccard ESTIMATE the 16-seed signature implies (agreement
+    fraction) next to the exact Jaccard, with the signed ppm error —
+    the honesty gauge that justifies the signature size, sibling to
+    the ANN recall gauges.
+
+    Scale: signatures and exact scores both already exist in the LSH
+    pipeline; the audit adds two id-keyed joins against the
+    (pairs x K)-sized signature slice — candidates-only, never corpus
+    x corpus.
+    """
+    from ..operators.dedup import (
+        minhash_lsh_duplicates,
+        minhash_signatures,
+        with_shingle_array,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(d, JACCARD_THRESHOLD)
+    sigs = minhash_signatures(with_shingle_array(d))
+    ma = sigs.select(
+        F.col("doc_id").alias("id_a"), "seed", F.col("minhash").alias("__ma")
+    )
+    mb = sigs.select(
+        F.col("doc_id").alias("id_b"), "seed", F.col("minhash").alias("__mb")
+    )
+    agree = (
+        pairs.join(ma, "id_a")
+        .join(mb, ["id_b", "seed"])
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(
+            F.sum(
+                F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+    )
+    return agree.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.expr(f"n_agree * 1000000 DIV {MINHASH_K}").alias("estimate_ppm"),
+        F.expr(
+            f"n_agree * 1000000 DIV {MINHASH_K} "
+            "- CAST(round(jaccard * 1000000) AS BIGINT)"
+        ).alias("err_ppm"),
+    ).orderBy("id_a", "id_b")

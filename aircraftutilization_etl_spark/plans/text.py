@@ -1264,3 +1264,93 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+@query(
+    "q_text_heldout_logprob",
+    """
+    WITH tagged AS (
+        SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' AS in_train
+        FROM documents
+    ),
+    train_words AS (
+        SELECT lower(t.w) AS w
+        FROM tagged, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE in_train
+    ),
+    model AS (SELECT w, COUNT(*) AS c FROM train_words GROUP BY w),
+    stats AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM model),
+    heldout_words AS (
+        SELECT doc_id, lower(t.w) AS w
+        FROM tagged, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE NOT in_train
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           ROUND(AVG(ln((COALESCE(m.c, 0) + 1.0) / (s.t + s.v))), 4)
+               AS logprob
+    FROM heldout_words h
+      LEFT JOIN model m USING (w)
+      CROSS JOIN stats s
+    GROUP BY h.doc_id
+    ORDER BY h.doc_id
+    """,
+)
+def q_text_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROPER held-out language-model evaluation: the add-1 unigram
+    model trains on the 80% md5-split train docs only, and scores the
+    held-out 20% (per-doc mean log-prob + OOV count) — unlike
+    q_text_unigram_logprob, which scores the corpus under its own
+    model, this is the uncontaminated eval a data pipeline reports.
+
+    Scale: the model build is one shuffle with map-side combine over
+    train tokens; scoring is a vocabulary-sized LEFT join (AQE
+    broadcasts it) + one per-doc aggregate. The split is the same
+    zero-shuffle md5 projection as q_split_train_val.
+    """
+    from ..operators.sampling import hash_split
+    from ..operators.text import words_expr
+
+    d = hash_split(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.8, "heldout": 0.2},
+    )
+    words = d.select(
+        "doc_id",
+        "split",
+        F.explode(words_expr("text")).alias("w0"),
+    ).select("doc_id", "split", F.lower("w0").alias("w"))
+    model = (
+        words.filter(F.col("split") == "train")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = model.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    heldout = words.filter(F.col("split") == "heldout")
+    return (
+        heldout.join(model, "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("t") + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("logprob"),
+        )
+        .orderBy("doc_id")
+    )
