@@ -93,3 +93,49 @@ def assert_scalable(
                 f"plan pays {n} exchanges, budget is {max_exchanges} — "
                 "look for a lost co-partitioning or a missing broadcast"
             )
+
+
+def advise(df: DataFrame) -> list[str]:
+    """Pre-flight plan review: the scale smells a human reviewer greps
+    an explain() for, as machine-checkable findings (empty list = no
+    smells). Each finding names the hazard and the standard fix; run it
+    before shipping a pipeline to a real cluster, or wire it into CI
+    next to assert_scalable (which ENFORCES; this one EXPLAINS).
+    """
+    plan = executed_plan(df)
+    findings: list[str] = []
+    if "Exchange SinglePartition" in plan:
+        findings.append(
+            "single-partition exchange: a global window/sort/limit is "
+            "funneling every row through one task — partition the window, "
+            "or use the two-phase running-count formulation "
+            "(operators/sampling.global_running_sum)"
+        )
+    if "CartesianProduct" in plan:
+        findings.append(
+            "cartesian product: no join condition reached the planner — "
+            "add the equi-key, or broadcast the small side if the cross "
+            "product is intentional"
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            "broadcast nested-loop join: the join has no equality "
+            "conjunct, so every probe row scans the whole build side — "
+            "add an equi-key (bucketize ranges; see "
+            "operators/events.range_join_bucketed)"
+        )
+    nodes = python_nodes(df)
+    if "row" in nodes:
+        findings.append(
+            "row-at-a-time Python (BatchEvalPython): 10-100x slower than "
+            "built-in expressions — rewrite with pyspark.sql.functions or "
+            "an Arrow-batched mapInPandas kernel"
+        )
+    wide = [s for s in scan_schemas(df) if s.count(",") + 1 > 20]
+    if wide:
+        findings.append(
+            f"{len(wide)} file scan(s) read >20 columns — if the query "
+            "uses fewer, column pruning was defeated (check for "
+            "select('*') before a UDF or a schema-hiding view)"
+        )
+    return findings

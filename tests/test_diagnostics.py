@@ -63,3 +63,36 @@ def test_assert_scalable_guards(spark):
     with pytest.raises(AssertionError, match="exchanges"):
         assert_scalable(shuffly, max_exchanges=0)
     assert_scalable(shuffly, max_exchanges=4)
+
+
+class TestAdvise:
+    def test_clean_plan_has_no_findings(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import advise
+
+        df = (
+            spark.range(100)
+            .groupBy((F.col("id") % 5).alias("k"))
+            .count()
+        )
+        assert advise(df) == []
+
+    def test_flags_single_partition_window(self, spark):
+        from pyspark.sql.window import Window
+
+        from aircraftutilization_etl_spark.diagnostics import advise
+
+        df = spark.range(100).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        assert any("single-partition" in f for f in advise(df))
+
+    def test_flags_cartesian_and_nested_loop(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import advise
+
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "id2")
+        cross = a.crossJoin(b)
+        assert any("cartesian" in f.lower() or "nested-loop" in f.lower()
+                   for f in advise(cross))
+        theta = a.join(b, a.id < b.id2)
+        assert any("nested-loop" in f for f in advise(theta))
