@@ -1168,3 +1168,58 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_events_think_time",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(LAG(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                   AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(median(gap_s), 4) AS med_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_think_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Think-time distribution: per event type, the median / p90 /
+    max seconds a user waited since their PREVIOUS event (whatever its
+    type) — the latency fingerprint that calibrates session-gap
+    thresholds (q_events_sessionize's 30-min gap should sit far above
+    p90 think time; here it does).
+
+    Scale: one shuffle on user_id for the lag, one aggregate per type.
+    Exact percentiles buffer per-group values — |types| groups here,
+    and the catalog's sketch discipline (approx_percentile, see
+    q_percentiles_approx) is the drop-in at extreme gap counts.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("bigint").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("med_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
