@@ -24,7 +24,7 @@ Scale design (the point of these operators at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint_expr, words_expr
@@ -796,3 +796,83 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def removal_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Positional exact-substring dedup: the removal spans of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), word-shingle formulation. Every word-``SHINGLE_N``-gram
+    occurring at least ``min_count`` times in the corpus (within- OR
+    cross-document — a self-repeat is just as memorized) marks its
+    occurrence interval ``[pos, pos + SHINGLE_N)``; overlapping or
+    adjacent marked intervals in a document coalesce into maximal
+    removal spans. Returns one row per merged span:
+    (id, span_start, span_end, span_words), positions in word offsets.
+
+    This is the positional complement of the set-based operators above:
+    near-dup dedup drops whole documents, while removal spans excise
+    the repeated SUBSTRINGS and keep the novel remainder — the
+    suffix-array pass of the paper re-expressed as three key-local
+    stages. Scale: (1) shingle occurrences are a per-row posexplode
+    (no shuffle past the id repartition); (2) corpus-wide occurrence
+    counts are one map-side-combined groupBy on the shingle, and the
+    marked positions come from the shuffle-join of occurrences against
+    the >= min_count survivors (AQE splits hot-shingle skew; no
+    window-over-shingle single-partition trap); (3) the interval merge
+    is the classic gaps-and-islands window partitioned by the doc id —
+    equal-length intervals sorted by start merge iff
+    ``pos <= prev_pos + SHINGLE_N``, so a lag comparison + running sum
+    of breaks is exact, one exchange on the id.
+    """
+    occ = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words_expr(text_col).alias("__words"))
+        .filter(F.size("__words") >= SHINGLE_N)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__words") - SHINGLE_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__words"), i + 1, SHINGLE_N)
+                    ),
+                )
+            ).alias("pos", "shingle"),
+        )
+    )
+    occ = occ.persist()
+    dup = (
+        occ.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("shingle")
+    )
+    marked = occ.join(dup, "shingle").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        marked.withColumn(
+            "__brk",
+            F.when(F.col("pos") > F.lag("pos").over(w) + SHINGLE_N, 1).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + SHINGLE_N).cast("int").alias("span_end"),
+            (F.max("pos") + SHINGLE_N - F.min("pos")).cast("int").alias(
+                "span_words"
+            ),
+        )
+        .drop("__island")
+    )
+    result = spans.localCheckpoint(eager=True)
+    occ.unpersist()
+    return result

@@ -654,3 +654,51 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- CAST(round(jaccard * 1000000) AS BIGINT)"
         ).alias("err_ppm"),
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_substring_spans",
+    """
+    WITH occ AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                   AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents) t,
+             LATERAL unnest(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3
+    ),
+    dup AS (SELECT shingle FROM occ GROUP BY shingle HAVING COUNT(*) >= 2),
+    marked AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (shingle)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) + 3
+                    THEN 1 ELSE 0 END AS brk
+        FROM marked),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged)
+    SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + 3 AS INT) AS span_end,
+           CAST(MAX(pos) + 3 - MIN(pos) AS INT) AS span_words
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring removal spans (Lee et al. 2021): maximal word
+    intervals covered by corpus-repeated 3-gram shingles, per document.
+
+    The positional complement of whole-document dedup — excise the
+    memorization-prone repeated substrings, keep the novel remainder.
+    Scale: posexplode occurrences (map-side), one shingle-keyed
+    count+join for the >=2 filter (AQE-skew-safe), one id-keyed
+    gaps-and-islands window for the merge.
+    """
+    from ..operators.dedup import removal_spans
+
+    d = table(spark, sf_dir, "documents")
+    return removal_spans(d)

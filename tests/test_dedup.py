@@ -333,3 +333,78 @@ class TestSimhashHammingPairs:
         df = spark.createDataFrame([(1, "0" * 16)], "doc_id long, simhash string")
         with _pytest.raises(ValueError):
             simhash_hamming_pairs(df, max_hamming=4, bands=4)
+
+
+class TestRemovalSpans:
+    """Exact-substring removal spans: hand-built corpora with known
+    duplicated 3-gram positions and merge outcomes."""
+
+    def _spans(self, spark, rows):
+        from aircraftutilization_etl_spark.operators.dedup import removal_spans
+
+        df = _docs(spark, rows)
+        return {
+            (r.doc_id, r.span_start, r.span_end, r.span_words)
+            for r in removal_spans(df).collect()
+        }
+
+    def test_cross_doc_duplicate_marks_both_sides(self, spark):
+        # "x y z" appears in both docs -> one 3-word span each, at the
+        # right word offsets (doc 2 shifted by its leading word)
+        got = self._spans(
+            spark,
+            [(1, "x y z a b c"), (2, "q x y z d e")],
+        )
+        assert (1, 0, 3, 3) in got
+        assert (2, 1, 4, 3) in got
+        # the non-repeated tails never appear in any span
+        assert all(
+            not (d == 1 and s >= 3) and not (d == 2 and s >= 4)
+            for d, s, _, _ in got
+        )
+
+    def test_overlapping_shingles_merge_into_one_span(self, spark):
+        # "x y z w" duplicated as a block: shingles at pos 0 and 1
+        # overlap -> a single merged [0, 4) span, not two
+        got = self._spans(
+            spark, [(1, "x y z w a b c"), (2, "x y z w d e f")]
+        )
+        assert (1, 0, 4, 4) in got
+        assert (2, 0, 4, 4) in got
+
+    def test_disjoint_repeats_stay_separate_spans(self, spark):
+        # two duplicated trigrams separated by a >3-word novel gap in
+        # doc 1 -> two distinct spans
+        got = self._spans(
+            spark,
+            [
+                (1, "x y z n1 n2 n3 n4 p q r"),
+                (2, "x y z m1 m2 m3 m4 p q r"),
+            ],
+        )
+        assert (1, 0, 3, 3) in got and (1, 7, 10, 3) in got
+        assert (2, 0, 3, 3) in got and (2, 7, 10, 3) in got
+
+    def test_adjacent_intervals_coalesce(self, spark):
+        # duplicated trigrams at pos 0 and pos 3 (gap-free adjacency:
+        # [0,3) + [3,6)) merge into [0,6)
+        got = self._spans(
+            spark,
+            [
+                (1, "x y z p q r tail1 one"),
+                (2, "x y z mid1 mid2 mid3 p q r"),
+            ],
+        )
+        assert (1, 0, 6, 6) in got
+
+    def test_within_doc_repeat_is_marked(self, spark):
+        # min_count counts OCCURRENCES, not documents: a self-repeated
+        # trigram inside a single doc is marked too
+        got = self._spans(spark, [(1, "x y z a1 a2 a3 a4 x y z")])
+        assert (1, 0, 3, 3) in got and (1, 7, 10, 3) in got
+
+    def test_unique_corpus_has_no_spans(self, spark):
+        got = self._spans(
+            spark, [(1, "a b c d e"), (2, "f g h i j")]
+        )
+        assert got == set()
