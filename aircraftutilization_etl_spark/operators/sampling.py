@@ -367,3 +367,66 @@ def mix_epochs(
             epoch_col, "__one"
         ),
     ).drop("__one")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    max_weight: int = 64,
+    seed: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirtakis
+    A-ES), integer-exact: draw the ``n`` rows whose selection keys rank
+    highest, where a row with integer weight ``w`` wins proportionally
+    to ``w`` at every elimination round — the standard one-pass
+    distributed weighted reservoir.
+
+    A-ES ranks rows by ``u^(1/w)`` (u uniform). That float key would
+    hit the cross-engine pow()/ln() last-ulp trap, so the engine uses
+    the distributional identity ``u^(1/w) ~ max(u_1..u_w)``: draw ``w``
+    deterministic md5 uniforms per row and keep the lexicographic
+    maximum hex string. Pure string comparison — no float anywhere, so
+    placement replays exactly in any engine with md5 (ties are
+    impossible in practice but break by key for total order). Weights
+    must be integers in [1, max_weight]; enforced with a typed error
+    because a silently-capped weight would bias the draw.
+
+    Scale: the key is a zero-shuffle per-row projection (a w-element
+    map-side hash array, bounded by max_weight); the global top-n is
+    TakeOrderedAndProject — per-partition heaps of n, no global sort,
+    no shuffle of the data itself. The weight cap is the knob that
+    keeps the per-row cost bounded: resolution beyond ~64 tiers buys
+    no practical sampling fidelity but scales hashing linearly.
+    """
+    wcol = F.col(weight_col).cast("long")
+    guarded = df.withColumn(
+        "__w",
+        F.when((wcol >= 1) & (wcol <= max_weight), wcol).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"weighted_sample: weight must be in [1, {max_weight}], got "
+                    ),
+                    wcol.cast("string"),
+                )
+            )
+        ),
+    )
+    es_key = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.col("__w").cast("int")),
+            lambda j: F.md5(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col(key).cast("string"), j.cast("string")
+                )
+            ),
+        )
+    )
+    return (
+        guarded.withColumn("es_key", es_key)
+        .drop("__w")
+        .orderBy(F.desc("es_key"), F.col(key))
+        .limit(n)
+    )

@@ -558,3 +558,38 @@ def q_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_sample_weighted",
+    """
+    WITH wt AS (
+        SELECT doc_id, source,
+               CAST(1 + least(4, n_chars // 100) AS BIGINT) AS weight
+        FROM documents),
+    keyed AS (
+        SELECT doc_id, source, weight,
+               list_max(list_transform(
+                   generate_series(1, CAST(weight AS INT)),
+                   j -> md5('ws:' || doc_id || ':' || j))) AS es_key
+        FROM wt)
+    SELECT doc_id, source, weight, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirtakis):
+    100 documents drawn with probability proportional to a 1..5 size
+    tier, via the integer-exact max-of-w-md5 selection key.
+
+    Scale: zero-shuffle per-row keys + TakeOrderedAndProject top-n —
+    no global sort, no data shuffle.
+    """
+    from ..operators.sampling import weighted_sample
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "weight", F.expr("CAST(1 + least(4, n_chars DIV 100) AS BIGINT)")
+    )
+    return weighted_sample(
+        d.select("doc_id", "source", "weight"), "doc_id", "weight", 100
+    )

@@ -418,3 +418,86 @@ class TestMixEpochs:
 
         out = mix_epochs(docs, {"s0": 1_000_000})
         assert out.select("source").distinct().collect()[0].source == "s0"
+
+
+class TestWeightedSample:
+    """Efraimidis–Spirtakis weighted sampling: exact key replay, weight
+    monotonicity in expectation, and guard-rail behavior."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, weight long")
+
+    def test_selection_matches_scalar_replay(self, spark):
+        import hashlib
+
+        from aircraftutilization_etl_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        rows = [(i, 1 + i % 5) for i in range(40)]
+        got = [
+            r.doc_id
+            for r in weighted_sample(
+                self._df(spark, rows), "doc_id", "weight", 10
+            ).collect()
+        ]
+
+        def es_key(doc_id, w):
+            return max(
+                hashlib.md5(f"ws:{doc_id}:{j}".encode()).hexdigest()
+                for j in range(1, w + 1)
+            )
+
+        expect = [
+            d
+            for d, _ in sorted(
+                ((d, es_key(d, w)) for d, w in rows),
+                key=lambda t: (t[1], -t[0]),
+                reverse=True,
+            )[:10]
+        ]
+        assert got == expect
+
+    def test_higher_weight_wins_more_often(self, spark):
+        # 200 rows, half weight 1 and half weight 8: the weight-8 half
+        # must take a clear majority of a 50-row draw (binomial bound:
+        # expected ~44, anything <= 25 would mean weights do nothing)
+        from aircraftutilization_etl_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        rows = [(i, 8 if i % 2 == 0 else 1) for i in range(200)]
+        out = weighted_sample(self._df(spark, rows), "doc_id", "weight", 50)
+        heavy = out.filter("weight = 8").count()
+        assert heavy > 30
+
+    def test_rejects_out_of_range_weight(self, spark):
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        from aircraftutilization_etl_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        df = self._df(spark, [(1, 0), (2, 3)])
+        with _pytest.raises((Py4JJavaError, SparkRuntimeException)):
+            weighted_sample(df, "doc_id", "weight", 2).collect()
+
+    def test_top_n_is_take_ordered_not_global_sort(self, spark):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        plan = (
+            weighted_sample(
+                self._df(spark, [(i, 2) for i in range(10)]),
+                "doc_id",
+                "weight",
+                3,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
