@@ -523,3 +523,53 @@ def cosine_best_match(
             F.round("cosine_raw", 6).alias("cosine"),
         )
     )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    k: int,
+    c: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    rank lists — the standard hybrid-retrieval combiner for a lexical
+    (BM25) and a vector (cosine ANN) ranking.
+
+    Inputs are (query_id, doc_id, rank) frames; a document absent from
+    one list contributes 0 from that side. RRF(d) = Σ 1/(c + rank_d)
+    is computed in scaled-integer form ``scale DIV (c + rank)`` so the
+    fused score — and therefore the fused top-k cut — is engine-exact
+    with no float summation anywhere. c=60 is the paper's constant.
+
+    Scale: both inputs are already top-k-sized (|queries| × k rows),
+    so the full-outer merge and re-rank are bounded by the rank lists,
+    never the corpus; one exchange on query_id. No tie-break subtlety:
+    equal fused scores break by doc_id.
+    """
+    a = lex.select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    b = vec.select("query_id", "doc_id", F.col("rank").alias("vec_rank"))
+    fused = (
+        a.join(b, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_score_e9",
+            F.coalesce(F.expr(f"{scale} DIV ({c} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"{scale} DIV ({c} + vec_rank)"), F.lit(0)),
+        )
+        .withColumn("rrf_score_e9", F.col("rrf_score_e9").cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score_e9"), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score_e9",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            "rank",
+        )
+    )

@@ -395,6 +395,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """BM25 keyword retrieval: top-k documents per query under the
     classic Okapi scoring — the lexical-search primitive of a corpus
@@ -462,6 +463,10 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum(F.col("__idf") * F.col("__tfnorm")), 6).alias("score"))
     )
+    if exclude_self:
+        # document-as-query retrieval: drop the query's own document
+        # BEFORE ranking so downstream fusion sees gap-free ranks
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col(id_col)
     )

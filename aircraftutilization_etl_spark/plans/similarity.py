@@ -507,3 +507,125 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(COUNT(trunc_neighbor) * 1000000 DIV {TOP_K} AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+RRF_QUERY_DOCS = (7, 42, 123)
+RRF_LIST_K = 20
+RRF_OUT_K = 10
+_RRF_IDS = ", ".join(str(i) for i in RRF_QUERY_DOCS)
+
+
+@query(
+    "q_hybrid_rrf",
+    f"""
+    WITH qdocs AS (
+        SELECT doc_id AS query_id, text FROM documents
+        WHERE doc_id IN ({_RRF_IDS})),
+    qterms AS (
+        SELECT DISTINCT query_id, lower(t.w) AS term
+        FROM qdocs, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)),
+    words AS (
+        SELECT doc_id, lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    postings AS (
+        SELECT q.query_id, q.term, tf.doc_id, tf.tf
+        FROM tf JOIN qterms q ON tf.w = q.term),
+    dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    lex_scored AS (
+        SELECT p.query_id, p.doc_id,
+               ROUND(SUM(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+               ), 6) AS score
+        FROM postings p
+          JOIN dft d USING (term)
+          JOIN dl l USING (doc_id)
+          CROSS JOIN stats s
+        WHERE p.doc_id <> p.query_id
+        GROUP BY p.query_id, p.doc_id),
+    lex AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM lex_scored)
+        WHERE rank <= {RRF_LIST_K}),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN ({_RRF_IDS})),
+    c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    vec_scored AS (
+        SELECT query_id, doc_id,
+               ROUND(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+        FROM q CROSS JOIN c WHERE query_id <> doc_id),
+    vec AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, doc_id) AS rank
+            FROM vec_scored)
+        WHERE rank <= {RRF_LIST_K}),
+    fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.rank AS lex_rank, v.rank AS vec_rank,
+               COALESCE(1000000000 // (60 + l.rank), 0)
+               + COALESCE(1000000000 // (60 + v.rank), 0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+    SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf_score_e9,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(vec_rank AS INT) AS vec_rank, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= {RRF_OUT_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 (document-as-
+    query keyword search) and exact cosine (embedding search) top-20
+    lists for three query documents, fused top-10 per query.
+
+    The retrieval pattern of modern RAG/curation stacks: the lexical
+    side catches exact-term matches embeddings blur, the vector side
+    catches paraphrases keywords miss, and RRF needs no score
+    calibration between the two. Integer-scaled 1/(60+rank) makes the
+    fused cut engine-exact.
+
+    Scale: both lists are top-k-bounded before fusion; BM25 touches
+    only matching postings, cosine streams the corpus once (GEMM); the
+    fusion join is |queries| x k.
+    """
+    from ..operators.similarity import rrf_fuse
+    from ..operators.text import bm25_topk, words_expr
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    qids = list(RRF_QUERY_DOCS)
+    qt = (
+        d.filter(F.col("doc_id").isin(qids))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(words_expr("text"), lambda w: F.lower(w))
+                )
+            ).alias("term"),
+        )
+    )
+    lex = bm25_topk(d, qt, RRF_LIST_K, exclude_self=True).select(
+        "query_id", "doc_id", "rank"
+    )
+    vec = cosine_topk(
+        e.filter(F.col("vec_id").isin(qids)), e, RRF_LIST_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(lex, vec, RRF_OUT_K)

@@ -235,3 +235,44 @@ class TestCosineBestMatch:
         a = {tuple(r) for r in cosine_best_match(cdf, rdf).collect()}
         b = {tuple(r) for r in cosine_best_match(cdf.repartition(9), rdf).collect()}
         assert a == b
+
+
+class TestRRFFuse:
+    """Reciprocal-rank fusion: known hand-fused outcomes."""
+
+    def _lists(self, spark, lex_rows, vec_rows):
+        schema = "query_id long, doc_id long, rank int"
+        return (
+            spark.createDataFrame(lex_rows, schema),
+            spark.createDataFrame(vec_rows, schema),
+        )
+
+    def test_doc_in_both_lists_outranks_single_list_docs(self, spark):
+        from aircraftutilization_etl_spark.operators.similarity import rrf_fuse
+
+        lex, vec = self._lists(
+            spark,
+            [(1, 10, 1), (1, 11, 2)],
+            [(1, 10, 2), (1, 12, 1)],
+        )
+        out = {r.doc_id: r for r in rrf_fuse(lex, vec, 10).collect()}
+        # doc 10: 1e9//61 + 1e9//62 beats doc 12's 1e9//61 and 11's 1e9//62
+        assert out[10].rank == 1
+        assert out[10].rrf_score_e9 == 10**9 // 61 + 10**9 // 62
+        assert out[12].rank == 2  # single-list scores tie-break... no:
+        # 12 has 1e9//61 = 16393442, 11 has 1e9//62 = 16129032 -> 12 second
+        assert out[11].rank == 3
+        assert out[12].lex_rank is None and out[12].vec_rank == 1
+
+    def test_fused_k_cut_and_per_query_isolation(self, spark):
+        from aircraftutilization_etl_spark.operators.similarity import rrf_fuse
+
+        lex, vec = self._lists(
+            spark,
+            [(1, d, r + 1) for r, d in enumerate(range(10, 15))]
+            + [(2, 20, 1)],
+            [(1, d, r + 1) for r, d in enumerate(range(12, 17))],
+        )
+        out = rrf_fuse(lex, vec, 3)
+        assert out.filter("query_id = 1").count() == 3
+        assert out.filter("query_id = 2").count() == 1
