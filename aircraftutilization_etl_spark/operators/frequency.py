@@ -104,3 +104,86 @@ def heavy_hitters(
             ),
         )
     )
+
+
+# --- Count-min sketch ---------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_col(key, depth_idx, width: int):
+    """Row ``depth_idx``'s column for ``key``: md5-prefix hash mod width.
+
+    Same stable-hex-prefix construction as sampling.hash_bucket, salted
+    by the depth index — engine-portable (md5 + integer mod only)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(f"cms{depth_idx}"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) of the
+    key stream as a (depth, col, cnt) frame — ≤ depth × width rows
+    regardless of input size.
+
+    The sketch is a pure GROUP BY: each row maps to ``depth`` (row,
+    column) cells map-side (an inline posexplode of the depth hash
+    array — no join, no UDF) and the cell counts aggregate with partial
+    combine. The result is mergeable by construction: sketches of two
+    streams ADD cell-wise (same GROUP BY over their union), which is
+    what makes CMS the distributed point-frequency primitive — a
+    bounded-size summary where the exact per-key groupBy would shuffle
+    every distinct key.
+    """
+    cells = df.select(
+        F.posexplode(
+            F.array(*[_cms_col(F.col(key_col), i, width) for i in range(depth)])
+        ).alias("depth", "col")
+    )
+    return cells.groupBy("depth", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a count-min sketch:
+    est(k) = min over rows of cell(row, hash_row(k)) — never an
+    underestimate, overestimate bounded by e·N/width with probability
+    1 − e^−depth.
+
+    Scale: the sketch is ≤ depth × width rows, so it broadcasts; each
+    key probes its ``depth`` cells through the broadcast join and takes
+    the MIN — no shuffle of the key set beyond its own groupBy.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*[_cms_col(F.col(key_col), i, width) for i in range(depth)])
+        ).alias("depth", "col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_n"))
+    )

@@ -87,3 +87,71 @@ def test_capacity_below_k_rejected(spark):
         heavy_hitters(df, "key", k=10, capacity=5)
     with pytest.raises(ValueError):
         misra_gries_partial(df, "key", 0)
+
+
+class TestCountMinSketch:
+    def _stream(self, spark, keys):
+        return spark.createDataFrame([(k,) for k in keys], "user_id long")
+
+    def test_never_underestimates_and_exact_when_sparse(self, spark):
+        from aircraftutilization_etl_spark.operators.frequency import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        keys = [1] * 5 + [2] * 3 + [3]
+        df = self._stream(spark, keys)
+        sketch = count_min_build(df, "user_id")
+        est = {
+            r.user_id: r.cms_n
+            for r in count_min_estimate(
+                sketch, df.select("user_id").distinct(), "user_id"
+            ).collect()
+        }
+        # 3 keys in 4x256 cells: collisions are possible but est >= exact
+        assert est[1] >= 5 and est[2] >= 3 and est[3] >= 1
+        # depth=4 independent rows over 256 cols with 3 keys: the min
+        # row is collision-free with overwhelming probability
+        assert est == {1: 5, 2: 3, 3: 1}
+
+    def test_sketch_size_is_bounded(self, spark):
+        from aircraftutilization_etl_spark.operators.frequency import (
+            count_min_build,
+        )
+
+        df = self._stream(spark, range(2000))
+        assert count_min_build(df, "user_id").count() <= 4 * 256
+
+    def test_sketches_merge_by_cellwise_addition(self, spark):
+        from pyspark.sql import functions as F
+
+        from aircraftutilization_etl_spark.operators.frequency import (
+            count_min_build,
+        )
+
+        a = self._stream(spark, [1, 1, 2])
+        b = self._stream(spark, [2, 3])
+        merged = (
+            count_min_build(a, "user_id")
+            .unionByName(count_min_build(b, "user_id"))
+            .groupBy("depth", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = count_min_build(a.unionByName(b), "user_id")
+        sym_diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+        assert sym_diff == 0
+
+    def test_absent_key_estimates_can_be_zero(self, spark):
+        from aircraftutilization_etl_spark.operators.frequency import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        sketch = count_min_build(self._stream(spark, [1, 2]), "user_id")
+        est = {
+            r.user_id: r.cms_n
+            for r in count_min_estimate(
+                sketch, self._stream(spark, [99]), "user_id"
+            ).collect()
+        }
+        assert est[99] == 0
