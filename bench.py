@@ -61,6 +61,10 @@ HEADLINE = [
     "q_dedup_simhash_pairs",  # banded Hamming pigeonhole join
     "q_events_ewma",  # per-key sequential smoothing (applyInPandas)
     "q_scd2_point_in_time",  # temporal join: equi-key + validity residual
+    "q_dedup_substring_spans",  # positional dedup: count+join, islands merge
+    "q_hybrid_rrf",  # BM25 + cosine rank fusion, top-k-bounded merge
+    "q_cms_user_counts",  # count-min build (map-side) + broadcast probe
+    "q_sample_weighted",  # A-ES keys map-side + TakeOrderedAndProject
 ]
 
 
