@@ -150,13 +150,28 @@ def count_min_build(
     bounded-size summary where the exact per-key groupBy would shuffle
     every distinct key.
     """
-    cells = df.select(
+    return (
+        count_min_cells(df, key_col, depth, width)
+        .groupBy("depth", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The pre-aggregation (depth, col) cell stream — one row per input
+    row per sketch row. Exposed separately so streaming maintenance can
+    route cells through a mergeable count rollup (the epoch-partial
+    sink): CMS increments are counts, so a replay-idempotent count
+    rollup keyed by (depth, col) IS an incrementally-maintained CMS."""
+    return df.select(
         F.posexplode(
             F.array(*[_cms_col(F.col(key_col), i, width) for i in range(depth)])
         ).alias("depth", "col")
-    )
-    return cells.groupBy("depth", "col").agg(
-        F.count(F.lit(1)).alias("cnt")
     )
 
 

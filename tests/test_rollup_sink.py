@@ -111,3 +111,50 @@ class TestEpochPartialSink:
             assert _got(spark, path) == _expected(spark, rows)
         finally:
             q.stop()
+
+
+class TestStreamingCountMin:
+    """A count-min sketch is a (depth, col)-keyed count rollup, so the
+    epoch-partial sink maintains it incrementally with replay safety —
+    the streamed sketch must equal the one-shot batch sketch."""
+
+    CMS_SPEC = RollupSpec(keys=["depth", "col"], count_col="cnt")
+
+    def _keys(self, spark, ks):
+        return spark.createDataFrame([(k,) for k in ks], "user_id long")
+
+    def test_streamed_cells_equal_batch_sketch_and_replay_noop(
+        self, spark, tmp_path
+    ):
+        from aircraftutilization_etl_spark.operators.frequency import (
+            count_min_build,
+            count_min_cells,
+        )
+
+        path = str(tmp_path / "cms")
+        batches = [[1, 1, 2], [2, 3, 3, 3], [1, 4]]
+        for i, ks in enumerate(batches):
+            write_epoch_partial(
+                count_min_cells(self._keys(spark, ks), "user_id"),
+                i,
+                path,
+                self.CMS_SPEC,
+            )
+        # crash-replay of the middle batch: same epoch, same bytes
+        write_epoch_partial(
+            count_min_cells(self._keys(spark, batches[1]), "user_id"),
+            1,
+            path,
+            self.CMS_SPEC,
+        )
+        streamed = {
+            (r.depth, r.col, r.cnt)
+            for r in read_rollup(spark, path, self.CMS_SPEC).collect()
+        }
+        whole = {
+            (r.depth, r.col, r.cnt)
+            for r in count_min_build(
+                self._keys(spark, [k for b in batches for k in b]), "user_id"
+            ).collect()
+        }
+        assert streamed == whole
