@@ -981,3 +981,103 @@ def source_divergence(
             ).alias("kl_nats"),
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment: int = 8,
+    span_len: int = 2,
+) -> DataFrame:
+    """T5-style span-corruption example generation (Raffel et al. 2020
+    §3.1.4): mask one ``span_len``-word span per full ``segment``-word
+    window, replacing it with an ordinal sentinel in the input and
+    emitting ``<sentinel> masked words`` pairs as the target — the
+    (input_text, target_text) pretraining pairs of encoder-decoder LMs,
+    derived deterministically so the corpus→examples step is
+    reproducible run-to-run and engine-to-engine.
+
+    Span placement inside window ``i`` is ``md5(id:i) % (segment -
+    span_len + 1)`` — corpus-stable (a document's examples don't change
+    when its neighbors do), and integer-exact for the SQL oracle.
+
+    Scale: pure per-row array algebra — word split, per-window hash
+    offsets, one masked-token rewrite, two joins back to strings — all
+    inside whole-stage codegen, zero shuffles, zero Python; streams
+    with the scan like the quality/lang exprs above.
+    """
+    n_offsets = segment - span_len + 1
+    w = df.select(
+        F.col(id_col), words_expr(text_col).alias("__words")
+    ).withColumn("__nseg", F.size("__words") / segment)
+    w = w.withColumn("__nseg", F.floor("__nseg").cast("int"))
+    # per-window span starts, materialized once (input AND target read it)
+    starts = F.when(
+        F.col("__nseg") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nseg") - 1),
+            lambda i: (
+                i * segment
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit("sc"),
+                                F.col(id_col).cast("string"),
+                                i.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_offsets
+            ).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    w = w.withColumn("__starts", starts)
+
+    def _tok(p):
+        seg = (p / segment).cast("int")
+        start = F.element_at("__starts", seg + 1)
+        in_window = seg < F.col("__nseg")
+        return (
+            F.when(
+                in_window & (p == start),
+                F.concat(F.lit("<extra_id_"), seg.cast("string"), F.lit(">")),
+            )
+            .when(in_window & (p > start) & (p < start + span_len), F.lit(None))
+            .otherwise(F.element_at("__words", p.cast("int") + 1))
+        )
+
+    toks = F.transform(
+        F.sequence(F.lit(0), F.size("__words") - 1), _tok
+    )
+    target_parts = F.transform(
+        F.sequence(F.lit(0), F.col("__nseg") - 1),
+        lambda i: F.concat(
+            F.lit("<extra_id_"),
+            i.cast("string"),
+            F.lit("> "),
+            F.array_join(
+                F.slice(
+                    F.col("__words"), F.element_at("__starts", i + 1) + 1, span_len
+                ),
+                " ",
+            ),
+        ),
+    )
+    return w.filter(F.size("__words") > 0).select(
+        F.col(id_col),
+        F.col("__nseg").alias("n_spans"),
+        F.array_join(F.filter(toks, lambda t: t.isNotNull()), " ").alias(
+            "input_text"
+        ),
+        F.when(F.col("__nseg") > 0, F.array_join(target_parts, " "))
+        .otherwise(F.lit(""))
+        .alias("target_text"),
+    )

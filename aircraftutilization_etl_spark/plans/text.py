@@ -1354,3 +1354,54 @@ def q_text_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_text_span_corruption",
+    """
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+    seg AS (SELECT doc_id, w, len(w) AS n, len(w) // 8 AS nseg FROM base),
+    sp AS (
+        SELECT doc_id, w, n, nseg,
+               list_transform(generate_series(0, nseg - 1),
+                 i -> CAST(i * 8
+                      + CAST(CAST('0x' || substr(md5('sc:' || doc_id || ':' || i), 1, 8)
+                                  AS BIGINT) % 7 AS INT) AS INT)) AS starts
+        FROM seg),
+    toks AS (
+        SELECT doc_id, nseg, starts, w,
+               list_transform(generate_series(0, n - 1), p ->
+                 CASE WHEN p // 8 < nseg AND p = starts[p // 8 + 1]
+                      THEN '<extra_id_' || p // 8 || '>'
+                      WHEN p // 8 < nseg AND p > starts[p // 8 + 1]
+                           AND p < starts[p // 8 + 1] + 2
+                      THEN NULL
+                      ELSE w[p + 1] END) AS tok
+        FROM sp)
+    SELECT doc_id, CAST(nseg AS INT) AS n_spans,
+           array_to_string(list_filter(tok, t -> t IS NOT NULL), ' ')
+               AS input_text,
+           array_to_string(list_transform(generate_series(0, nseg - 1),
+             i -> '<extra_id_' || i || '> '
+                  || array_to_string(w[starts[i+1] + 1 : starts[i+1] + 2], ' ')),
+             ' ') AS target_text
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def q_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption pretraining pairs: one deterministic 2-word
+    span masked per 8-word window, sentinel-delimited (input_text,
+    target_text) per document.
+
+    Scale (operators/text.span_corruption): pure per-row array algebra
+    inside codegen — zero shuffles, zero Python; placement is
+    md5(id:window)-derived so examples are corpus-stable and the
+    oracle replays every mask byte-for-byte.
+    """
+    from ..operators.text import span_corruption
+
+    d = table(spark, sf_dir, "documents")
+    return span_corruption(d)

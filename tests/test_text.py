@@ -549,3 +549,64 @@ def test_source_divergence_hand_model(spark):
     assert out["g2"]["n_seen_words"] == 1
     assert out["g1"]["kl_nats"] == round(kl1, 4)
     assert out["g2"]["kl_nats"] == round(kl2, 4)
+
+
+class TestSpanCorruption:
+    """T5 span-corruption pairs: mask structure, round-trip recovery,
+    and plan purity (per-row codegen only)."""
+
+    def _pairs(self, spark, texts):
+        from aircraftutilization_etl_spark.operators.text import span_corruption
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r.doc_id: r for r in span_corruption(df).collect()}
+
+    def test_short_doc_passes_through_unmasked(self, spark):
+        got = self._pairs(spark, ["a b c d e f g"])  # 7 words < segment
+        assert got[0].n_spans == 0
+        assert got[0].input_text == "a b c d e f g"
+        assert got[0].target_text == ""
+
+    def test_masks_one_span_per_full_window(self, spark):
+        words = [f"w{i}" for i in range(20)]  # 2 full windows + tail
+        got = self._pairs(spark, [" ".join(words)])
+        r = got[0]
+        assert r.n_spans == 2
+        assert "<extra_id_0>" in r.input_text and "<extra_id_1>" in r.input_text
+        # 2 sentinels replace 2x2 words: 20 - 4 + 2 tokens remain
+        assert len(r.input_text.split()) == 18
+        assert r.target_text.startswith("<extra_id_0> ")
+
+    def test_round_trip_reconstructs_original(self, spark):
+        import re
+
+        words = [f"t{i}" for i in range(33)]
+        got = self._pairs(spark, [" ".join(words)])
+        r = got[0]
+        # splice each target span back over its sentinel
+        spans = {
+            m.group(1): m.group(2).strip()
+            for m in re.finditer(
+                r"<extra_id_(\d+)>((?: (?!<extra_id_)\S+)+)", r.target_text
+            )
+        }
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[m.group(1)], r.input_text
+        )
+        assert rebuilt == " ".join(words)
+
+    def test_plan_is_pure_jvm_map(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import (
+            count_exchanges,
+            python_nodes,
+        )
+        from aircraftutilization_etl_spark.operators.text import span_corruption
+
+        df = spark.createDataFrame(
+            [(1, "x " * 30)], "doc_id long, text string"
+        )
+        out = span_corruption(df)
+        assert count_exchanges(out) == 0
+        assert not any(python_nodes(out).values())
