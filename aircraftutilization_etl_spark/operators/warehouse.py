@@ -382,3 +382,35 @@ def point_in_time_join(
             if c != key
         ],
     )
+
+
+def delta_join(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: str | Sequence[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view under insert-only
+    deltas: the NEW rows of ``A ⋈ B`` after appending ``a_delta`` /
+    ``b_delta`` are exactly
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (each term disjoint: old×new, new×old, new×new). Appending this
+    delta to the stored view equals the full recompute — without ever
+    re-joining old-against-old.
+
+    This is the join-view sibling of partial_rollup/merge_rollups: at
+    100 TB the stored view is corpus-sized but a day's delta is not,
+    and every term above joins at least one DELTA side — so AQE
+    broadcasts the delta into the snapshot scan and the view refresh
+    costs O(|Δ| + matched rows), not O(|A| + |B|). The classic
+    incremental-view-maintenance counting algebra (insert-only case);
+    deletes would carry signed multiplicities through the same terms.
+    """
+    return (
+        a_delta.join(b_old, on=on)
+        .unionByName(a_old.join(b_delta, on=on))
+        .unionByName(a_delta.join(b_delta, on=on))
+    )

@@ -439,3 +439,80 @@ def q_changelog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Insert-only snapshot boundary for the incremental-join view.
+_DJ_CUT = "1997-06-01"
+
+
+@query(
+    "q_delta_join_view",
+    f"""
+    WITH j AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               o_orderdate, l_shipdate,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    full_v AS (
+        SELECT order_month, COUNT(*) AS n, SUM(cents) AS cents
+        FROM j GROUP BY 1),
+    old_v AS (
+        SELECT order_month, COUNT(*) AS n, SUM(cents) AS cents
+        FROM j
+        WHERE o_orderdate < DATE '{_DJ_CUT}' AND l_shipdate < DATE '{_DJ_CUT}'
+        GROUP BY 1)
+    SELECT f.order_month,
+           CAST(f.n - COALESCE(o.n, 0) AS BIGINT) AS delta_rows,
+           CAST(CAST(f.cents - COALESCE(o.cents, 0) AS BIGINT) AS BIGINT)
+               / 100.0 AS delta_revenue
+    FROM full_v f LEFT JOIN old_v o USING (order_month)
+    WHERE f.n - COALESCE(o.n, 0) > 0
+    ORDER BY order_month
+    """,
+)
+def q_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance, proven exact: the engine
+    derives the view's delta from the three delta_join terms
+    (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — never old-against-old) and aggregates it
+    per order month; the oracle independently computes full-recompute
+    MINUS stored-view. Hash-match means appending the maintained delta
+    is indistinguishable from re-joining everything.
+
+    Scale: the whole point at 100 TB — every term joins at least one
+    delta side, so refresh cost tracks the day's inserts, not the
+    stored view; AQE broadcasts the delta scans into the snapshots.
+    Money flows as integer cents (engine-exact sums).
+    """
+    from ..operators.warehouse import delta_join
+
+    cut = F.lit(_DJ_CUT).cast("date")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderdate"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_shipdate",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    delta = delta_join(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        l.filter(F.col("l_shipdate") < cut),
+        l.filter(F.col("l_shipdate") >= cut),
+        on="okey",
+    )
+    return (
+        delta.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("delta_rows"),
+            (F.sum("cents").cast("bigint") / 100.0).alias("delta_revenue"),
+        )
+        .filter(F.col("delta_rows") > 0)
+    )

@@ -366,3 +366,40 @@ class TestPointInTimeJoin:
         out = point_in_time_join(facts, hist, "user_id", "ts")
         assert out.count() == 30
         assert out.select("event_id").distinct().count() == 30
+
+
+class TestDeltaJoin:
+    """Incremental join-view maintenance: old view + maintained delta
+    must equal the full recompute, as row multisets."""
+
+    def _frames(self, spark):
+        a_old = spark.createDataFrame(
+            [(1, "a1"), (2, "a2")], "k long, av string"
+        )
+        a_new = spark.createDataFrame([(2, "a3"), (3, "a4")], "k long, av string")
+        b_old = spark.createDataFrame(
+            [(1, "b1"), (2, "b2"), (3, "b3")], "k long, bv string"
+        )
+        b_new = spark.createDataFrame([(1, "b4"), (4, "b5")], "k long, bv string")
+        return a_old, a_new, b_old, b_new
+
+    def test_old_plus_delta_equals_full_recompute(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import delta_join
+
+        a_old, a_new, b_old, b_new = self._frames(spark)
+        old_view = a_old.join(b_old, "k")
+        delta = delta_join(a_old, a_new, b_old, b_new, on="k")
+        maintained = old_view.unionByName(delta)
+        full = a_old.unionByName(a_new).join(
+            b_old.unionByName(b_new), "k"
+        )
+        assert maintained.exceptAll(full).count() == 0
+        assert full.exceptAll(maintained).count() == 0
+
+    def test_empty_deltas_produce_empty_view_delta(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import delta_join
+
+        a_old, _, b_old, _ = self._frames(spark)
+        empty_a = a_old.limit(0)
+        empty_b = b_old.limit(0)
+        assert delta_join(a_old, empty_a, b_old, empty_b, on="k").count() == 0
