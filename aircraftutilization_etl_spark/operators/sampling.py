@@ -22,6 +22,8 @@ Scale properties:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -429,4 +431,85 @@ def weighted_sample(
         .drop("__w")
         .orderBy(F.desc("es_key"), F.col(key))
         .limit(n)
+    )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cuts: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Temporal holdout carve: label every row train/val/test by
+    event-time boundaries — the split discipline for forecasting and
+    recommendation corpora, where hash_split would leak the future into
+    training.
+
+    ``cuts``: ordered (name, upper_bound_exclusive) pairs; the last
+    name takes everything at/after the final bound, e.g.
+    ``[("train", "2024-01-20"), ("val", "2024-01-25"), ("test", None)]``.
+
+    Scale: the label is one chained when() over the timestamp — a
+    zero-shuffle projection that composes with partition pruning when
+    the table is date-partitioned (each split reads only its partition
+    range; nothing rescans).
+    """
+    if not cuts or cuts[-1][1] is not None:
+        raise ValueError(
+            "cuts must be ordered and end with a (name, None) catch-all"
+        )
+    expr = None
+    for idx, (name, bound) in enumerate(cuts):
+        cond = (
+            F.col(ts_col) < F.lit(bound).cast("timestamp")
+            if bound is not None
+            else None
+        )
+        if expr is None:
+            expr = F.when(cond, F.lit(name))
+        elif cond is not None:
+            expr = expr.when(cond, F.lit(name))
+        else:
+            expr = expr.otherwise(F.lit(name))
+    return df.withColumn("split", expr).withColumn(
+        "split_idx",
+        F.coalesce(
+            *[
+                F.when(F.col("split") == name, F.lit(i))
+                for i, (name, _) in enumerate(cuts)
+            ]
+        ).cast("int"),
+    )
+
+
+def temporal_split_audit(
+    labeled: DataFrame, user_col: str
+) -> DataFrame:
+    """Per-split composition + cross-split identity report for a
+    temporal carve: events, distinct users, and how many of this
+    split's users already appeared in an EARLIER split (returning
+    users — the population a user-conditioned model has partially seen,
+    which a leakage review must know about even when the timestamps
+    are sound).
+
+    Scale: one shuffle keyed by user for the first-appearance minimum,
+    one tiny per-split aggregate; nothing quadratic in splits or users.
+    """
+    per_user = labeled.groupBy(user_col, "split", "split_idx").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    first = per_user.groupBy(user_col).agg(
+        F.min("split_idx").alias("__first_idx")
+    )
+    joined = per_user.join(first, user_col)
+    return (
+        joined.groupBy("split", "split_idx")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(F.col("__first_idx") < F.col("split_idx"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_returning_users"),
+        )
     )

@@ -593,3 +593,55 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         d.select("doc_id", "source", "weight"), "doc_id", "weight", 100
     )
+
+
+_TS_CUT1 = "2024-01-20"
+_TS_CUT2 = "2024-01-25"
+
+
+@query(
+    "q_split_temporal",
+    f"""
+    WITH labeled AS (
+        SELECT user_id,
+               CASE WHEN ts < TIMESTAMP '{_TS_CUT1}' THEN 'train'
+                    WHEN ts < TIMESTAMP '{_TS_CUT2}' THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN ts < TIMESTAMP '{_TS_CUT1}' THEN 0
+                    WHEN ts < TIMESTAMP '{_TS_CUT2}' THEN 1
+                    ELSE 2 END AS split_idx
+        FROM events),
+    per_user AS (
+        SELECT user_id, split, split_idx, COUNT(*) AS n
+        FROM labeled GROUP BY 1, 2, 3),
+    first AS (
+        SELECT user_id, MIN(split_idx) AS first_idx
+        FROM per_user GROUP BY 1)
+    SELECT p.split, CAST(p.split_idx AS INT) AS split_idx,
+           CAST(SUM(p.n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN f.first_idx < p.split_idx THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning_users
+    FROM per_user p JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY split_idx
+    """,
+)
+def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout carve of the event stream (train < 01-20 ≤ val
+    < 01-25 ≤ test) with the returning-user audit: per split, events,
+    distinct users, and users already seen in an earlier split — the
+    identity-overlap number a leakage review needs even when the
+    time boundaries are sound.
+
+    Scale (operators/sampling.temporal_split/-_audit): the label is a
+    zero-shuffle when() chain (prunes date partitions); the audit is
+    one user-keyed shuffle + a per-split aggregate.
+    """
+    from ..operators.sampling import temporal_split, temporal_split_audit
+
+    e = table(spark, sf_dir, "events")
+    labeled = temporal_split(
+        e, "ts", [("train", _TS_CUT1), ("val", _TS_CUT2), ("test", None)]
+    )
+    return temporal_split_audit(labeled, "user_id")

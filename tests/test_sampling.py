@@ -501,3 +501,57 @@ class TestWeightedSample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTemporalSplit:
+    def _events(self, spark):
+        rows = [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-21 10:00:00"),
+            (2, "2024-01-21 11:00:00"),
+            (2, "2024-01-26 09:00:00"),
+            (3, "2024-01-26 12:00:00"),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+    CUTS = [("train", "2024-01-20"), ("val", "2024-01-25"), ("test", None)]
+
+    def test_rows_land_in_time_order_splits(self, spark):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            temporal_split,
+        )
+
+        out = temporal_split(self._events(spark), "ts", self.CUTS)
+        got = {(r.user_id, r.ts.day): r.split for r in out.collect()}
+        assert got[(1, 1)] == "train"
+        assert got[(1, 21)] == "val" and got[(2, 21)] == "val"
+        assert got[(2, 26)] == "test" and got[(3, 26)] == "test"
+
+    def test_audit_counts_returning_users(self, spark):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            temporal_split,
+            temporal_split_audit,
+        )
+
+        labeled = temporal_split(self._events(spark), "ts", self.CUTS)
+        audit = {
+            r.split: r for r in temporal_split_audit(labeled, "user_id").collect()
+        }
+        # user 1 returns in val; user 2 (first seen in val) returns in test
+        assert audit["train"].n_returning_users == 0
+        assert audit["val"].n_returning_users == 1
+        assert audit["test"].n_returning_users == 1
+        assert audit["val"].n_users == 2
+        assert audit["test"].n_events == 2
+
+    def test_rejects_unterminated_cuts(self, spark):
+        from aircraftutilization_etl_spark.operators.sampling import (
+            temporal_split,
+        )
+
+        with pytest.raises(ValueError):
+            temporal_split(
+                self._events(spark), "ts", [("train", "2024-01-20")]
+            )
