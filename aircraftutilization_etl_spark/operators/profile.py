@@ -120,3 +120,67 @@ def pk_duplicates(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .filter(F.col("n_rows") > 1)
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two groups — the distribution-drift gate of a
+    data pipeline (did today's feed stop looking like yesterday's?),
+    nonparametric and sensitive anywhere in the CDF.
+
+    Integer-exact formulation: with values as integer cents and group
+    counts (n_a, n_b), the KS sup-distance is
+    ``max_v |n_b·cumA(v) − n_a·cumB(v)| / (n_a·n_b)`` — a running sum
+    of ONE signed integer measure per distinct value, so the statistic
+    (reported in ppm) and its arg-max location replay exactly in SQL.
+
+    Scale: one shuffle collapses the data to |distinct values| rows
+    (map-side combined); the cumulative pass is the two-phase
+    global_running_sum — range-repartitioned local cumsums + a
+    partition-count-sized prefix offset — never a single-partition
+    global window; the final reduce is a 1-row aggregate.
+    """
+    from .sampling import global_running_sum
+
+    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        cents.alias("cents"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__ia"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("__ib"),
+    )
+    per = two.groupBy("cents").agg(
+        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
+    )
+    tot = per.agg(
+        F.sum("__ca").cast("bigint").alias("__na"),
+        F.sum("__cb").cast("bigint").alias("__nb"),
+    )
+    signed = per.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "__na",
+        "__nb",
+        (F.col("__nb") * F.col("__ca") - F.col("__na") * F.col("__cb"))
+        .cast("bigint")
+        .alias("__d"),
+    )
+    run = global_running_sum(signed, ["cents"], "__d", out_col="__cum")
+    # single-pass reduce: min_by over (−|cum|, cents) picks the arg-max
+    # location with ties to the smallest value — no second scan, no
+    # global window
+    return run.agg(
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST(MAX(abs(__cum)) * 1000000 DIV (MAX(__na) * MAX(__nb))"
+            " AS BIGINT)"
+        ).alias("ks_ppm"),
+        F.expr(
+            "min_by(cents, struct(-abs(__cum), cents))"
+        ).alias("ks_at_cents"),
+    )

@@ -166,8 +166,16 @@ def global_running_sum(
     """
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # the __pid column is a RUNTIME id: the offsets branch and the output
+    # branch below must observe the SAME physical partitioning, but two
+    # executions of one subplan are not guaranteed identical under AQE
+    # (re-planned exchanges can coalesce differently per query stage,
+    # silently shifting every prefix offset). A lazy localCheckpoint
+    # pins one materialization that both branches read.
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("__pid")
@@ -175,9 +183,13 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("__local_sum", F.sum(value_col).over(w_local))
+    # partition total = SUM of the measure, NOT max of the local cumsum:
+    # the two coincide for non-negative measures, but a signed measure's
+    # cumulative path can peak above its endpoint (the KS drift statistic
+    # runs signed counts through here)
     totals = (
         local.groupBy("__pid")
-        .agg(F.max("__local_sum").alias("__part_total"))
+        .agg(F.sum(value_col).alias("__part_total"))
     )
     w_prefix = (
         Window.orderBy("__pid")

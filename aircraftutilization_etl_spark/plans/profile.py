@@ -233,3 +233,44 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_drift_ks",
+    """
+    WITH two AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+        FROM events WHERE event_type IN ('click', 'purchase')),
+    per AS (
+        SELECT cents, SUM(ia) AS ca, SUM(ib) AS cb FROM two GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM per),
+    run AS (
+        SELECT cents, na, nb,
+               SUM(nb * ca - na * cb) OVER (ORDER BY cents
+                                            ROWS UNBOUNDED PRECEDING) AS d
+        FROM per CROSS JOIN tot),
+    mx AS (SELECT MAX(abs(d)) AS m FROM run)
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+           CAST(MAX(abs(d)) * 1000000 // (MAX(na) * MAX(nb)) AS BIGINT)
+               AS ks_ppm,
+           MIN(CASE WHEN abs(d) = (SELECT m FROM mx) THEN cents END)
+               AS ks_at_cents
+    FROM run
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift gate: the exact sup-distance
+    (ppm) between click and purchase value distributions, plus the value
+    where the CDFs diverge most — nonparametric feed-drift detection.
+
+    Scale (operators/profile.ks_drift): collapse to distinct cents (one
+    map-combined shuffle), ONE signed running measure through the
+    two-phase global cumsum (no single-partition window), 1-row reduce.
+    """
+    from ..operators.profile import ks_drift
+
+    e = table(spark, sf_dir, "events")
+    return ks_drift(e, "event_type", "value", "click", "purchase")

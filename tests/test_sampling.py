@@ -555,3 +555,77 @@ class TestTemporalSplit:
             temporal_split(
                 self._events(spark), "ts", [("train", "2024-01-20")]
             )
+
+
+class TestGlobalRunningSumSigned:
+    def test_signed_measure_with_aggregated_branching_upstream(self, spark):
+        """Regression: a signed measure whose upstream contains a
+        groupBy + broadcast crossJoin (two plan branches) must produce
+        the exact global cumsum — partition totals must come from
+        SUM(value), and both branches must observe one materialized
+        partitioning (AQE may otherwise re-plan them differently,
+        shifting every prefix offset)."""
+        import random
+
+        from aircraftutilization_etl_spark.operators.sampling import (
+            global_running_sum,
+        )
+
+        rng = random.Random(11)
+        rows = [(i, rng.randint(-40, 40)) for i in range(5003)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        agg = df.groupBy("k").agg(F.sum("v").alias("v"))
+        tot = agg.agg(F.sum("v").alias("t"))
+        signed = agg.crossJoin(F.broadcast(tot)).select(
+            "k", (F.col("v") * 2 - F.col("t") * 0).alias("m")
+        )
+        run = global_running_sum(signed, ["k"], "m", out_col="cum")
+        got = {r.k: r.cum for r in run.collect()}
+        acc = 0
+        for k, v in sorted(rows):
+            acc += 2 * v
+            assert got[k] == acc
+
+
+class TestKSDrift:
+    def test_identical_distributions_score_zero(self, spark):
+        from aircraftutilization_etl_spark.operators.profile import ks_drift
+
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(50)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        r = ks_drift(df, "g", "value", "a", "b").collect()[0]
+        assert r.ks_ppm == 0 and r.n_a == 50 and r.n_b == 50
+
+    def test_disjoint_distributions_score_one(self, spark):
+        from aircraftutilization_etl_spark.operators.profile import ks_drift
+
+        rows = [("a", float(v)) for v in range(30)] + [
+            ("b", float(v + 100)) for v in range(40)
+        ]
+        df = spark.createDataFrame(rows, "g string, value double")
+        r = ks_drift(df, "g", "value", "a", "b").collect()[0]
+        assert r.ks_ppm == 1_000_000
+        # the sup is first reached at a's largest value
+        assert r.ks_at_cents == 2900
+
+    def test_matches_scipy_style_scalar_replay(self, spark):
+        import random
+
+        from aircraftutilization_etl_spark.operators.profile import ks_drift
+
+        rng = random.Random(5)
+        a = [round(rng.uniform(0, 50), 2) for _ in range(200)]
+        b = [round(rng.gauss(30, 10), 2) for _ in range(150)]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, value double")
+        r = ks_drift(df, "g", "value", "a", "b").collect()[0]
+        ac = sorted(round(v * 100) for v in a)
+        bc = sorted(round(v * 100) for v in b)
+        pts = sorted(set(ac) | set(bc))
+        import bisect
+
+        best = max(
+            abs(len(b) * bisect.bisect_right(ac, p) - len(a) * bisect.bisect_right(bc, p))
+            for p in pts
+        )
+        assert r.ks_ppm == best * 1_000_000 // (len(a) * len(b))
