@@ -378,3 +378,50 @@ def ewma(
         .sortWithinPartitions(key, ts_col, tiebreak)
         .mapInPandas(_smooth, out_schema)
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Open/high/low/close bars per (key, time bucket) — the hypertable
+    downsampling primitive (continuous-aggregate style): first and last
+    observed value plus extremes and count, per key per bucket.
+
+    Open/close are ORDER-dependent aggregates; ties on the timestamp
+    break by ``tie_col`` so the bar is deterministic under replays and
+    engine swaps. Formulated as one bucket-keyed window pass (row_number
+    ascending + descending share the single sort) rather than min_by /
+    arg_min, whose composite-key tie-breaking differs across engines.
+
+    Scale: one shuffle on (key, bucket); per-group state is the group
+    itself (same bound as any windowed rollup), and the bar table that
+    leaves the shuffle is |keys|·|buckets| rows — the downsampled
+    series, storage-bounded regardless of event volume.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    base = df.select(
+        F.col(key_col), b, F.col(ts_col), F.col(value_col), F.col(tie_col)
+    )
+    w_asc = Window.partitionBy(key_col, "bucket").orderBy(
+        F.col(ts_col), F.col(tie_col)
+    )
+    w_desc = Window.partitionBy(key_col, "bucket").orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    )
+    return (
+        base.withColumn("__ra", F.row_number().over(w_asc))
+        .withColumn("__rd", F.row_number().over(w_desc))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.max(F.when(F.col("__ra") == 1, F.col(value_col))).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max(F.when(F.col("__rd") == 1, F.col(value_col))).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

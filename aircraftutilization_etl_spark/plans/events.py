@@ -1223,3 +1223,39 @@ def q_events_think_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_events_ohlc",
+    """
+    WITH ranked AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM events)
+    SELECT event_type, bucket,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — open/high/low/close/count, the
+    continuous-aggregate downsampling a hypertable serves dashboards
+    from. Deterministic open/close via (ts, event_id) tie-breaks.
+
+    Scale (operators/events.ohlc_bars): one shuffle on (key, hour);
+    the emitted bar table is |keys|x|hours| — storage-bounded however
+    large the raw stream.
+    """
+    from ..operators.events import ohlc_bars
+
+    e = table(spark, sf_dir, "events")
+    return ohlc_bars(e, "event_type", "ts", "value")

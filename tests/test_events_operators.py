@@ -377,3 +377,36 @@ class TestEwma:
             for r in ewma(df.repartition(11), "user_id", "ts", "value", "event_id").collect()
         }
         assert a == b
+
+
+class TestOHLCBars:
+    def test_known_bars_with_ts_ties(self, spark):
+        from pyspark.sql import functions as F
+
+        from aircraftutilization_etl_spark.operators.events import ohlc_bars
+
+        rows = [
+            # (event_id, ts, key, value) — two events share the opening
+            # timestamp: the lower event_id must win "open"
+            (1, "2024-01-01 10:00:00", "k", 5.0),
+            (2, "2024-01-01 10:00:00", "k", 9.0),
+            (3, "2024-01-01 10:30:00", "k", 1.0),
+            (4, "2024-01-01 10:59:00", "k", 7.0),
+            (5, "2024-01-01 11:05:00", "k", 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        out = {
+            (r.event_type, r.bucket.hour): r
+            for r in ohlc_bars(df, "event_type", "ts", "value").collect()
+        }
+        bar = out[("k", 10)]
+        assert (bar.open, bar.high, bar.low, bar.close, bar.n_events) == (
+            5.0,
+            9.0,
+            1.0,
+            7.0,
+            4,
+        )
+        assert out[("k", 11)].open == out[("k", 11)].close == 2.0
