@@ -74,3 +74,70 @@ def q_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year", "order_month")
     )
+
+
+@query("q_sketch_overlap", None)
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-audience OVERLAP between event types from HLL algebra
+    (rows-only check): |A ∩ B| ≈ |A| + |B| − |A ∪ B|, the union
+    estimated by ``hll_union_agg`` over the two per-type sketches —
+    inclusion–exclusion entirely in sketch space.
+
+    The question ("how many users do these two segments share?") is the
+    classic two-sided distinct problem that exact COUNT(DISTINCT)
+    answers only by re-shuffling both key sets per pair; with persisted
+    per-segment sketches every pairwise overlap is a kilobyte-blob
+    union. The exact intersection and the signed error ride along so
+    the estimate's quality is measured, not assumed (the audit
+    discipline of q_cms_user_counts / q_dedup_minhash_estimate).
+    """
+    e = table(spark, sf_dir, "events")
+    pairs = [("click", "purchase"), ("view", "signup"), ("click", "error")]
+    sketches = (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("nd"),
+        )
+        .persist()
+    )
+    out = None
+    for a, b in pairs:
+        two = sketches.filter(F.col("event_type").isin([a, b]))
+        est = two.agg(
+            F.lit(a).alias("type_a"),
+            F.lit(b).alias("type_b"),
+            F.sum("nd").cast("bigint").alias("sum_exact_distinct"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_union"),
+        )
+        row = est.withColumn(
+            "approx_intersection",
+            (F.col("sum_exact_distinct") - F.col("approx_union")).cast("bigint"),
+        )
+        out = row if out is None else out.unionByName(row)
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .alias("x")
+        .join(
+            e.select(
+                F.col("event_type").alias("type_b"), "user_id"
+            ).distinct().alias("y"),
+            "user_id",
+        )
+        .groupBy(F.col("x.event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    result = (
+        out.join(exact, ["type_a", "type_b"], "left")
+        .withColumn(
+            "err",
+            (F.col("approx_intersection") - F.col("exact_intersection")).cast(
+                "bigint"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+        .localCheckpoint(eager=True)
+    )
+    sketches.unpersist()
+    return result

@@ -238,3 +238,25 @@ class TestRound4PlanShapes:
         nodes = python_nodes(ewma(df, "user_id", "ts", "value", "event_id"))
         assert "row" not in nodes
         assert nodes.get("arrow") == ["MapInPandas"]  # one Arrow lane only
+
+
+class TestSketchOverlap:
+    def test_inclusion_exclusion_on_known_overlap(self, spark):
+        """HLL union algebra on a constructed 40%-overlap pair: the
+        intersection estimate must land within HLL error of truth."""
+        from pyspark.sql import functions as F
+
+        rows = [("a", u) for u in range(1000)] + [
+            ("b", u) for u in range(600, 1600)
+        ]
+        df = spark.createDataFrame(rows, "seg string, user_id long")
+        sk = df.groupBy("seg").agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("nd"),
+        )
+        r = sk.agg(
+            F.sum("nd").alias("s"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"),
+        ).collect()[0]
+        est = r.s - r.u
+        assert abs(est - 400) <= 400 * 0.15
