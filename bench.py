@@ -65,6 +65,11 @@ HEADLINE = [
     "q_hybrid_rrf",  # BM25 + cosine rank fusion, top-k-bounded merge
     "q_cms_user_counts",  # count-min build (map-side) + broadcast probe
     "q_sample_weighted",  # A-ES keys map-side + TakeOrderedAndProject
+    "q_text_span_corruption",  # zero-shuffle per-row mask algebra
+    "q_delta_join_view",  # incremental view: delta-sided joins only
+    "q_split_temporal",  # when() labels + one user-keyed audit shuffle
+    "q_drift_ks",  # distinct-value collapse + two-phase signed cumsum
+    "q_events_ohlc",  # one (key, hour) shuffle shared by both rank passes
 ]
 
 
