@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 PPM = 1_000_000
 DAMPING_PPM = 850_000  # 0.85, the canonical damping factor
@@ -308,3 +309,70 @@ def connected_components_star(
             F.coalesce(F.col("component"), F.col("node")).alias("component"),
         )
     )
+
+
+def knn_edges(
+    weighted_pairs: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Sparsify a weighted similarity graph to each node's k strongest
+    neighbors (ties by neighbor id) — the k-NN graph construction used
+    before clustering/label propagation at scale, where the dense
+    similarity graph is quadratic but the k-NN skeleton is k·|V|.
+
+    Scale: one shuffle on the src for the per-node top-k window; the
+    output is k·|V| edges regardless of input density.
+    """
+    w = Window.partitionBy(src).orderBy(F.desc(weight), F.col(dst))
+    return (
+        weighted_pairs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(src, dst)
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    source_node: int | None = None,
+) -> DataFrame:
+    """Breadth-first reachability: (node, depth) for every node within
+    ``max_depth`` hops of the source (default: the smallest src id),
+    depth = first-reach distance.
+
+    The frontier loop is the synchronous-BFS shape of the iterative
+    family here (pagerank, star contraction): per round one
+    frontier⋈edges join plus an anti-join against the visited set — the
+    anti-join IS the visited-set pruning that keeps work proportional
+    to newly reached nodes, not paths (an unpruned walk is
+    combinatorial in a dense graph). Lineage truncated per round; the
+    frontier is usually the small side, so AQE broadcasts it into the
+    edge scan.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    if source_node is None:
+        source = e.agg(F.min("src")).collect()[0][0]
+    else:
+        source = source_node
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node long, depth int")
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(d).cast("int").alias("depth")
+        )
+        dist = dist.unionByName(fresh).localCheckpoint(eager=False)
+        frontier = fresh
+    out = dist.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -155,3 +155,79 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_a", "item_b"
     )
     return triangle_stats(edges).orderBy("node")
+
+
+KNN_K = 3
+BFS_MAX_DEPTH = 4
+
+
+@query(
+    "q_graph_knn_bfs",
+    f"""
+    WITH RECURSIVE ui AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.item AS src, b.item AS dst, COUNT(*) AS n
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n DESC, dst) AS r
+            FROM pairs)
+        WHERE r <= {KNN_K}
+    ),
+    s AS (SELECT MIN(src) AS v FROM knn),
+    walk(node, depth) AS (
+        SELECT v, 0 FROM s
+        UNION
+        SELECT k.dst, w.depth + 1
+        FROM walk w JOIN knn k ON k.src = w.node
+        WHERE w.depth < {BFS_MAX_DEPTH}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(depth) AS INT) AS depth
+    FROM walk GROUP BY node
+    ORDER BY node
+    """,
+)
+def q_graph_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph + BFS: sparsify the item co-occurrence graph to each
+    item's 3 strongest neighbors, then breadth-first depths (≤ 4 hops)
+    from the smallest item — reachability over a similarity skeleton,
+    the traversal primitive the dense graph can't afford at scale.
+
+    Scale (operators/graph.knn_edges/bfs_depths): the k-NN cut bounds
+    edges at k·|V| however dense co-occurrence gets; BFS prunes by
+    anti-join against the visited set (work ∝ newly reached nodes, not
+    paths — the oracle's UNION-dedup recursion is the same pruning).
+    """
+    from ..operators.events import cooccurrence_pairs
+    from ..operators.graph import bfs_depths, knn_edges
+
+    ev = table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).filter(F.col("item").isNotNull())
+    cooc = cooccurrence_pairs(ui, "user_id", "item")
+    directed = cooc.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("n_keys").alias("weight"),
+    ).unionByName(
+        cooc.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("dst"),
+            F.col("n_keys").alias("weight"),
+        )
+    )
+    sparse = knn_edges(directed, KNN_K)
+    return bfs_depths(sparse, BFS_MAX_DEPTH).select(
+        F.col("node").cast("bigint").alias("node"), "depth"
+    )

@@ -132,3 +132,38 @@ class TestStarComponents:
             for r in connected_components_star(pairs).collect()
         }
         assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20}
+
+
+class TestKnnBfs:
+    def test_knn_keeps_k_strongest_with_id_ties(self, spark):
+        from aircraftutilization_etl_spark.operators.graph import knn_edges
+
+        rows = [
+            (1, 2, 10), (1, 3, 9), (1, 4, 9), (1, 5, 1),
+            (2, 1, 10), (2, 3, 2),
+        ]
+        df = spark.createDataFrame(rows, "src long, dst long, weight long")
+        got = {(r.src, r.dst) for r in knn_edges(df, 2).collect()}
+        # node 1: weight 10 -> 2; tie at 9 between 3 and 4 -> lower id 3
+        assert got == {(1, 2), (1, 3), (2, 1), (2, 3)}
+
+    def test_bfs_depths_on_a_path_graph(self, spark):
+        from aircraftutilization_etl_spark.operators.graph import bfs_depths
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (9, 0)],
+            "src long, dst long",
+        )
+        got = {r.node: r.depth for r in bfs_depths(edges, 3).collect()}
+        # source is min src = 0; 9 is unreachable forward; 4,5 beyond cap
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_bfs_first_reach_wins_on_diamond(self, spark):
+        from aircraftutilization_etl_spark.operators.graph import bfs_depths
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0)],
+            "src long, dst long",
+        )
+        got = {r.node: r.depth for r in bfs_depths(edges, 4).collect()}
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2}
