@@ -425,3 +425,82 @@ def ohlc_bars(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    key: str,
+    touch_type: str,
+    convert_type: str,
+    lookback_seconds: int,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value is split
+    in integer cents across the key's touch events in the preceding
+    ``lookback_seconds`` window — equal credit per touch, the division
+    remainder going to the FIRST touch so every conversion's credits
+    sum exactly to its value (no float leakage, engine-exact).
+
+    Returns one row per (conversion, touch): conv_id, touch_id, key,
+    touch ts, n_touches, credit_cents.
+
+    Scale: the one-sided interval join is bucketized like
+    range_join_bucketed — conversions explode into their 2 candidate
+    lookback buckets and the join runs on (key, bucket), so hot keys
+    cost same-bucket candidates, never a per-key nested loop; the
+    credit split is one window over each conversion's matched touches
+    (group size = touches per conversion, naturally small).
+    """
+    width = int(lookback_seconds) * 1_000_000
+    conv = events.filter(F.col("event_type") == convert_type).select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("conv_id"),
+        F.unix_micros(F.col(ts_col)).alias("__pt"),
+        F.round(F.col(value_col) * 100, 0).cast("bigint").alias("__cents"),
+    )
+    touch = events.filter(F.col("event_type") == touch_type).select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        F.unix_micros(F.col(ts_col)).alias("__ct"),
+        F.floor(F.unix_micros(F.col(ts_col)) / width).alias("__bucket"),
+    )
+    probes = conv.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("__pt") / width) - 1,
+                F.floor(F.col("__pt") / width),
+            )
+        ),
+    )
+    matched = probes.join(touch, ["__k", "__bucket"]).filter(
+        (F.col("__ct") >= F.col("__pt") - width) & (F.col("__ct") < F.col("__pt"))
+    )
+    w_rank = Window.partitionBy("conv_id").orderBy("__ct", "touch_id")
+    w_all = Window.partitionBy("conv_id")
+    return (
+        matched.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("n_touches", F.count(F.lit(1)).over(w_all).cast("int"))
+        .withColumn(
+            "credit_cents",
+            F.when(
+                F.col("__rn") == 1,
+                F.col("__cents")
+                - (F.col("n_touches") - 1)
+                * F.expr("__cents DIV n_touches"),
+            )
+            .otherwise(F.expr("__cents DIV n_touches"))
+            .cast("bigint"),
+        )
+        .select(
+            F.col("__k").alias(key),
+            "conv_id",
+            "touch_id",
+            "touch_ts",
+            "n_touches",
+            "credit_cents",
+        )
+    )

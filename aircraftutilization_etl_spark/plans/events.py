@@ -1259,3 +1259,71 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return ohlc_bars(e, "event_type", "ts", "value")
+
+
+ATTR_LOOKBACK_S = 6 * 3600
+
+
+@query(
+    "q_events_attribution",
+    f"""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS pt,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    touch AS (
+        SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+               epoch_us(ts) AS ct
+        FROM events WHERE event_type = 'click'),
+    matched AS (
+        SELECT c.conv_id, t.touch_id, t.touch_ts, c.cents, t.ct
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.ct >= c.pt - CAST({ATTR_LOOKBACK_S} AS BIGINT) * 1000000
+         AND t.ct < c.pt),
+    ranked AS (
+        SELECT conv_id, touch_id, touch_ts, cents,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY ct, touch_id) AS rn,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM matched),
+    credits AS (
+        SELECT CAST(date_trunc('day', touch_ts) AS DATE) AS day,
+               conv_id,
+               CASE WHEN rn = 1 THEN cents - (n - 1) * (cents // n)
+                    ELSE cents // n END AS credit
+        FROM ranked)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(SUM(credit) AS BIGINT) / 100.0 AS credited_revenue
+    FROM credits GROUP BY day ORDER BY day
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: purchase value split in integer
+    cents across the user's clicks in the prior 6 h (remainder to the
+    first touch — credits per conversion sum exactly), rolled up to
+    credited revenue per click-day.
+
+    Scale (operators/events.multi_touch_attribution): the lookback
+    join is bucketized onto (user, window-bucket) — never a per-key
+    nested loop; credit math is integer-only, so the oracle replays
+    every cent.
+    """
+    from ..operators.events import multi_touch_attribution
+
+    e = table(spark, sf_dir, "events")
+    credits = multi_touch_attribution(
+        e, "user_id", "click", "purchase", ATTR_LOOKBACK_S
+    )
+    return (
+        credits.groupBy(F.to_date(F.date_trunc("day", "touch_ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+            (F.sum("credit_cents").cast("bigint") / 100.0).alias(
+                "credited_revenue"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -410,3 +410,70 @@ class TestOHLCBars:
             4,
         )
         assert out[("k", 11)].open == out[("k", 11)].close == 2.0
+
+
+class TestMultiTouchAttribution:
+    def _events(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+    def test_credits_sum_to_value_with_remainder_to_first(self, spark):
+        from aircraftutilization_etl_spark.operators.events import (
+            multi_touch_attribution,
+        )
+
+        df = self._events(
+            spark,
+            [
+                (1, "2024-01-01 09:00:00", 7, "click", 0.0),
+                (2, "2024-01-01 10:00:00", 7, "click", 0.0),
+                (3, "2024-01-01 11:00:00", 7, "click", 0.0),
+                (4, "2024-01-01 12:00:00", 7, "purchase", 1.00),
+            ],
+        )
+        out = sorted(
+            (r.touch_id, r.credit_cents)
+            for r in multi_touch_attribution(
+                df, "user_id", "click", "purchase", 6 * 3600
+            ).collect()
+        )
+        # 100 cents over 3 touches: 34 to the earliest, 33 + 33 after
+        assert out == [(1, 34), (2, 33), (3, 33)]
+
+    def test_lookback_window_is_one_sided_and_bounded(self, spark):
+        from aircraftutilization_etl_spark.operators.events import (
+            multi_touch_attribution,
+        )
+
+        df = self._events(
+            spark,
+            [
+                (1, "2024-01-01 05:00:00", 7, "click", 0.0),  # too old
+                (2, "2024-01-01 11:30:00", 7, "click", 0.0),  # in window
+                (3, "2024-01-01 12:30:00", 7, "click", 0.0),  # after conv
+                (4, "2024-01-01 12:00:00", 7, "purchase", 5.00),
+                (5, "2024-01-01 11:00:00", 8, "click", 0.0),  # other user
+            ],
+        )
+        out = multi_touch_attribution(
+            df, "user_id", "click", "purchase", 6 * 3600
+        ).collect()
+        assert [(r.touch_id, r.credit_cents) for r in out] == [(2, 500)]
+
+    def test_conversion_with_no_touches_emits_nothing(self, spark):
+        from aircraftutilization_etl_spark.operators.events import (
+            multi_touch_attribution,
+        )
+
+        df = self._events(
+            spark, [(1, "2024-01-01 12:00:00", 7, "purchase", 9.99)]
+        )
+        assert (
+            multi_touch_attribution(
+                df, "user_id", "click", "purchase", 3600
+            ).count()
+            == 0
+        )
