@@ -1081,3 +1081,78 @@ def span_corruption(
         .otherwise(F.lit(""))
         .alias("target_text"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine ≥ threshold — LEXICAL
+    near-dup detection in the sparse vector space, the middle ground
+    between shingle Jaccard (set overlap, order-blind) and embedding
+    cosine (dense, model-dependent): shared rare terms weigh more than
+    shared common ones.
+
+    Determinism: idf = ln(N/df) flows as a double but the cosine is
+    rounded to 6 dp BEFORE thresholding (the bm25_topk discipline), so
+    the pair set is engine-reproducible.
+
+    Scale: pairs form ONLY through the inverted-index self-join on the
+    term — cost Σ_t df(t)², never |corpus|². Terms with df > max_df_ratio·N
+    are dropped from the index first: stopword-grade terms contribute
+    near-zero weight but quadratic join fan-out, so the cut removes the
+    skew hazard AND the wasted work (documented ranking-safe: their
+    idf ≈ 0 by construction). Norms are one per-doc aggregate; the
+    pair dot-products shuffle on (id_a, id_b) with map-side combine.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(words_expr(text_col), lambda w: F.lower(w))
+        ).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    weighted = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") <= F.col("__n") * max_df_ratio)
+        .select(
+            id_col,
+            "term",
+            (F.col("__tf") * F.log(F.col("__n") / F.col("__df"))).alias("__w"),
+        )
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+    )
+    a = weighted.select(
+        F.col(id_col).alias("id_a"), "term", F.col("__w").alias("__wa")
+    )
+    b = weighted.select(
+        F.col(id_col).alias("id_b"), "term", F.col("__w").alias("__wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1405,3 +1405,52 @@ def q_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return span_corruption(d)
+
+
+TFIDF_PAIR_THRESHOLD = 0.6
+
+
+@query(
+    "q_text_tfidf_pairs",
+    f"""
+    WITH words AS (
+        SELECT doc_id, lower(t.w) AS term
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    weighted AS (
+        SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / d.df) AS w
+        FROM tf JOIN dft d USING (term) CROSS JOIN n
+        WHERE d.df <= n.n * 0.5),
+    norms AS (
+        SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM weighted GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+        FROM weighted a JOIN weighted b USING (term)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+      JOIN norms na ON na.doc_id = id_a
+      JOIN norms nb ON nb.doc_id = id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {TFIDF_PAIR_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pairs by TF-IDF cosine ≥ 0.6 — rare shared
+    terms dominate, stopword-grade terms (df > N/2) dropped from the
+    index before the join.
+
+    Scale (operators/text.tfidf_cosine_pairs): pairs form only through
+    the term-keyed inverted-index join (Σ df² work, never corpus²);
+    the df cut removes the quadratic hot-term hazard; 6-dp rounding
+    before the threshold keeps the pair set engine-exact.
+    """
+    from ..operators.text import tfidf_cosine_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, TFIDF_PAIR_THRESHOLD)

@@ -610,3 +610,38 @@ class TestSpanCorruption:
         out = span_corruption(df)
         assert count_exchanges(out) == 0
         assert not any(python_nodes(out).values())
+
+
+class TestTfidfCosinePairs:
+    def test_identical_docs_score_one_disjoint_absent(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            tfidf_cosine_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "alpha beta gamma"),
+                (3, "delta epsilon zeta"),
+                (4, "unrelated words entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in tfidf_cosine_pairs(df, 0.5).collect()
+        }
+        assert got == {(1, 2): 1.0}
+
+    def test_common_terms_are_dropped_from_index(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            tfidf_cosine_pairs,
+        )
+
+        # "the" appears in every doc (df = N > N/2): without the cut the
+        # docs would pair through it; with it they share nothing
+        df = spark.createDataFrame(
+            [(1, "the cat"), (2, "the dog"), (3, "the bird"), (4, "the fish")],
+            "doc_id long, text string",
+        )
+        assert tfidf_cosine_pairs(df, 0.01).count() == 0
