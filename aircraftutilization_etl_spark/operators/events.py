@@ -504,3 +504,65 @@ def multi_touch_attribution(
             "credit_cents",
         )
     )
+
+
+def ohlc_partial(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """MERGEABLE form of the OHLC bar: open/close travel as whole
+    (ts, tie, value) structs under MIN/MAX — struct comparison is
+    lexicographic, so the minimum struct IS the earliest observation
+    and two partials merge by plain struct min/max. This is what lets
+    OHLC ride the epoch-partial streaming sink (rollup_sink) and
+    hierarchical rollups: order-dependent aggregates made associative
+    by carrying their ordering key.
+    """
+    return (
+        df.select(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tie_col).alias("tie"),
+                F.col(value_col).alias("v"),
+            ).alias("__obs"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.min("__obs").alias("open_s"),
+            F.max("__obs").alias("close_s"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def merge_ohlc(partials: DataFrame, key_col: str) -> DataFrame:
+    """Fold OHLC partials (any batch split of the stream) into final
+    bars — same output contract as ohlc_bars."""
+    return (
+        partials.groupBy(key_col, "bucket")
+        .agg(
+            F.min("open_s").alias("open_s"),
+            F.max("close_s").alias("close_s"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            F.col("open_s.v").alias("open"),
+            "high",
+            "low",
+            F.col("close_s.v").alias("close"),
+            "n_events",
+        )
+    )

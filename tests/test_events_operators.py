@@ -477,3 +477,43 @@ class TestMultiTouchAttribution:
             ).count()
             == 0
         )
+
+
+class TestMergeableOHLC:
+    def test_arbitrary_batch_splits_merge_to_batch_bars(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from aircraftutilization_etl_spark.operators.events import (
+            merge_ohlc,
+            ohlc_bars,
+            ohlc_partial,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (
+                i,
+                f"2024-01-01 {10 + rng.randint(0, 2):02d}:{rng.randint(0, 59):02d}:00",
+                rng.choice(["a", "b"]),
+                round(rng.uniform(1, 100), 2),
+            )
+            for i in range(300)
+        ]
+        mk = lambda rs: spark.createDataFrame(
+            rs, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        whole = mk(rows)
+        cuts = [rows[:47], rows[47:180], rows[180:]]
+        merged = merge_ohlc(
+            ohlc_partial(mk(cuts[0]), "event_type", "ts", "value")
+            .unionByName(ohlc_partial(mk(cuts[1]), "event_type", "ts", "value"))
+            .unionByName(ohlc_partial(mk(cuts[2]), "event_type", "ts", "value")),
+            "event_type",
+        )
+        batch = ohlc_bars(whole, "event_type", "ts", "value")
+        cols = ["event_type", "bucket", "open", "high", "low", "close", "n_events"]
+        assert {tuple(r) for r in merged.select(cols).collect()} == {
+            tuple(r) for r in batch.select(cols).collect()
+        }
