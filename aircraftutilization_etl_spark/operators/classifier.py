@@ -1,0 +1,188 @@
+"""Trainable text-quality classifier — fastText-style logistic
+regression over hashed bag-of-words features, trained ON the engine.
+
+Curation stacks grade documents with learned filters (fastText quality
+models in CCNet/LLaMA pipelines, not just hand rules); at 100 TB the
+training loop itself must be a Spark job. The design here is the
+textbook distributed-GD split:
+
+- the MODEL (2^hash_bits weights + bias) lives on the driver and
+  broadcasts each round — model-sized traffic, never data-sized;
+- each full-batch gradient is ONE feature-keyed aggregation with
+  map-side combine: rows score against the broadcast weights
+  (σ(w·x) − y residuals), explode their features, and the per-bucket
+  gradient sums shuffle ≤ 2^hash_bits rows total;
+- features are L1-normalized hashed unigram counts (the hashing trick
+  — vocabulary-free, fixed dimensionality, engine-portable md5).
+
+Floating-point note: gradients sum in partition order, so training is
+deterministic only up to float addition order — the catalog exposes the
+model's OUTPUTS as a rows-only entry, and tests pin behavior against a
+numpy replay within tolerance plus exact learning-dynamics invariants
+(loss decrease, separable-data accuracy).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import words_expr
+
+HASH_BITS = 12
+N_BUCKETS = 1 << HASH_BITS
+
+
+def hashed_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bucket, x): L1-normalized hashed-unigram features, one row
+    per distinct bucket per doc. Pure projection + one (id, bucket)
+    count — the feature extraction is corpus-parallel and vocab-free."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(words_expr(text_col), lambda w: F.lower(w))
+        ).alias("__w"),
+    )
+    bucketed = words.select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5(F.col("__w")), 1, 8), 16, 10).cast("long")
+            % N_BUCKETS
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = counts.groupBy(id_col).agg(F.sum("__c").alias("__t"))
+    return counts.join(totals, id_col).select(
+        id_col, "bucket", (F.col("__c") / F.col("__t")).alias("x")
+    )
+
+
+def _weights_df(spark, weights: list[float]):
+    """Model as a broadcastable (bucket, w) frame. A 2^hash_bits literal
+    array would be semantically equivalent but costs a giant expression
+    tree EVERY round (analysis time grows with the model, measured ~2x
+    the whole round at 4096 weights); a tiny broadcast join ships the
+    same bytes through the stable join path instead."""
+    return spark.createDataFrame(
+        [(i, wv) for i, wv in enumerate(weights) if wv != 0.0],
+        "bucket long, __wv double",
+    )
+
+
+def _margins(feats: DataFrame, weights: list[float], bias: float, id_col: str):
+    """(id, margin): w·x + b per doc via the broadcast model join —
+    absent buckets carry weight 0, so the sparse model frame is exact."""
+    wdf = _weights_df(feats.sparkSession, weights)
+    return (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__wv"), F.lit(0.0)) * F.col("x"))
+                + F.lit(bias)
+            ).alias("__m")
+        )
+    )
+
+
+def train_logreg_hashed(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    iterations: int = 20,
+    lr: float = 2.0,
+) -> tuple[list[float], float, list[float]]:
+    """Full-batch gradient descent for L2-free logistic regression:
+    returns (weights, bias, per-iteration mean log-loss).
+
+    Per round: one scoring pass (broadcast weights → per-doc margin σ),
+    one gradient aggregation (explode features against per-doc
+    residuals → bucket-keyed sum, ≤ N_BUCKETS result rows), one small
+    collect. Lineage stays O(1) per round because each round's plan
+    reads the persisted features, not the previous round's plan.
+    """
+    feats = features.persist()
+    lab = labels.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+    n = lab.count()
+    w = [0.0] * N_BUCKETS
+    b = 0.0
+    losses: list[float] = []
+    for _ in range(iterations):
+        margins = (
+            _margins(feats, w, b, id_col)
+            .join(lab, id_col)
+            .select(
+                id_col,
+                "__y",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))).alias("__p"),
+            )
+        )
+        resid = margins.select(
+            id_col,
+            (F.col("__p") - F.col("__y")).alias("__r"),
+            # clamped log-loss: engine-side ln(eps) guard mirrors the
+            # numpy replay in tests
+            (
+                -(
+                    F.col("__y") * F.log(F.greatest(F.col("__p"), F.lit(1e-12)))
+                    + (1 - F.col("__y"))
+                    * F.log(F.greatest(1 - F.col("__p"), F.lit(1e-12)))
+                )
+            ).alias("__l"),
+        )
+        # ONE aggregation job per round: the bias gradient and the loss
+        # ride as sentinel buckets (-1, -2) unioned with the weight-
+        # gradient contributions into a single bucket-keyed sum
+        contribs = (
+            feats.join(resid, id_col)
+            .select("bucket", (F.col("x") * F.col("__r")).alias("__c"))
+            .unionByName(
+                resid.select(
+                    F.lit(-1).cast("long").alias("bucket"),
+                    F.col("__r").alias("__c"),
+                )
+            )
+            .unionByName(
+                resid.select(
+                    F.lit(-2).cast("long").alias("bucket"),
+                    F.col("__l").alias("__c"),
+                )
+            )
+        )
+        rows = (
+            contribs.groupBy("bucket").agg(F.sum("__c").alias("__g")).collect()
+        )
+        for row in rows:
+            if row["bucket"] == -2:
+                losses.append(row["__g"] / n)
+            elif row["bucket"] == -1:
+                b -= lr * row["__g"] / n
+            else:
+                w[row["bucket"]] -= lr * row["__g"] / n
+    feats.unpersist()
+    return w, b, losses
+
+
+def predict(
+    features: DataFrame,
+    weights: list[float],
+    bias: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, prob): σ(w·x + b) per document from the broadcast model —
+    a pure scoring pass, the shape inference takes at any corpus size."""
+    return _margins(features, weights, bias, id_col).select(
+        id_col,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))).alias("prob"),
+    )
+
+
+def sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))
