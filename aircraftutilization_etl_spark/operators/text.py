@@ -1127,6 +1127,11 @@ def tfidf_cosine_pairs(
             (F.col("__tf") * F.log(F.col("__n") / F.col("__df"))).alias("__w"),
         )
     )
+    # three consumers (norms + both join sides): persist the index once
+    # instead of re-deriving the corpus scan per branch; the result is
+    # materialized eagerly below so the cache can be dropped before
+    # returning (the kmeans_int8 idiom)
+    weighted = weighted.persist()
     norms = weighted.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
     )
@@ -1144,7 +1149,7 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
-    return (
+    out = (
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .select(
@@ -1155,4 +1160,7 @@ def tfidf_cosine_pairs(
             ),
         )
         .filter(F.col("cosine") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    weighted.unpersist()
+    return out
