@@ -1164,3 +1164,140 @@ def tfidf_cosine_pairs(
     )
     weighted.unpersist()
     return out
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram co-occurrence mining: (center, context, n_pairs) for
+    every ordered word pair within ±``window`` positions — the
+    positive-pair extraction of word2vec-style embedding training.
+
+    Scale: pair generation is per-row array algebra (flatten of a
+    transform over positions — no explode-then-self-join, no shuffle
+    until the count); the single shuffle is the (center, context)
+    groupBy with map-side combine, bounded by distinct pair vocabulary.
+    """
+    w = df.select(F.col(id_col), words_expr(text_col).alias("__words"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__words") - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(
+                        F.greatest(i - window, F.lit(0)),
+                        F.least(i + window, F.size("__words") - 1),
+                    ),
+                    lambda j: F.when(
+                        j != i,
+                        F.struct(
+                            F.lower(F.element_at("__words", i.cast("int") + 1)).alias(
+                                "center"
+                            ),
+                            F.lower(F.element_at("__words", j.cast("int") + 1)).alias(
+                                "context"
+                            ),
+                        ),
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    return (
+        w.filter(F.size("__words") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+def skipgram_with_negatives(
+    df: DataFrame,
+    top_k: int,
+    n_negatives: int = 2,
+    window: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ``top_k`` most frequent skip-gram pairs, each with
+    ``n_negatives`` DETERMINISTIC negative samples drawn from the
+    frequency-ranked vocabulary by md5(center:context:j) — reproducible
+    negative sampling (a dataset card can state exactly which negatives
+    trained the model; a rerun or another engine draws the same).
+
+    Scale: vocabulary ranking is one word-keyed count + a rank window
+    over |vocab| rows; the negative lookup is an equi-join of k·top_k
+    probe rows against the vocab index — broadcast-sized both sides
+    after the top-k cut (TakeOrderedAndProject, no global sort).
+    """
+    pairs = skipgram_pairs(df, window, id_col, text_col)
+    top = pairs.orderBy(
+        F.desc("n_pairs"), F.col("center"), F.col("context")
+    ).limit(top_k)
+    words = df.select(
+        F.explode(
+            F.transform(words_expr(text_col), lambda x: F.lower(x))
+        ).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "word",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.desc("__n"), F.col("word"))
+                )
+                - 1
+            ).alias("__idx"),
+        )
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).alias("__v"))
+    probes = (
+        top.crossJoin(F.broadcast(vsize))
+        .select(
+            "center",
+            "context",
+            "n_pairs",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_negatives)),
+                    lambda j: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.col("center"), F.col("context"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.col("__v"),
+                )
+            ).alias("__j", "__idx"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(vocab), "__idx")
+        .groupBy("center", "context", "n_pairs")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__j"), F.col("word")))
+                    ),
+                    lambda x: x["word"],
+                ),
+                "|",
+            ).alias("negatives")
+        )
+    )

@@ -1454,3 +1454,67 @@ def q_text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(d, TFIDF_PAIR_THRESHOLD)
+
+
+SKIPGRAM_TOPK = 50
+SKIPGRAM_NEG = 2
+
+
+@query(
+    "q_text_skipgram_pairs",
+    f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wr
+        FROM documents),
+    pairs AS (
+        SELECT lower(wr[CAST(i AS INT)]) AS center,
+               lower(wr[CAST(j AS INT)]) AS context
+        FROM w,
+             LATERAL unnest(range(1, len(wr) + 1)) u(i),
+             LATERAL unnest(range(greatest(i - 2, 1),
+                                  least(i + 2, len(wr)) + 1)) v(j)
+        WHERE j <> i AND len(wr) > 1),
+    counted AS (
+        SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1, 2),
+    top AS (
+        SELECT * FROM counted
+        ORDER BY n_pairs DESC, center, context LIMIT {SKIPGRAM_TOPK}),
+    words2 AS (
+        SELECT lower(t.w) AS word
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)),
+    vocab AS (
+        SELECT word,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) - 1 AS idx
+        FROM words2 GROUP BY word),
+    vs AS (SELECT COUNT(*) AS v FROM vocab),
+    probes AS (
+        SELECT center, context, n_pairs, s.j,
+               CAST(CAST('0x' || substr(md5(center || ':' || context || ':' || s.j),
+                                        1, 8) AS BIGINT) % v AS BIGINT) AS idx
+        FROM top CROSS JOIN vs,
+             LATERAL unnest(range(1, {SKIPGRAM_NEG} + 1)) s(j))
+    SELECT center, context, n_pairs,
+           string_agg(word, '|' ORDER BY j) AS negatives
+    FROM probes JOIN vocab USING (idx)
+    GROUP BY 1, 2, 3
+    ORDER BY n_pairs DESC, center, context
+    """,
+)
+def q_text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs: the 50 most frequent (center, context)
+    word pairs within ±2 positions, each with 2 deterministic
+    md5-drawn negatives from the frequency-ranked vocabulary —
+    word2vec-style embedding training data with dataset-card-exact
+    negative sampling.
+
+    Scale (operators/text.skipgram_pairs/-_with_negatives): pair
+    generation is per-row array algebra (no self-join); one pair-keyed
+    count shuffle; top-k via TakeOrderedAndProject; negatives resolve
+    through a broadcast join against the model-sized vocab index.
+    """
+    from ..operators.text import skipgram_with_negatives
+
+    d = table(spark, sf_dir, "documents")
+    return skipgram_with_negatives(d, SKIPGRAM_TOPK, SKIPGRAM_NEG)

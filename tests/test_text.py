@@ -645,3 +645,53 @@ class TestTfidfCosinePairs:
             "doc_id long, text string",
         )
         assert tfidf_cosine_pairs(df, 0.01).count() == 0
+
+
+class TestSkipgramPairs:
+    def test_window_pairs_on_known_sentence(self, spark):
+        from aircraftutilization_etl_spark.operators.text import skipgram_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string"
+        )
+        got = {
+            (r.center, r.context): r.n_pairs
+            for r in skipgram_pairs(df, window=1).collect()
+        }
+        assert got == {
+            ("a", "b"): 1,
+            ("b", "a"): 1,
+            ("b", "c"): 1,
+            ("c", "b"): 1,
+            ("c", "d"): 1,
+            ("d", "c"): 1,
+        }
+
+    def test_negatives_are_deterministic_vocab_draws(self, spark):
+        import hashlib
+
+        from aircraftutilization_etl_spark.operators.text import (
+            skipgram_with_negatives,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x y x y"), (2, "x y z w")], "doc_id long, text string"
+        )
+        rows = skipgram_with_negatives(df, top_k=3, n_negatives=2).collect()
+        # vocab ranked by count desc then word: x,y tie at 3 -> x=0, y=1;
+        # then w=2, z=3 (count 1, alpha order)
+        vocab = ["x", "y", "w", "z"]
+        for r in rows:
+            expect = [
+                vocab[
+                    int(
+                        hashlib.md5(
+                            f"{r.center}:{r.context}:{j}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % 4
+                ]
+                for j in (1, 2)
+            ]
+            assert r.negatives.split("|") == expect
