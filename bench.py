@@ -70,6 +70,8 @@ HEADLINE = [
     "q_split_temporal",  # when() labels + one user-keyed audit shuffle
     "q_drift_ks",  # distinct-value collapse + two-phase signed cumsum
     "q_events_ohlc",  # one (key, hour) shuffle shared by both rank passes
+    "q_text_skipgram_pairs",  # per-row pair algebra + one pair-count shuffle
+    "q_events_attribution",  # bucketized one-sided lookback join
 ]
 
 
