@@ -408,3 +408,51 @@ class TestRemovalSpans:
             spark, [(1, "a b c d e"), (2, "f g h i j")]
         )
         assert got == set()
+
+
+def test_removal_spans_randomized_vs_scalar_replay(spark):
+    """Seeded random word-soup corpora (small vocab forces repeats):
+    the Spark spans must equal a direct scalar replay of the
+    mark-then-merge semantics."""
+    import random
+
+    from aircraftutilization_etl_spark.operators.dedup import (
+        SHINGLE_N,
+        removal_spans,
+    )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(12)
+        ]
+        # scalar replay
+        occ = []
+        for d, t in docs:
+            ws = t.split()
+            for p in range(len(ws) - SHINGLE_N + 1):
+                occ.append((d, p, " ".join(ws[p : p + SHINGLE_N])))
+        from collections import Counter
+
+        counts = Counter(s for _, _, s in occ)
+        marked = sorted((d, p) for d, p, s in occ if counts[s] >= 2)
+        expect = set()
+        cur = None
+        for d, p in marked:
+            if cur and cur[0] == d and p <= cur[2]:
+                cur = (d, cur[1], max(cur[2], p + SHINGLE_N))
+            else:
+                if cur:
+                    expect.add((cur[0], cur[1], cur[2], cur[2] - cur[1]))
+                cur = (d, p, p + SHINGLE_N)
+        if cur:
+            expect.add((cur[0], cur[1], cur[2], cur[2] - cur[1]))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_words)
+            for r in removal_spans(df).collect()
+        }
+        assert got == expect, f"seed {seed}"
