@@ -260,3 +260,61 @@ class TestSketchOverlap:
         ).collect()[0]
         est = r.s - r.u
         assert abs(est - 400) <= 400 * 0.15
+
+
+class TestSession3PlanShapes:
+    """Exchange budgets + no-nested-loop pins for the session-3
+    operators (COVERAGE.md session-3 tables)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_span_corruption_is_shuffle_free(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import (
+            count_exchanges,
+            python_nodes,
+        )
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        df = CATALOG["q_text_span_corruption"].spark(spark, self.SF)
+        assert count_exchanges(df) == 0
+        assert not any(python_nodes(df).values())
+
+    def test_attribution_join_is_bucketized_equi(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        plan = executed_plan(
+            CATALOG["q_events_attribution"].spark(spark, self.SF)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_skipgram_pairs_have_no_self_join(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+        from aircraftutilization_etl_spark.operators.text import skipgram_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        plan = executed_plan(skipgram_pairs(df))
+        assert "Join" not in plan  # pure array algebra + one aggregate
+
+    def test_ohlc_shares_one_exchange_across_both_rank_passes(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import count_exchanges
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        df = CATALOG["q_events_ohlc"].spark(spark, self.SF)
+        assert count_exchanges(df) <= 2
+
+    def test_delta_join_never_joins_old_against_old(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import delta_join
+
+        a_old = spark.range(10).selectExpr("id AS k", "id AS av")
+        a_new = spark.range(2).selectExpr("id + 100 AS k", "id AS av")
+        b_old = spark.range(10).selectExpr("id AS k", "id AS bv")
+        b_new = spark.range(2).selectExpr("id + 200 AS k", "id AS bv")
+        out = delta_join(a_old, a_new, b_old, b_new, on="k")
+        # three joins, each with at least one delta side: the plan has
+        # exactly 3 join nodes
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Join ") == 3
