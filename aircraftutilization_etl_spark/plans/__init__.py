@@ -23,5 +23,6 @@ from . import frequency  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
 from . import flight_parity  # noqa: E402,F401
 from . import classifier  # noqa: E402,F401
+from . import geo  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QueryDef", "query"]

@@ -1,0 +1,63 @@
+"""Geospatial queries (operators/geo.py).
+
+The synthetic tables carry no coordinates, so positions derive
+deterministically from user ids (integer arithmetic — identical in both
+engines); the oracle verifies the bucketized proximity join against a
+brute-force haversine cross join, an INDEPENDENT derivation at oracle
+scale (the quadratic form the operator exists to avoid at fleet scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import query, table
+
+PROXIMITY_KM = 30.0
+
+
+@query(
+    "q_geo_proximity",
+    f"""
+    WITH pos AS (
+        SELECT DISTINCT user_id,
+               40.0 + (user_id % 137) * 0.05 AS lat,
+               ((user_id * 7) % 211) * 0.05 AS lon
+        FROM events),
+    pairs AS (
+        SELECT a.user_id AS id_a, b.user_id AS id_b,
+               ROUND(2 * 6371.0088 * atan2(
+                   sqrt(
+                       pow(sin(radians(b.lat - a.lat) / 2), 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * pow(sin(radians(b.lon - a.lon) / 2), 2)),
+                   sqrt(1 - (
+                       pow(sin(radians(b.lat - a.lat) / 2), 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * pow(sin(radians(b.lon - a.lon) / 2), 2)))
+               ), 3) AS distance_km
+        FROM pos a JOIN pos b ON a.user_id < b.user_id)
+    SELECT id_a, id_b, distance_km
+    FROM pairs WHERE distance_km <= {PROXIMITY_KM}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aircraft-proximity pairs (≤ 30 km) over deterministic synthetic
+    positions — the grid-cell equi-join + exact-haversine verify,
+    checked against the oracle's brute-force cross join.
+
+    Scale (operators/geo.proximity_pairs): 9-cell map-side expansion,
+    one cell-keyed equi-join (AQE splits dense-airspace skew),
+    candidates-only verification — never the oracle's n² scan.
+    """
+    from ..operators.geo import proximity_pairs
+
+    e = table(spark, sf_dir, "events")
+    pos = e.select("user_id").distinct().select(
+        F.col("user_id").alias("icao24"),
+        (40.0 + (F.col("user_id") % 137) * 0.05).alias("latitude"),
+        (((F.col("user_id") * 7) % 211) * 0.05).alias("longitude"),
+    )
+    return proximity_pairs(pos, PROXIMITY_KM)

@@ -1,0 +1,90 @@
+"""Geospatial proximity join (operators/geo.py): exact haversine checks
+and bucket-join completeness vs brute force."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aircraftutilization_etl_spark.operators.geo import (
+    haversine_km,
+    proximity_pairs,
+)
+
+
+def _fleet(spark, rows):
+    return spark.createDataFrame(
+        rows, "icao24 string, latitude double, longitude double"
+    )
+
+
+def _brute(rows, max_km):
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[1], a[2], b[1], b[2]))
+        x = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.atan2(math.sqrt(x), math.sqrt(1 - x))
+
+    out = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            pa, pb = sorted((a[0], b[0]))
+            if round(hav(a, b), 3) <= max_km:
+                out.add((pa, pb))
+    return out
+
+
+class TestHaversine:
+    def test_known_distance(self, spark):
+        # Paris (48.8566, 2.3522) to London (51.5074, -0.1278) ~ 343.5 km
+        df = spark.range(1).select(
+            haversine_km(
+                F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)
+            ).alias("d")
+        )
+        assert df.collect()[0].d == pytest.approx(343.5, abs=1.0)
+
+
+class TestProximityPairs:
+    def test_close_pair_across_cell_boundary_found(self, spark):
+        # ~1.1 km apart, straddling a 10-km cell boundary in latitude
+        rows = [("a", 44.995, 10.0), ("b", 45.005, 10.0), ("c", 48.0, 10.0)]
+        got = {
+            (r.id_a, r.id_b)
+            for r in proximity_pairs(_fleet(spark, rows), 10.0).collect()
+        }
+        assert got == {("a", "b")}
+
+    def test_matches_brute_force_on_random_fleet(self, spark):
+        rng = random.Random(13)
+        rows = [
+            (f"ac{i:03d}", rng.uniform(40, 60), rng.uniform(-5, 15))
+            for i in range(80)
+        ]
+        for max_km in (25.0, 120.0):
+            got = {
+                (r.id_a, r.id_b)
+                for r in proximity_pairs(_fleet(spark, rows), max_km).collect()
+            }
+            assert got == _brute(rows, max_km), max_km
+
+    def test_high_latitude_rejected(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        df = _fleet(spark, [("a", 80.0, 0.0), ("b", 10.0, 0.0)])
+        with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+            proximity_pairs(df, 10.0).collect()
+
+    def test_no_cross_join_in_plan(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+
+        df = _fleet(spark, [("a", 45.0, 10.0), ("b", 45.1, 10.0)])
+        plan = executed_plan(proximity_pairs(df, 10.0))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
