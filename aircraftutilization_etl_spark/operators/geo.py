@@ -141,3 +141,45 @@ def proximity_pairs(
         .filter(F.col("distance_km") <= max_km)
         .select("id_a", "id_b", "distance_km")
     )
+
+
+def track_lengths(
+    df: DataFrame,
+    id_col: str = "icao24",
+    ts_col: str = "ts",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Distance flown per track: the sum of consecutive-fix haversine
+    legs, ordered by time — the utilization metric the reference domain
+    exists to compute (km flown per aircraft from its position stream).
+
+    Returns (id, n_fixes, n_legs, track_km). Ordering ties break by
+    ``tie_col`` when given so replays are deterministic.
+
+    Scale: one shuffle on the track id; each leg is a lag() pair inside
+    the per-track sort — no self-join, no collect; per-track state is
+    the track itself (the same bound as any per-key window).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    leg = haversine_km(
+        F.lag(lat_col).over(w),
+        F.lag(lon_col).over(w),
+        F.col(lat_col),
+        F.col(lon_col),
+    )
+    return (
+        df.withColumn("__leg", leg)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+            F.count("__leg").cast("bigint").alias("n_legs"),
+            F.round(F.coalesce(F.sum("__leg"), F.lit(0.0)), 3).alias(
+                "track_km"
+            ),
+        )
+    )

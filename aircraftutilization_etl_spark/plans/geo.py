@@ -61,3 +61,59 @@ def q_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("user_id") * 7) % 211) * 0.05).alias("longitude"),
     )
     return proximity_pairs(pos, PROXIMITY_KM)
+
+
+@query(
+    "q_geo_track_length",
+    """
+    WITH fixes AS (
+        SELECT user_id, ts, event_id,
+               40.0 + ((user_id * 31 + event_id) % 137) * 0.01 AS lat,
+               ((user_id * 7 + event_id * 3) % 211) * 0.01 AS lon
+        FROM events),
+    legs AS (
+        SELECT user_id,
+               2 * 6371.0088 * atan2(
+                   sqrt(
+                       pow(sin(radians(lat - LAG(lat) OVER w) / 2), 2)
+                       + cos(radians(LAG(lat) OVER w)) * cos(radians(lat))
+                         * pow(sin(radians(lon - LAG(lon) OVER w) / 2), 2)),
+                   sqrt(1 - (
+                       pow(sin(radians(lat - LAG(lat) OVER w) / 2), 2)
+                       + cos(radians(LAG(lat) OVER w)) * cos(radians(lat))
+                         * pow(sin(radians(lon - LAG(lon) OVER w) / 2), 2)))
+               ) AS leg
+        FROM fixes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_fixes,
+           CAST(COUNT(leg) AS BIGINT) AS n_legs,
+           ROUND(COALESCE(SUM(leg), 0), 3) AS track_km
+    FROM legs GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_geo_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance flown per track: consecutive-fix haversine legs summed
+    per user over deterministic synthetic positions — the utilization
+    metric (km flown) of the reference's domain, as one windowed pass.
+
+    Scale (operators/geo.track_lengths): one track-keyed shuffle, lag()
+    legs inside the per-track sort, no self-join.
+    """
+    from ..operators.geo import track_lengths
+
+    e = table(spark, sf_dir, "events")
+    fixes = e.select(
+        F.col("user_id").alias("icao24"),
+        "ts",
+        "event_id",
+        (40.0 + ((F.col("user_id") * 31 + F.col("event_id")) % 137) * 0.01).alias(
+            "latitude"
+        ),
+        (((F.col("user_id") * 7 + F.col("event_id") * 3) % 211) * 0.01).alias(
+            "longitude"
+        ),
+    )
+    return track_lengths(fixes, tie_col="event_id").withColumnRenamed(
+        "icao24", "user_id"
+    )

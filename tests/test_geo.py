@@ -88,3 +88,39 @@ class TestProximityPairs:
         plan = executed_plan(proximity_pairs(df, 10.0))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTrackLengths:
+    def test_known_path_length_and_single_fix_zero(self, spark):
+        from aircraftutilization_etl_spark.operators.geo import track_lengths
+
+        rows = [
+            # 1 degree of latitude at constant lon ~ 111.2 km per leg
+            ("a", 1, 45.0, 10.0),
+            ("a", 2, 46.0, 10.0),
+            ("a", 3, 47.0, 10.0),
+            ("b", 1, 50.0, 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "icao24 string, ts long, latitude double, longitude double"
+        )
+        got = {r.icao24: r for r in track_lengths(df).collect()}
+        assert got["a"].n_fixes == 3 and got["a"].n_legs == 2
+        assert abs(got["a"].track_km - 2 * 111.2) < 0.5
+        assert got["b"].n_legs == 0 and got["b"].track_km == 0.0
+
+    def test_order_is_by_time_not_input(self, spark):
+        from aircraftutilization_etl_spark.operators.geo import track_lengths
+
+        # out-of-order input: a->b->a zigzag by time would double the
+        # distance vs the sorted a..b sweep
+        rows = [
+            ("a", 3, 47.0, 10.0),
+            ("a", 1, 45.0, 10.0),
+            ("a", 2, 46.0, 10.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "icao24 string, ts long, latitude double, longitude double"
+        )
+        r = track_lengths(df).collect()[0]
+        assert abs(r.track_km - 2 * 111.2) < 0.5
