@@ -72,6 +72,8 @@ HEADLINE = [
     "q_events_ohlc",  # one (key, hour) shuffle shared by both rank passes
     "q_text_skipgram_pairs",  # per-row pair algebra + one pair-count shuffle
     "q_events_attribution",  # bucketized one-sided lookback join
+    "q_geo_proximity",  # 9-cell spatial equi-join, candidates-only verify
+    "q_geo_track_length",  # one track-keyed window pass
 ]
 
 
