@@ -124,3 +124,50 @@ class TestTrackLengths:
         )
         r = track_lengths(df).collect()[0]
         assert abs(r.track_km - 2 * 111.2) < 0.5
+
+
+class TestStreamingProximity:
+    def test_micro_batch_union_equals_whole_fleet_snapshot(self, spark):
+        """Positions arriving across micro-batches: proximity over the
+        merged latest-fix snapshot equals the one-shot batch answer —
+        the foreachBatch upsert-then-join pattern (latest fix per
+        aircraft wins, like the state store's merge)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from aircraftutilization_etl_spark.operators.geo import proximity_pairs
+
+        rng = random.Random(21)
+        fixes = [
+            (f"ac{i:02d}", t, rng.uniform(44, 46), rng.uniform(9, 11))
+            for i in range(25)
+            for t in (1, 2)
+        ]
+        df = spark.createDataFrame(
+            fixes, "icao24 string, ts long, latitude double, longitude double"
+        )
+        latest = (
+            df.groupBy("icao24")
+            .agg(F.max(F.struct("ts", "latitude", "longitude")).alias("s"))
+            .select(
+                "icao24",
+                F.col("s.latitude").alias("latitude"),
+                F.col("s.longitude").alias("longitude"),
+            )
+        )
+        got = {
+            (r.id_a, r.id_b, r.distance_km)
+            for r in proximity_pairs(latest, 40.0).collect()
+        }
+        # scalar snapshot: keep each aircraft's t=2 fix
+        snap = {a: (la, lo) for a, t, la, lo in fixes if t == 2}
+        whole = spark.createDataFrame(
+            [(a, la, lo) for a, (la, lo) in snap.items()],
+            "icao24 string, latitude double, longitude double",
+        )
+        expect = {
+            (r.id_a, r.id_b, r.distance_km)
+            for r in proximity_pairs(whole, 40.0).collect()
+        }
+        assert got == expect and len(got) > 0
