@@ -566,3 +566,58 @@ def merge_ohlc(partials: DataFrame, key_col: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cents_col: str,
+    tiebreak: str,
+    target_cents: int,
+    slack_cents: int,
+    threshold_cents: int,
+    out_col: str = "cusum_cents",
+) -> DataFrame:
+    """Per-key one-sided (upper) CUSUM changepoint detector over an
+    integer-cents series: S_0 = max(0, x_0 − target − slack),
+    S_t = max(0, S_{t-1} + x_t − target − slack), alarm when
+    S_t > threshold — the sequential drift detector that flags a
+    sustained mean shift EWMA smoothing only dilutes (Page 1954).
+
+    Pure int64 arithmetic, so every state value replays bit-exactly in
+    the recursive-CTE oracle. Same execution shape as :func:`ewma`:
+    one shuffle on the key, partition-local sort, a single linear
+    mapInPandas pass carrying (key, state) across Arrow batch
+    boundaries — never a per-key pandas frame.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    drift = int(target_cents) + int(slack_cents)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint, alarm boolean"
+
+    def _scan(batches):
+        last_key, last_s = object(), 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf[key].to_numpy()
+            vals = pdf[value_cents_col].to_numpy(dtype="int64")
+            out = [0] * len(vals)
+            for i in range(len(vals)):
+                prev = last_s if keys[i] == last_key else 0
+                s = prev + int(vals[i]) - drift
+                out[i] = s if s > 0 else 0
+                last_key, last_s = keys[i], out[i]
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            pdf["alarm"] = [s > threshold_cents for s in out]
+            yield pdf
+
+    return (
+        df.repartition(F.col(key))
+        .sortWithinPartitions(key, ts_col, tiebreak)
+        .mapInPandas(_scan, out_schema)
+    )

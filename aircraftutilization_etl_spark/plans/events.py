@@ -1327,3 +1327,68 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+CUSUM_TARGET = 15000
+CUSUM_SLACK = 5000
+CUSUM_H = 50000
+
+
+@query(
+    "q_events_cusum",
+    f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    rec AS (
+        SELECT user_id, ts, event_id, cents, rn,
+               greatest(cents - {CUSUM_TARGET + CUSUM_SLACK}, 0) AS s
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.ts, o.event_id, o.cents, o.rn,
+               greatest(r.s + o.cents - {CUSUM_TARGET + CUSUM_SLACK}, 0)
+        FROM ordered o JOIN rec r
+          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, CAST(cents AS BIGINT) AS cents,
+           CAST(s AS BIGINT) AS cusum_cents,
+           s > {CUSUM_H} AS alarm
+    FROM rec
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift detector over purchase cents (target
+    150.00, slack 50.00, alarm above 500.00 accumulated excess) —
+    sustained-overspend changepoints, every state bit-checked by the
+    recursive-CTE oracle (pure int64 recurrence).
+
+    Scale (operators/events.cusum): one user-keyed shuffle + a single
+    linear Arrow pass per partition, like the EWMA twin.
+    """
+    from ..operators.events import cusum
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    return cusum(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        value_cents_col="cents",
+        tiebreak="event_id",
+        target_cents=CUSUM_TARGET,
+        slack_cents=CUSUM_SLACK,
+        threshold_cents=CUSUM_H,
+    )

@@ -517,3 +517,69 @@ class TestMergeableOHLC:
         assert {tuple(r) for r in merged.select(cols).collect()} == {
             tuple(r) for r in batch.select(cols).collect()
         }
+
+
+class TestCusum:
+    def test_recurrence_resets_and_alarms(self, spark):
+        from pyspark.sql import functions as F
+
+        from aircraftutilization_etl_spark.operators.events import cusum
+
+        rows = [
+            # user 7: values 30, 30, 5 with target+slack=20 ->
+            # S: 10, 20, 5; alarm above 15 fires on the second row only
+            (1, 1, 7, 30),
+            (2, 2, 7, 30),
+            (3, 3, 7, 5),
+            # user 8 starts fresh (below drift -> clamped to 0)
+            (4, 1, 8, 10),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, cents long"
+        )
+        out = {
+            r.event_id: (r.cusum_cents, r.alarm)
+            for r in cusum(
+                df,
+                key="user_id",
+                ts_col="ts",
+                value_cents_col="cents",
+                tiebreak="event_id",
+                target_cents=15,
+                slack_cents=5,
+                threshold_cents=15,
+            ).collect()
+        }
+        assert out == {
+            1: (10, False),
+            2: (20, True),
+            3: (5, False),
+            4: (0, False),
+        }
+
+    def test_matches_scalar_replay_on_random_series(self, spark):
+        import random
+
+        from aircraftutilization_etl_spark.operators.events import cusum
+
+        rng = random.Random(17)
+        rows = [
+            (i, rng.randint(1, 50), rng.choice([1, 2, 3]), rng.randint(0, 40))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, cents long"
+        )
+        got = {
+            r.event_id: r.cusum_cents
+            for r in cusum(
+                df, "user_id", "ts", "cents", "event_id", 10, 5, 25
+            ).collect()
+        }
+        state = {}
+        expect = {}
+        for e, t, u, c in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+            s = max(0, state.get(u, 0) + c - 15)
+            state[u] = s
+            expect[e] = s
+        assert got == expect
