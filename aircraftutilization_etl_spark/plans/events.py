@@ -1392,3 +1392,205 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         slack_cents=CUSUM_SLACK,
         threshold_cents=CUSUM_H,
     )
+
+
+@query(
+    "q_events_welch",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS ss
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN event_type = 'click' THEN n END) AS n_a,
+               MAX(CASE WHEN event_type = 'click' THEN s END) AS s_a,
+               MAX(CASE WHEN event_type = 'click' THEN ss END) AS ss_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_b,
+               MAX(CASE WHEN event_type = 'purchase' THEN s END) AS s_b,
+               MAX(CASE WHEN event_type = 'purchase' THEN ss END) AS ss_b
+        FROM g
+    ),
+    v AS (
+        SELECT n_a, n_b,
+               s_a / CAST(n_a AS DOUBLE) AS mean_a,
+               s_b / CAST(n_b AS DOUBLE) AS mean_b,
+               (ss_a - (s_a * s_a) / CAST(n_a AS DOUBLE))
+                   / CAST(n_a - 1 AS DOUBLE) AS var_a,
+               (ss_b - (s_b * s_b) / CAST(n_b AS DOUBLE))
+                   / CAST(n_b - 1 AS DOUBLE) AS var_b
+        FROM w
+    )
+    SELECT n_a, n_b,
+           ROUND(mean_a, 4) AS mean_cents_a,
+           ROUND(mean_b, 4) AS mean_cents_b,
+           ROUND((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+           ROUND(((var_a / n_a + var_b / n_b)
+                  * (var_a / n_a + var_b / n_b))
+                 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 2)
+               AS welch_df
+    FROM v
+    """,
+)
+def q_events_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase
+    monetary values — the A/B-test primitive (does cohort A spend
+    differently from cohort B?), with the Welch-Satterthwaite degrees
+    of freedom.
+
+    Determinism discipline: both engines aggregate only exact BIGINTs
+    (cent sums and cent-square sums — partial aggregation does all the
+    work map-side, one scan, one 2-group shuffle); every float op after
+    that is a scalar expression over exactly-representable integers, so
+    mean/variance/t/df are bit-identical regardless of row order or
+    partitioning. This is the same exact-moments trick as
+    q_histogram_price, applied to inference statistics.
+
+    Scale: single pass over the fact table, two result groups — the
+    statistic costs one map-side combine no matter how many trillion
+    rows back it.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+
+    def side(col: str, t: str):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    w = g.agg(
+        side("n", "click").alias("n_a"),
+        side("s", "click").alias("s_a"),
+        side("ss", "click").alias("ss_a"),
+        side("n", "purchase").alias("n_b"),
+        side("s", "purchase").alias("s_b"),
+        side("ss", "purchase").alias("ss_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b") / F.col("n_b").cast("double")
+    var_a = (
+        F.col("ss_a") - (F.col("s_a") * F.col("s_a")) / F.col("n_a").cast("double")
+    ) / (F.col("n_a") - 1).cast("double")
+    var_b = (
+        F.col("ss_b") - (F.col("s_b") * F.col("s_b")) / F.col("n_b").cast("double")
+    ) / (F.col("n_b") - 1).cast("double")
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_cents_a"),
+        F.round(mean_b, 4).alias("mean_cents_b"),
+        F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 4).alias("t_stat"),
+        F.round(
+            ((se2_a + se2_b) * (se2_a + se2_b))
+            / (
+                se2_a * se2_a / (F.col("n_a") - 1)
+                + se2_b * se2_b / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "q_events_autocorr",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+        SELECT event_type, c AS y,
+               LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS x,
+               CASE WHEN day - LAG(day) OVER (
+                        PARTITION BY event_type ORDER BY day
+                    ) = 1 THEN 1 ELSE 0 END AS adjacent
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs WHERE x IS NOT NULL AND adjacent = 1
+        GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS lag1_autocorr
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily volume — the
+    seasonality/burstiness fingerprint of a stream (near 1: trending
+    days cluster; near 0: day-to-day volume is memoryless). Only
+    calendar-adjacent day pairs correlate; gaps contribute nothing
+    rather than silently pairing across them.
+
+    Determinism: the Pearson moments are exact BIGINT sums over integer
+    daily counts (n·Σxy − ΣxΣy form), floats appear only in the final
+    scalar quotient — bit-identical across engines and partitionings,
+    unlike corr() over doubles whose summation order floats.
+
+    Scale: one shuffle to the per-(type, day) rollup (map-side
+    combine), a days-per-type window, and a type-count-sized result.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    win = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.col("c").alias("y"),
+        F.lag("c").over(win).alias("x"),
+        (F.datediff(F.col("day"), F.lag("day").over(win)) == 1).alias(
+            "adjacent"
+        ),
+    ).filter(F.col("x").isNotNull() & F.col("adjacent"))
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        m.select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.round(num / den, 6).alias("lag1_autocorr"),
+        )
+        .orderBy("event_type")
+    )

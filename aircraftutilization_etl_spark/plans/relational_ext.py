@@ -493,3 +493,86 @@ def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("depth").alias("hist_type"), "bucket", "n_rows", "lo_cents", "hi_cents")
     )
     return width.unionByName(depth).orderBy("hist_type", "bucket")
+
+
+@query(
+    "q_outlier_mad",
+    """
+    WITH med AS (
+        SELECT l_returnflag, l_linestatus,
+               quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    ),
+    mad AS (
+        SELECT l.l_returnflag, l.l_linestatus, m.med,
+               quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        FROM lineitem l JOIN med m
+          ON l.l_returnflag = m.l_returnflag
+             AND l.l_linestatus = m.l_linestatus
+        GROUP BY l.l_returnflag, l.l_linestatus, m.med
+    )
+    SELECT l.l_returnflag, l.l_linestatus,
+           ROUND(f.med, 4) AS med,
+           ROUND(f.mad, 4) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN abs(l.l_extendedprice - f.med)
+                              > 3 * 1.4826 * f.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN mad f
+      ON l.l_returnflag = f.l_returnflag
+         AND l.l_linestatus = f.l_linestatus
+    GROUP BY l.l_returnflag, l.l_linestatus, f.med, f.mad
+    ORDER BY l.l_returnflag, l.l_linestatus
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier audit per group — the
+    breakdown-resistant sibling of q_outlier_iqr: the median absolute
+    deviation keeps its fence position even when up to half the rows
+    are themselves corrupt, which Tukey fences (quartiles) and
+    z-scores (moments) do not. 1.4826·MAD rescales to σ-equivalents
+    for a normal bulk, so the 3·MAD fence is the robust 3σ screen.
+
+    Plan: three passes over the (pruned, 3-column) scan joined on the
+    group key — median, MAD (the dependent second median), then the
+    counting pass; both intermediate tables are group-count-sized and
+    broadcast. Scale note mirrors q_outlier_iqr: exact percentiles
+    buffer per-group values (oracle-required); at 100 TB both medians
+    swap to approx_percentile with the identical plan shape.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        li.join(F.broadcast(med), ["l_returnflag", "l_linestatus"])
+        .groupBy("l_returnflag", "l_linestatus", "med")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    out = F.abs(F.col("l_extendedprice") - F.col("med")) > 3 * 1.4826 * F.col(
+        "mad"
+    )
+    return (
+        li.join(F.broadcast(mad), ["l_returnflag", "l_linestatus"])
+        .groupBy("l_returnflag", "l_linestatus", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(out.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_rows",
+            "n_outliers",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -60,11 +60,16 @@ PURE_JVM_EXACT = ("q_emb_kmeans",)
 # Queries under pure-JVM prefixes whose kernels are SANCTIONED
 # Arrow-batched Python (the documented escape hatch, each justified in
 # its operator docstring): wide-SimHash print construction (interpreted
-# per-bit HOF folds measured 10x slower), the per-key EWMA sorted scan
-# (inherently sequential recurrence), and the decontamination GEMM
-# best-match (BLAS vs interpreted lambda algebra).
+# per-bit HOF folds measured 10x slower), the per-key EWMA and CUSUM
+# sorted scans (inherently sequential recurrences), and the
+# decontamination GEMM best-match (BLAS vs interpreted lambda algebra).
 ARROW_EXEMPT = frozenset(
-    {"q_dedup_simhash_pairs", "q_events_ewma", "q_contamination_semantic"}
+    {
+        "q_dedup_simhash_pairs",
+        "q_events_ewma",
+        "q_events_cusum",
+        "q_contamination_semantic",
+    }
 )
 
 
