@@ -1301,3 +1301,76 @@ def skipgram_with_negatives(
             ).alias("negatives")
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information — the classic "new york"/"machine learning" detector:
+    PMI = ln(p(w1,w2) / (p(w1)·p(w2))) under the corpus's own bigram
+    model (positional counts: p(w1) from bigram heads, p(w2) from
+    tails, so the three distributions share one normalizer B = total
+    bigrams and the measure is self-consistent). A ``min_count`` floor
+    drops the rare-pair artifacts PMI is notorious for (a hapax pair
+    scores arbitrarily high).
+
+    Determinism: counts are exact BIGINTs; the only float is one
+    ln((c12·B)/(c1·c2)) per surviving pair — a single correctly-rounded
+    op over exact integers, identical across engines; ordering uses the
+    rounded value with the word pair as total tie-break.
+
+    Scale: the same map-side bigram algebra as bigram_logprob (no
+    window, no per-doc sort), three count aggregates with map-side
+    combine, the 1-row total broadcast. The candidate table after the
+    ``min_count`` cut is vocabulary-, not corpus-, sized; top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort). The
+    c12·B product stays in BIGINT range while bigram counts are below
+    ~3·10⁹ of each other's product — beyond that, rewrite as a sum of
+    logs (same value, overflow-free).
+    """
+    w = df.select(F.col(id_col), words_expr(col).alias("__ws"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__ws") - 1),
+        lambda i: F.struct(
+            F.lower(F.element_at("__ws", i)).alias("w1"),
+            F.lower(F.element_at("__ws", i + 1)).alias("w2"),
+        ),
+    )
+    bigrams = (
+        w.filter(F.size("__ws") >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    c12 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    c2 = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("__c2"))
+    tot = bigrams.agg(F.count(F.lit(1)).alias("__b"))
+    scored = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("pair_count") * F.col("__b") * F.lit(1.0))
+                    / (F.col("__c1") * F.col("__c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

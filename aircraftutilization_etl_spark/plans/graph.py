@@ -231,3 +231,102 @@ def q_graph_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths(sparse, BFS_MAX_DEPTH).select(
         F.col("node").cast("bigint").alias("node"), "depth"
     )
+
+
+JACCARD_MIN_PPM = 400_000
+
+
+@query(
+    "q_graph_node_jaccard",
+    f"""
+    WITH ui AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.item AS src, b.item AS dst, COUNT(*) AS n
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n DESC, dst) AS r
+            FROM pairs)
+        WHERE r <= {KNN_K}
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM knn GROUP BY src),
+    common AS (
+        SELECT e1.src AS node_a, e2.src AS node_b, COUNT(*) AS n_common
+        FROM knn e1 JOIN knn e2
+          ON e1.dst = e2.dst AND e1.src < e2.src
+        GROUP BY 1, 2
+    ),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS ua,
+                   GREATEST(src, dst) AS ub FROM knn)
+    SELECT c.node_a AS node_a, c.node_b AS node_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(c.n_common * 1000000
+                // (da.d + db.d - c.n_common) AS BIGINT) AS jaccard_ppm,
+           u.ua IS NOT NULL AS is_edge
+    FROM common c
+      JOIN deg da ON da.src = c.node_a
+      JOIN deg db ON db.src = c.node_b
+      LEFT JOIN und u
+        ON u.ua = c.node_a AND u.ub = c.node_b
+    WHERE c.n_common * 1000000 // (da.d + db.d - c.n_common)
+          >= {JACCARD_MIN_PPM}
+    ORDER BY node_a, node_b
+    """,
+)
+def q_graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item pairs sharing most of their nearest neighbors: neighborhood
+    Jaccard (integer ppm, ≥ 0.4 ≈ "2 of 3 strongest neighbors in
+    common") over the k-NN-SPARSIFIED co-occurrence graph, with an
+    ``is_edge`` flag — the link-prediction / "customers also bought"
+    primitive. The raw co-occurrence graph is near-complete (shared-
+    audience edges saturate), so similarity is computed where it is
+    informative: on each item's top-3 strongest-association skeleton —
+    a high-Jaccard NON-edge is a recommendation candidate, a
+    high-Jaccard edge a reinforced one.
+
+    Scale (operators/graph.neighborhood_jaccard over knn_edges): the
+    k-NN cut bounds the wedge join at k²·|V| candidate pairs however
+    dense co-occurrence gets; degree tables are group-count-sized; all
+    similarity arithmetic is integer DIV — bit-identical across
+    engines.
+    """
+    from ..operators.graph import knn_edges, neighborhood_jaccard
+
+    ev = table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).filter(F.col("item").isNotNull())
+    cooc = cooccurrence_pairs(ui, "user_id", "item")
+    directed = cooc.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("n_keys").alias("weight"),
+    ).unionByName(
+        cooc.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("dst"),
+            F.col("n_keys").alias("weight"),
+        )
+    )
+    sparse = knn_edges(directed, KNN_K)
+    return (
+        neighborhood_jaccard(sparse, JACCARD_MIN_PPM)
+        .select(
+            F.col("node_a").cast("int").alias("node_a"),
+            F.col("node_b").cast("int").alias("node_b"),
+            "n_common",
+            "jaccard_ppm",
+            "is_edge",
+        )
+        .orderBy("node_a", "node_b")
+    )

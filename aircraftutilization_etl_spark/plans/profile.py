@@ -274,3 +274,76 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return ks_drift(e, "event_type", "value", "click", "purchase")
+
+
+_ERASE_USERS = (
+    "substring(md5(CAST(user_id AS VARCHAR)), 1, 1) = 'f'"
+)
+
+
+@query(
+    "q_privacy_erasure",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    WHERE NOT ({_ERASE_USERS})
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+)
+def q_privacy_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten applied to a MAINTAINED aggregate: erase
+    every user whose id hashes into the erasure cohort (md5 first
+    nibble 'f' ≈ 1/16 of users — the deterministic stand-in for a
+    deletion-request list) from the daily per-type rollup by
+    DECREMENT, not recompute. The engine subtracts the erased users'
+    contribution rollup from the standing rollup and drops emptied
+    groups; the oracle rebuilds the rollup from the surviving raw rows
+    from scratch. The hash match IS the erasure certificate: the
+    decremented artifact is indistinguishable from one that never saw
+    the erased users.
+
+    Scale: this is the difference between touching |erased-user rows|
+    (a sliver, aggregated map-side into a group-count-sized delta) and
+    re-scanning the 100 TB fact table per deletion batch — the only
+    sustainable GDPR/CCPA cadence. Two hash aggregates (full + cohort)
+    joined on the group key; in production the standing rollup is the
+    already-materialized sink (one aggregate, one tiny delta).
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    keys = [
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ]
+    standing = ev.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(cents).alias("cents_all"),
+    )
+    erased = (
+        ev.filter(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "f"
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gone"),
+            F.sum(cents).alias("cents_gone"),
+        )
+    )
+    return (
+        standing.join(erased, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            (F.col("n_all") - F.coalesce("n_gone", F.lit(0))).alias("n"),
+            (F.col("cents_all") - F.coalesce("cents_gone", F.lit(0))).alias(
+                "total_cents"
+            ),
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("event_type", "day")
+    )

@@ -1518,3 +1518,58 @@ def q_text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return skipgram_with_negatives(d, SKIPGRAM_TOPK, SKIPGRAM_NEG)
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+
+
+@query(
+    "q_text_pmi_collocations",
+    f"""
+    WITH words AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT lower(w[CAST(i AS INT)]) AS w1,
+               lower(w[CAST(i + 1 AS INT)]) AS w2
+        FROM words, LATERAL unnest(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2
+    ),
+    c12 AS (
+        SELECT w1, w2, COUNT(*) AS pair_count FROM bigrams
+        GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY 1),
+    c2 AS (SELECT w2, COUNT(*) AS c2 FROM bigrams GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS b FROM bigrams)
+    SELECT m.w1, m.w2, CAST(m.pair_count AS BIGINT) AS pair_count,
+           ROUND(ln((m.pair_count * t.b * 1.0) / (h.c1 * g.c2)), 6)
+               AS pmi
+    FROM c12 m JOIN c1 h USING (w1) JOIN c2 g USING (w2)
+         CROSS JOIN tot t
+    ORDER BY pmi DESC, m.w1, m.w2
+    LIMIT {PMI_TOPK}
+    """,
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by pointwise mutual
+    information (min pair count 5) — the phrase-mining primitive that
+    feeds tokenizer vocabularies and stop-phrase lists: PMI ranks
+    pairs that co-occur far above chance under the corpus's own bigram
+    model, where raw frequency would just return stopword pairs.
+
+    Determinism: exact BIGINT counts; the single ln per pair is a
+    correctly-rounded scalar op over exact integers (same expression
+    both engines); rounded-PMI + word-pair total order makes the top-50
+    cut reproducible.
+
+    Scale (operators/text.pmi_collocations): map-side bigram algebra,
+    three count shuffles, 1-row total broadcast, TakeOrderedAndProject
+    top-k — no global sort, no window, vocabulary-sized intermediates.
+    """
+    from ..operators.text import pmi_collocations
+
+    d = table(spark, sf_dir, "documents")
+    return pmi_collocations(d, PMI_MIN_COUNT, PMI_TOPK)
