@@ -186,3 +186,108 @@ def predict(
 
 def sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_prefix_bound: str = "cccd",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained ON the engine and evaluated on a
+    held-out split: add-1-smoothed per-class unigram likelihoods plus a
+    document-count prior, argmax over classes, reported as the
+    (actual, predicted, n_docs) confusion matrix — the supervised
+    companion to the logistic quality classifier, with a CLOSED-FORM
+    training step (counting), so unlike gradient descent the whole
+    train-predict-evaluate loop is exactly replayable by a SQL oracle.
+
+    score(d, l) = ln(n_docs_l / n_train_docs)
+                + Σ_tokens ln((c_{l,w} + 1) / (t_l + V))
+
+    with c the train token counts per (class, word), t_l the class
+    token total, V the train vocabulary size. The md5-prefix split is
+    the same zero-shuffle projection as q_split_train_val (bound
+    'cccd' ≈ 80% train).
+
+    Scale: training is two count aggregates with map-side combine
+    (per-(class, word) and per-class); scoring joins held-out tokens ×
+    |classes| rows against the model on (class, word) — AQE broadcasts
+    the model side when it is dimension-sized; the argmax is one
+    per-doc window over |classes| rows. No Python anywhere —
+    closed-form NB keeps even training inside codegen.
+    """
+    from pyspark.sql.window import Window
+
+    tagged = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("actual"),
+        words_expr(text_col).alias("__ws"),
+        (
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+            < train_prefix_bound
+        ).alias("in_train"),
+    )
+    train = tagged.filter("in_train")
+    heldout = tagged.filter(~F.col("in_train"))
+    train_words = train.select(
+        F.col("actual").alias("cls"),
+        F.explode("__ws").alias("w0"),
+    ).select("cls", F.lower("w0").alias("w"))
+    model = train_words.groupBy("cls", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cls_tot = train_words.groupBy("cls").agg(F.count(F.lit(1)).alias("t"))
+    vocab = train_words.select("w").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    priors = train.groupBy(F.col("actual").alias("cls")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n"))
+    classes = (
+        priors.crossJoin(F.broadcast(n_train))
+        .join(cls_tot, "cls")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "cls",
+            (F.log(F.col("nd") / F.col("n"))).alias("__prior"),
+            (F.col("t") + F.col("v")).alias("__denom"),
+        )
+    )
+    hw = heldout.select(
+        id_col, "actual", F.explode("__ws").alias("w0")
+    ).select(id_col, "actual", F.lower("w0").alias("w"))
+    scored = (
+        hw.crossJoin(F.broadcast(classes))
+        .join(model, ["cls", "w"], "left")
+        .groupBy(id_col, "actual", "cls", "__prior")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / F.col("__denom")
+                )
+            ).alias("__ll")
+        )
+        .select(
+            id_col,
+            "actual",
+            "cls",
+            (F.col("__prior") + F.col("__ll")).alias("__score"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("__score"), F.col("cls")
+    )
+    pred = (
+        scored.withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "actual", F.col("cls").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

@@ -56,3 +56,77 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_text_naive_bayes",
+    """
+    WITH tagged AS (
+        SELECT doc_id, lang AS actual, text,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                   AS in_train
+        FROM documents
+    ),
+    train_words AS (
+        SELECT actual AS cls, lower(t.w) AS w
+        FROM tagged,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE in_train
+    ),
+    model AS (SELECT cls, w, COUNT(*) AS c FROM train_words GROUP BY 1, 2),
+    cls_tot AS (SELECT cls, COUNT(*) AS t FROM train_words GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM train_words),
+    priors AS (SELECT actual AS cls, COUNT(*) AS nd FROM tagged
+               WHERE in_train GROUP BY 1),
+    ntr AS (SELECT COUNT(*) AS n FROM tagged WHERE in_train),
+    classes AS (
+        SELECT p.cls, ln(p.nd * 1.0 / ntr.n) AS prior,
+               ct.t + vocab.v AS denom
+        FROM priors p CROSS JOIN ntr
+          JOIN cls_tot ct ON ct.cls = p.cls
+          CROSS JOIN vocab
+    ),
+    hw AS (
+        SELECT doc_id, actual, lower(t.w) AS w
+        FROM tagged,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE NOT in_train
+    ),
+    scored AS (
+        SELECT h.doc_id, h.actual, cl.cls,
+               cl.prior
+               + SUM(ln((COALESCE(m.c, 0) + 1.0) / cl.denom)) AS score
+        FROM hw h CROSS JOIN classes cl
+          LEFT JOIN model m ON m.cls = cl.cls AND m.w = h.w
+        GROUP BY h.doc_id, h.actual, cl.cls, cl.prior
+    ),
+    pred AS (
+        SELECT doc_id, actual, cls AS predicted
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, cls) AS r
+              FROM scored)
+        WHERE r = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained ON the
+    engine (add-1 smoothing, document-count priors) over the 80% md5
+    train split, evaluated as a confusion matrix on the held-out 20% —
+    the supervised-classification primitive whose closed-form training
+    (counting) lets the SQL oracle replay train AND predict exactly,
+    which the gradient-descent classifier (q_quality_classifier,
+    rows-only) cannot.
+
+    Scale (operators/classifier.naive_bayes_confusion): two map-side-
+    combined count aggregates train the model; scoring is held-out
+    tokens × |classes| against the (class, word) model join; the
+    argmax is a |classes|-row per-doc window. All JVM, no Python —
+    even training stays inside codegen.
+    """
+    from ..operators.classifier import naive_bayes_confusion
+
+    d = table(spark, sf_dir, "documents")
+    return naive_bayes_confusion(d)

@@ -629,3 +629,108 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id").isin(qids)), e, RRF_LIST_K
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse(lex, vec, RRF_OUT_K)
+
+
+@query(
+    "q_emb_ivf_ndcg",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS cell,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, label AS cell,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    exact_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    rel AS (SELECT query_id, neighbor_id, {TOP_K} + 1 - rank AS rel
+            FROM exact_scored WHERE rank <= {TOP_K}),
+    ivf_scored AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id
+    ),
+    idcg AS (
+        SELECT SUM(({TOP_K} + 1 - r) / ln(r + 1)) AS idcg
+        FROM range(1, {TOP_K} + 1) t(r)
+    ),
+    dcg AS (
+        SELECT i.query_id,
+               SUM(COALESCE(rel.rel, 0) / ln(i.rank + 1)) AS dcg
+        FROM (SELECT * FROM ivf_scored WHERE rank <= {TOP_K}) i
+          LEFT JOIN rel
+            ON rel.query_id = i.query_id
+           AND rel.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT q2.query_id,
+           ROUND(COALESCE(d.dcg, 0), 6) AS dcg,
+           ROUND(COALESCE(d.dcg, 0) / g.idcg, 6) AS ndcg
+    FROM (SELECT DISTINCT query_id FROM q) q2
+      LEFT JOIN dcg d USING (query_id)
+      CROSS JOIN idcg g
+    ORDER BY query_id
+    """,
+)
+def q_emb_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the IVF ANN run against brute-force graded relevance
+    (grade = 6 − exact rank for the true top-5, 0 otherwise; ln
+    discount) — the rank-SENSITIVE companion to q_emb_ivf_recall:
+    recall says how many true neighbors the probe found, nDCG says
+    whether it put them in the right ORDER, which is what a retrieval
+    serving stack actually pays for. Queries whose probed cell yields
+    no true neighbor score 0 rather than dropping out.
+
+    Determinism: both rankings tie-break on (rounded cosine, id); DCG
+    divides integer grades by ln of integer positions — ≤ 5 float
+    terms per query, rounded at the edge.
+
+    Scale: composes the existing exact-GEMM and cell-join pipelines;
+    the grading join is top-k-sized (queries × k). The ideal DCG is a
+    5-row fold, not a per-corpus pass.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(queries, e, TOP_K)
+    rel = exact.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(TOP_K + 1) - F.col("rank")).alias("rel"),
+    )
+    approx = ivf_topk(queries, e, TOP_K).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    dcg = (
+        approx.join(rel, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0))
+                / F.log(F.col("rank") + 1)
+            ).alias("dcg")
+        )
+    )
+    idcg_expr = F.expr(
+        f"aggregate(sequence(1, {TOP_K}), CAST(0.0 AS DOUBLE), "
+        f"(acc, r) -> acc + CAST({TOP_K} + 1 - r AS DOUBLE) / ln(r + 1))"
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id")).distinct()
+    return (
+        qids.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg"),
+            F.round(
+                F.coalesce("dcg", F.lit(0.0)) / idcg_expr, 6
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
