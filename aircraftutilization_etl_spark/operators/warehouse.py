@@ -414,3 +414,115 @@ def delta_join(
         .unionByName(a_old.join(b_delta, on=on))
         .unionByName(a_delta.join(b_delta, on=on))
     )
+
+
+def layout_pruning_audit(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    order_col: str,
+    lo: int,
+    hi: int,
+    bucket_width: int = 192,
+    n_natural: int = 256,
+) -> DataFrame:
+    """Head-to-head file-skipping audit of three physical layouts —
+    natural (insertion order), Z-order, Hilbert — for one 2-D range
+    predicate ``lo <= a8 <= hi AND lo <= b8 <= hi`` over the low bytes
+    of (``col_a``, ``col_b``). Every layout is cut into fixed-width
+    "files" (``bucket_width`` curve cells per file; ``n_natural``
+    equal key-range chunks for the natural layout). The width is
+    deliberately NOT a power of 4: power-of-4 prefixes make Morton and
+    Hilbert buckets the IDENTICAL aligned square tiles, hiding exactly
+    the seam behavior the audit exists to measure — off-alignment,
+    Hilbert's unit-step contiguity bounds tighter envelopes than
+    Morton's quadrant jumps. A file must be scanned when its
+    per-dimension min/max envelope overlaps the predicate box — exactly
+    the parquet/Iceberg min-max skipping rule. Output, one row per
+    layout: bucket and row totals, buckets/rows actually scanned,
+    matching rows, and scan_ppm (rows scanned / rows total) — the
+    number that justifies paying the clustered-write sort: natural
+    order scans ~everything, Z-order prunes to the curve's seams,
+    Hilbert prunes hardest.
+
+    Natural "files" are contiguous ranges of the insertion key
+    (``order_col``'s keyspace cut into 256 equal-width chunks — the
+    deterministic stand-in for arrival-order file boundaries).
+
+    All arithmetic is integer (bit ops, DIV); determinism is total.
+    Scale: one scan computes all three bucket ids as codegen
+    projections; the map-exploded long table shuffles once to
+    3×256-bucket envelopes; the rollup is 3 rows.
+    """
+    a8 = f"(CAST({col_a} AS BIGINT) & 255)"
+    b8 = f"(CAST({col_b} AS BIGINT) & 255)"
+    base = (
+        df.select(
+            F.expr(a8).alias("a8"),
+            F.expr(b8).alias("b8"),
+            F.col(order_col).cast("bigint").alias("__ok"),
+        )
+    )
+    zed = with_zvalue(base, "a8", "b8", out="__zv")
+    hil = with_hilbert_value(zed, "a8", "b8", out="__hv")
+    mo = base.agg(F.max("__ok").alias("__mo"))
+    long = (
+        hil.crossJoin(F.broadcast(mo))
+        .select(
+            "a8",
+            "b8",
+            F.explode(
+                F.create_map(
+                    F.lit("natural"),
+                    F.expr(f"__ok * {n_natural} DIV (__mo + 1)"),
+                    F.lit("zorder"),
+                    F.expr(f"__zv DIV {bucket_width}"),
+                    F.lit("hilbert"),
+                    F.expr(f"__hv DIV {bucket_width}"),
+                )
+            ).alias("layout", "bucket"),
+        )
+    )
+    match = (
+        F.col("a8").between(lo, hi) & F.col("b8").between(lo, hi)
+    ).cast("long")
+    stats = long.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("a8").alias("min_a"),
+        F.max("a8").alias("max_a"),
+        F.min("b8").alias("min_b"),
+        F.max("b8").alias("max_b"),
+        F.sum(match).alias("nm"),
+    )
+    touched = (
+        (F.col("min_a") <= hi)
+        & (F.col("max_a") >= lo)
+        & (F.col("min_b") <= hi)
+        & (F.col("max_b") >= lo)
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(touched.cast("long")).cast("bigint").alias(
+                "buckets_touched"
+            ),
+            F.sum("n").cast("bigint").alias("rows_total"),
+            F.sum(F.when(touched, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("nm").cast("bigint").alias("rows_match"),
+        )
+        .select(
+            "layout",
+            "n_buckets",
+            "buckets_touched",
+            "rows_total",
+            "rows_scanned",
+            "rows_match",
+            F.expr(
+                "CAST(rows_scanned * 1000000 DIV rows_total AS BIGINT)"
+            ).alias("scan_ppm"),
+        )
+        .orderBy("layout")
+    )

@@ -516,3 +516,94 @@ def q_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("delta_rows") > 0)
     )
+
+
+PRUNE_LO, PRUNE_HI = 40, 71
+PRUNE_WIDTH = 192  # curve cells per file; NOT a power of 4 (see operator)
+
+
+def _layout_pruning_sql() -> str:
+    from ..operators.warehouse import hilbert_sql, zvalue_sql
+
+    base = (
+        "SELECT (CAST(l_partkey AS BIGINT) & 255) AS a8, "
+        "(CAST(l_suppkey AS BIGINT) & 255) AS b8, "
+        "CAST(l_orderkey AS BIGINT) AS ok FROM lineitem"
+    )
+    hil = hilbert_sql("a8", "b8", f"({base})")
+    zv = zvalue_sql("a8", "b8")
+    lo, hi = PRUNE_LO, PRUNE_HI
+    PRUNE_WIDTH_ = PRUNE_WIDTH
+    return f"""
+    WITH mo AS (SELECT MAX(CAST(l_orderkey AS BIGINT)) AS m FROM lineitem),
+    long AS (
+        SELECT 'hilbert' AS layout, hval // {PRUNE_WIDTH_} AS bucket,
+               a8, b8
+        FROM ({hil})
+        UNION ALL
+        SELECT 'zorder' AS layout, ({zv}) // {PRUNE_WIDTH_} AS bucket,
+               a8, b8
+        FROM ({base})
+        UNION ALL
+        SELECT 'natural' AS layout, ok * 256 // (mo.m + 1) AS bucket,
+               a8, b8
+        FROM ({base}) CROSS JOIN mo
+    ),
+    stats AS (
+        SELECT layout, bucket, COUNT(*) AS n,
+               MIN(a8) AS min_a, MAX(a8) AS max_a,
+               MIN(b8) AS min_b, MAX(b8) AS max_b,
+               SUM(CASE WHEN a8 BETWEEN {lo} AND {hi}
+                         AND b8 BETWEEN {lo} AND {hi}
+                   THEN 1 ELSE 0 END) AS nm
+        FROM long GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN min_a <= {hi} AND max_a >= {lo}
+                          AND min_b <= {hi} AND max_b >= {lo}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+           CAST(SUM(n) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN min_a <= {hi} AND max_a >= {lo}
+                          AND min_b <= {hi} AND max_b >= {lo}
+                    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(nm) AS BIGINT) AS rows_match,
+           CAST(SUM(CASE WHEN min_a <= {hi} AND max_a >= {lo}
+                          AND min_b <= {hi} AND max_b >= {lo}
+                    THEN n ELSE 0 END) * 1000000 // SUM(n) AS BIGINT)
+               AS scan_ppm
+    FROM stats
+    GROUP BY layout
+    ORDER BY layout
+    """
+
+
+@query("q_layout_pruning", _layout_pruning_sql())
+def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered-write business case, measured: for one 2-D range
+    predicate (both low bytes of (l_partkey, l_suppkey) in [40, 71] —
+    1/64 of the key space, deliberately unaligned to curve quadrants),
+    how many fixed-width "files" each physical layout forces a
+    min/max-skipping reader to scan. Natural (insertion-order) files
+    have full-range envelopes on both columns → zero skipping
+    (scan_ppm = 10⁶); the space-filling curves prune to a few percent,
+    and Hilbert beats Z-order (11 vs 13 files, 4,888 vs 5,775 rows at
+    sf0.01) because its unit-step contiguity has no Morton seams —
+    visible only because the file width (192 cells) is not a power of
+    4, which would make the two curves' buckets identical square
+    tiles. scan_ppm is the fraction of the table actually read — the
+    number that decides whether the sorted write is worth its range
+    shuffle.
+
+    Scale (operators/warehouse.layout_pruning_audit): all three bucket
+    ids are codegen bit-algebra on one scan; one shuffle to 3×256
+    envelope groups; 3-row result. The audit costs a single pass no
+    matter the table size — run it before committing a layout policy.
+    """
+    from ..operators.warehouse import layout_pruning_audit
+
+    li = table(spark, sf_dir, "lineitem")
+    return layout_pruning_audit(
+        li, "l_partkey", "l_suppkey", "l_orderkey", PRUNE_LO, PRUNE_HI,
+        bucket_width=PRUNE_WIDTH,
+    )
