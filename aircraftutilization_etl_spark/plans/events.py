@@ -1594,3 +1594,196 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ASSOC_TOPK = 100
+
+
+@query(
+    "q_events_assoc_rules",
+    f"""
+    WITH ui AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ui),
+    ci AS (SELECT item, COUNT(*) AS c FROM ui GROUP BY 1),
+    cab AS (
+        SELECT a.item AS antecedent, b.item AS consequent, COUNT(*) AS c
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent,
+           CAST(cab.c AS BIGINT) AS n_both,
+           CAST(cab.c * 1000000 // n.nu AS BIGINT) AS support_ppm,
+           CAST(cab.c * 1000000 // ca.c AS BIGINT) AS confidence_ppm,
+           CAST(cab.c * n.nu * 1000000 // (ca.c * cb.c) AS BIGINT)
+               AS lift_ppm
+    FROM cab
+      JOIN ci ca ON ca.item = cab.antecedent
+      JOIN ci cb ON cb.item = cab.consequent
+      CROSS JOIN n
+    ORDER BY lift_ppm DESC, antecedent, consequent
+    LIMIT {ASSOC_TOPK}
+    """,
+)
+def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over user→item observations: the 100
+    directed rules A→B with the highest lift, each carrying exact
+    integer-ppm support (share of users with both), confidence
+    (P(B|A)) and lift (observed co-occurrence over the independence
+    expectation) — the market-basket primitive behind "users who
+    clicked A also clicked B". Directionality matters: confidence is
+    asymmetric even though support and lift are not, which is what
+    distinguishes this from the PMI collocation view of the same
+    counts.
+
+    Determinism: all three measures are integer DIV over exact BIGINT
+    counts; the top-100 cut orders by (lift_ppm, antecedent,
+    consequent) — total and engine-independent.
+
+    Scale: per-user distinct item sets collapse map-side (same shape
+    as cooccurrence_pairs); the pair count is one shuffle; item counts
+    and the user total are dimension-sized broadcasts; the top-k is
+    TakeOrderedAndProject. Never |users|² — pairs form only through
+    the shared-user equi-join.
+    """
+    from ..operators.events import cooccurrence_pairs
+
+    ev = table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    cooc = cooccurrence_pairs(ui, "user_id", "item")
+    directed = cooc.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("n_keys").alias("n_both"),
+    ).unionByName(
+        cooc.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("n_keys").alias("n_both"),
+        )
+    )
+    distinct_ui = ui.distinct()
+    ci = distinct_ui.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    nu = distinct_ui.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    ca = ci.select(F.col("item").alias("antecedent"), F.col("c").alias("__ca"))
+    cb = ci.select(F.col("item").alias("consequent"), F.col("c").alias("__cb"))
+    return (
+        directed.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr("CAST(n_both * 1000000 DIV nu AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(n_both * 1000000 DIV __ca AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(n_both * nu * 1000000 DIV (__ca * __cb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "antecedent", "consequent")
+        .limit(ASSOC_TOPK)
+    )
+
+
+@query(
+    "q_events_concurrency",
+    """
+    WITH s AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, session_seq,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM (SELECT user_id, ts,
+                     SUM(is_start) OVER (
+                         PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM s)
+        GROUP BY user_id, session_seq
+    ),
+    deltas AS (
+        SELECT start_ts AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT end_ts AS t, -1 AS delta FROM sess
+    ),
+    run AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, -delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas
+    )
+    SELECT CAST(t AS DATE) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sessions_started
+    FROM run
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    (how many users were on AT ONCE, not per day): 30-minute-gap
+    sessions swept as +1/−1 boundary events with a global running sum;
+    starts sort before ends at the same instant, so back-to-back
+    sessions count as overlapping at the boundary (the conservative
+    capacity convention).
+
+    Determinism: ties within one (t, delta) group are same-signed, so
+    every ordering of peers yields the same per-day running-max —
+    the output is total-order-independent even though the intermediate
+    prefix values are not.
+
+    Scale: sessionization is the standard per-key window; the sweep is
+    2 rows per session through the two-phase range-partitioned global
+    cumsum (operators/sampling.global_running_sum — no
+    single-partition window), then a per-day rollup. Session count,
+    not event count, bounds the sweep.
+    """
+    from ..operators.events import sessionize
+    from ..operators.sampling import global_running_sum
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = (
+        sessionize(ev, "user_id", "ts", 30, order_cols=("event_id",))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    deltas = sess.select(
+        F.col("start_ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    ).withColumn("__dorder", -F.col("delta"))
+    run = global_running_sum(
+        deltas, ["t", "__dorder"], "delta", out_col="conc"
+    )
+    return (
+        run.groupBy(F.col("t").cast("date").alias("day"))
+        .agg(
+            F.max("conc").cast("bigint").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("sessions_started"),
+        )
+        .orderBy("day")
+    )
