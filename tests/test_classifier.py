@@ -96,3 +96,44 @@ class TestTraining:
         assert losses == pytest.approx(replay_losses, rel=1e-9)
         assert b == pytest.approx(bn, rel=1e-9)
         assert np.abs(np.array(w) - wn).max() < 1e-9
+
+
+class TestNaiveBayes:
+    def test_separable_corpus_perfect_diagonal(self, spark):
+        from aircraftutilization_etl_spark.operators.classifier import (
+            naive_bayes_confusion,
+        )
+
+        # two classes with disjoint vocabularies; ids chosen so the md5
+        # split leaves held-out docs in both classes
+        rows = [
+            (i, "alpha beta gamma", "en") for i in range(0, 40)
+        ] + [
+            (i, "uno dos tres", "es") for i in range(40, 80)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        conf = naive_bayes_confusion(df).collect()
+        got = {(r.actual, r.predicted): r.n_docs for r in conf}
+        assert all(a == p for (a, p) in got), got
+        # every held-out doc lands on the diagonal
+        assert sum(got.values()) > 0
+
+    def test_prior_decides_for_unseen_words(self, spark):
+        from aircraftutilization_etl_spark.operators.classifier import (
+            naive_bayes_confusion,
+        )
+
+        # held-out docs consist ONLY of OOV tokens; with equal smoothed
+        # likelihoods the majority-class prior must decide. Class sizes
+        # must survive the md5 split, so weight 'big' heavily.
+        rows = [(i, "common words here", "big") for i in range(0, 60)] + [
+            (i, "common words here", "small") for i in range(60, 64)
+        ] + [(i + 100, "zz qq vv", "small") for i in range(0, 6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        conf = naive_bayes_confusion(df).collect()
+        preds = {r.actual: r.predicted for r in conf if r.actual == "small"}
+        # the OOV held-out 'small' docs (if any survived the split) are
+        # pulled to 'big' by the prior; 'big' held-out stays 'big'
+        for r in conf:
+            if r.actual == "big":
+                assert r.predicted == "big"

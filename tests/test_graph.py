@@ -167,3 +167,38 @@ class TestKnnBfs:
         )
         got = {r.node: r.depth for r in bfs_depths(edges, 4).collect()}
         assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+class TestNeighborhoodJaccard:
+    def test_hand_computed_square(self, spark):
+        from aircraftutilization_etl_spark.operators.graph import (
+            neighborhood_jaccard,
+        )
+
+        # directed: N(1)={2,3}, N(2)={3}, N(3)={2}, N(4)={2,3}
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 2), (4, 2), (4, 3)],
+            "src long, dst long",
+        )
+        got = {
+            (r.node_a, r.node_b): (r.n_common, r.jaccard_ppm, r.is_edge)
+            for r in neighborhood_jaccard(edges).collect()
+        }
+        # (1,4): {2,3} vs {2,3} -> J=1, no edge either direction
+        assert got[(1, 4)] == (2, 1_000_000, False)
+        # (1,2): {2,3} vs {3} -> 1/2, edge 1->2 exists
+        assert got[(1, 2)] == (1, 500_000, True)
+        # (2,3): {3} vs {2} -> no shared neighbor: absent
+        assert (2, 3) not in got
+
+    def test_min_ppm_filters(self, spark):
+        from aircraftutilization_etl_spark.operators.graph import (
+            neighborhood_jaccard,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 2), (4, 2), (4, 3)],
+            "src long, dst long",
+        )
+        got = neighborhood_jaccard(edges, min_ppm=600_000).collect()
+        assert {(r.node_a, r.node_b) for r in got} == {(1, 4)}

@@ -695,3 +695,34 @@ class TestSkipgramPairs:
                 for j in (1, 2)
             ]
             assert r.negatives.split("|") == expect
+
+
+class TestPmiCollocations:
+    def test_hand_computed_counts(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            pmi_collocations,
+        )
+        import math
+
+        # "a b" x3, "a c" x2 -> bigrams: (a,b):3 (a,c):2; heads a:5;
+        # tails b:3 c:2; B=5
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "a c")],
+            "doc_id long, text string",
+        )
+        rows = pmi_collocations(df, min_count=1, k=10).collect()
+        got = {(r.w1, r.w2): (r.pair_count, r.pmi) for r in rows}
+        assert got[("a", "b")] == (3, round(math.log(3 * 5 / (5 * 3)), 6))
+        assert got[("a", "c")] == (2, round(math.log(2 * 5 / (5 * 2)), 6))
+
+    def test_min_count_floor_drops_hapax(self, spark):
+        from aircraftutilization_etl_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "p q")],
+            "doc_id long, text string",
+        )
+        rows = pmi_collocations(df, min_count=2, k=10).collect()
+        assert {(r.w1, r.w2) for r in rows} == {("x", "y")}

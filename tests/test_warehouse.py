@@ -403,3 +403,38 @@ class TestDeltaJoin:
         empty_a = a_old.limit(0)
         empty_b = b_old.limit(0)
         assert delta_join(a_old, empty_a, b_old, empty_b, on="k").count() == 0
+
+
+class TestLayoutPruningAudit:
+    def test_envelopes_and_invariants(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            layout_pruning_audit,
+        )
+
+        # 32x32 key grid spread over the full 8-bit curve domain
+        # (stride 8); insertion key is a multiplicative scramble of the
+        # row id so natural file chunks hold scattered keys
+        rows = [
+            ((i * 997) % 1024, (i % 32) * 8, ((i // 32) % 32) * 8)
+            for i in range(1, 1025)
+        ]
+        df = spark.createDataFrame(rows, "ok long, a long, b long")
+        out = {
+            r.layout: r
+            for r in layout_pruning_audit(
+                df, "a", "b", "ok", lo=40, hi=71, bucket_width=192
+            ).collect()
+        }
+        assert set(out) == {"natural", "zorder", "hilbert"}
+        # row totals and match counts agree across layouts
+        totals = {r.rows_total for r in out.values()}
+        matches = {r.rows_match for r in out.values()}
+        assert totals == {1024} and len(matches) == 1
+        # scattered-key natural files barely skip; clustered layouts
+        # scan several times less
+        assert out["natural"].scan_ppm >= 500_000
+        assert out["hilbert"].rows_scanned * 3 < out["natural"].rows_scanned
+        assert out["zorder"].rows_scanned * 3 < out["natural"].rows_scanned
+        # scanned rows always cover the matching rows
+        for r in out.values():
+            assert r.rows_scanned >= r.rows_match
