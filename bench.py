@@ -74,6 +74,9 @@ HEADLINE = [
     "q_events_attribution",  # bucketized one-sided lookback join
     "q_geo_proximity",  # 9-cell spatial equi-join, candidates-only verify
     "q_geo_track_length",  # one track-keyed window pass
+    "q_text_naive_bayes",  # closed-form training: two count aggs, JVM only
+    "q_layout_pruning",  # 3 layouts' bucket ids as bit-algebra on one scan
+    "q_events_concurrency",  # sweep-line peaks via two-phase global cumsum
 ]
 
 
