@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.similarity import (
     cosine_expr,
@@ -734,3 +735,258 @@ def q_emb_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+MMR_CANDIDATES = 20
+MMR_ROUNDS = 5
+
+
+def _mmr_sql() -> str:
+    """Iterative-CTE oracle for greedy MMR (kmeans/BPE style: every
+    selection round is replayed and hash-checked, not just the end
+    state)."""
+    parts = [
+        f"""
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES})""",
+        """
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings)""",
+        f"""
+    mmr_cand AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(cos * 1000000) AS BIGINT) AS simq_u FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   ROUND({_COSINE_SQL}, 6) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND({_COSINE_SQL}, 6) DESC, c.neighbor_id
+                   ) AS rnk
+            FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id)
+        WHERE rnk <= {MMR_CANDIDATES}
+    )""",
+        f"""
+    mmr_pair AS (
+        SELECT query_id, cand, other,
+               CAST(ROUND(ROUND({_COSINE_SQL}, 6) * 1000000) AS BIGINT)
+                   AS sim_u
+        FROM (
+            SELECT a.query_id, a.neighbor_id AS cand,
+                   b.neighbor_id AS other,
+                   ca.cv AS qv, cb.cv AS cv
+            FROM mmr_cand a
+              JOIN mmr_cand b ON a.query_id = b.query_id
+                             AND a.neighbor_id <> b.neighbor_id
+              JOIN c ca ON ca.neighbor_id = a.neighbor_id
+              JOIN c cb ON cb.neighbor_id = b.neighbor_id
+        )
+    )""",
+        """
+    sel1 AS (
+        SELECT query_id, neighbor_id, 2 * simq_u AS score_hu FROM (
+            SELECT query_id, neighbor_id, simq_u,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY simq_u DESC, neighbor_id)
+                       AS rn
+            FROM mmr_cand) WHERE rn = 1
+    )""",
+        """
+    selected1 AS (SELECT query_id, neighbor_id FROM sel1)""",
+    ]
+    for r in range(2, MMR_ROUNDS + 1):
+        parts.append(f"""
+    scored{r} AS (
+        SELECT cn.query_id, cn.neighbor_id,
+               cn.simq_u - m.mx_u AS score_hu
+        FROM mmr_cand cn
+          JOIN (SELECT p.query_id, p.cand AS neighbor_id,
+                       MAX(p.sim_u) AS mx_u
+                FROM mmr_pair p
+                  JOIN selected{r - 1} s
+                    ON s.query_id = p.query_id
+                   AND s.neighbor_id = p.other
+                GROUP BY p.query_id, p.cand) m
+            ON m.query_id = cn.query_id
+           AND m.neighbor_id = cn.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM selected{r - 1} s2
+                          WHERE s2.query_id = cn.query_id
+                            AND s2.neighbor_id = cn.neighbor_id)
+    )""")
+        parts.append(f"""
+    sel{r} AS (
+        SELECT query_id, neighbor_id, score_hu FROM (
+            SELECT query_id, neighbor_id, score_hu,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score_hu DESC, neighbor_id)
+                       AS rn
+            FROM scored{r}) WHERE rn = 1
+    )""")
+        parts.append(f"""
+    selected{r} AS (
+        SELECT query_id, neighbor_id FROM selected{r - 1}
+        UNION ALL SELECT query_id, neighbor_id FROM sel{r}
+    )""")
+    final = " UNION ALL ".join(
+        f"SELECT query_id, {r} AS round, neighbor_id, "
+        f"CAST(score_hu AS BIGINT) AS mmr_score_hu FROM sel{r}"
+        for r in range(1, MMR_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f" SELECT * FROM ({final}) ORDER BY query_id, round"
+    )
+
+
+@query("q_emb_mmr", _mmr_sql())
+def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval by Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): per query, greedily pick 5 of the exact top-20
+    candidates maximizing 0.5·sim(query, c) − 0.5·max sim(c, already
+    picked) — the dedup-at-serving-time operator that keeps a RAG
+    context window or a labeling batch from filling with five copies
+    of the same document. Every selection round is oracle-replayed
+    (kmeans-protocol style), not just the final set.
+
+    Determinism: similarities are converted to exact integer
+    micro-units immediately after the 6-dp rounding, so every score
+    (reported in HALF-micro units: score_hu = simq_u − max_sim_u, and
+    2·simq_u for the relevance-only first pick) is pure BIGINT
+    arithmetic — a float formulation of 0.5·(a−b) over 6-dp decimals
+    lands exactly on 7-dp rounding boundaries and flips between
+    engines' rounding modes, which is the bug class this avoids.
+
+    Scale: candidate generation is the existing corpus-streaming GEMM;
+    everything after runs on queries × 20 rows (pairwise sims: × 20²)
+    — constant per query, independent of corpus size. The greedy loop
+    is 5 driver-coordinated rounds over model-sized frames, the
+    legitimate O(k) iteration every MMR implementation has.
+    """
+    from ..operators.similarity import _as_double, cosine_expr
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    cand = (
+        cosine_topk(queries, e, MMR_CANDIDATES)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine") * 1_000_000)
+            .cast("bigint")
+            .alias("simq_u"),
+        )
+        .persist()
+    )
+    vecs = e.select(
+        F.col("vec_id").alias("__vid"),
+        _as_double(F.col("embedding")).alias("__v"),
+    )
+    ca = vecs.select(
+        F.col("__vid").alias("cand"), F.col("__v").alias("qv")
+    )
+    cb = vecs.select(
+        F.col("__vid").alias("other"), F.col("__v").alias("cv")
+    )
+    pair = (
+        cand.select("query_id", F.col("neighbor_id").alias("cand"))
+        .join(
+            cand.select(
+                F.col("query_id").alias("__q2"),
+                F.col("neighbor_id").alias("other"),
+            ),
+            (F.col("query_id") == F.col("__q2"))
+            & (F.col("cand") != F.col("other")),
+        )
+        .join(ca, "cand")
+        .join(cb, "other")
+        .select(
+            "query_id",
+            "cand",
+            "other",
+            F.round(
+                F.round(cosine_expr(F.col("qv"), F.col("cv")), 6)
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("sim_u"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_hu"), "neighbor_id"
+    )
+    sel = (
+        cand.withColumn("score_hu", 2 * F.col("simq_u"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", F.lit(1).alias("round"), "neighbor_id", "score_hu"
+        )
+        .localCheckpoint(eager=True)
+    )
+    picked = sel.select("query_id", "neighbor_id")
+    for r in range(2, MMR_ROUNDS + 1):
+        mx = (
+            pair.join(
+                picked.select(
+                    F.col("query_id").alias("__qp"),
+                    F.col("neighbor_id").alias("__op"),
+                ),
+                (F.col("query_id") == F.col("__qp"))
+                & (F.col("other") == F.col("__op")),
+            )
+            .groupBy("query_id", "cand")
+            .agg(F.max("sim_u").alias("mx_u"))
+            .select(
+                F.col("query_id").alias("__qm"),
+                F.col("cand").alias("neighbor_id"),
+                "mx_u",
+            )
+        )
+        scored = (
+            cand.join(
+                mx,
+                (cand["query_id"] == F.col("__qm"))
+                & (cand["neighbor_id"] == mx["neighbor_id"]),
+            )
+            .select(
+                cand["query_id"],
+                cand["neighbor_id"],
+                (F.col("simq_u") - F.col("mx_u")).alias("score_hu"),
+            )
+            .join(
+                picked.select(
+                    F.col("query_id").alias("__qs"),
+                    F.col("neighbor_id").alias("__ns"),
+                ),
+                (F.col("query_id") == F.col("__qs"))
+                & (F.col("neighbor_id") == F.col("__ns")),
+                "left_anti",
+            )
+        )
+        pick_r = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).alias("round"),
+                "neighbor_id",
+                "score_hu",
+            )
+            .localCheckpoint(eager=True)
+        )
+        sel = sel.unionByName(pick_r)
+        picked = sel.select("query_id", "neighbor_id")
+    out = (
+        sel.select(
+            "query_id",
+            "round",
+            "neighbor_id",
+            F.col("score_hu").cast("bigint").alias("mmr_score_hu"),
+        )
+        .orderBy("query_id", "round")
+        .localCheckpoint(eager=True)
+    )
+    cand.unpersist()
+    pair.unpersist()
+    return out
