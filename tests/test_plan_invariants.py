@@ -53,6 +53,8 @@ PURE_JVM_PREFIXES = (
     # ground-truth leg is the sanctioned GEMM kernel — pinned below)
     "q_bloom_", "q_dedup_keep_best", "q_dedup_edit", "q_snapshot_",
     "q_token_",
+    # round-4 additions that must stay JVM-pure
+    "q_layout_", "q_privacy_", "q_outlier_",
 )
 
 PURE_JVM_EXACT = ("q_emb_kmeans",)
