@@ -1787,3 +1787,250 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+BOT_TOPN = 10
+
+
+@query(
+    "q_events_bot_screen",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+                   - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS span_s
+        FROM events GROUP BY user_id
+    ),
+    rate AS (
+        SELECT user_id, n_events,
+               CAST(n_events * 86400000000 // span_s AS BIGINT)
+                   AS rate_ppm
+        FROM per_user WHERE span_s >= 3600
+    ),
+    mono AS (
+        SELECT user_id,
+               CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS mono_ppm
+        FROM (SELECT user_id, event_type, COUNT(*) AS c
+              FROM events GROUP BY 1, 2)
+        GROUP BY user_id
+    ),
+    burst AS (
+        SELECT user_id,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS same_sec_pairs
+        FROM (SELECT user_id, date_trunc('second', ts) AS s,
+                     COUNT(*) AS c
+              FROM events GROUP BY 1, 2)
+        GROUP BY user_id
+    ),
+    feat AS (
+        SELECT r.user_id, r.n_events, r.rate_ppm, m.mono_ppm,
+               b.same_sec_pairs,
+               ROW_NUMBER() OVER (ORDER BY r.rate_ppm DESC, r.user_id)
+                   AS rk_rate,
+               ROW_NUMBER() OVER (ORDER BY m.mono_ppm DESC, r.user_id)
+                   AS rk_mono,
+               ROW_NUMBER() OVER (ORDER BY b.same_sec_pairs DESC,
+                                  r.user_id) AS rk_burst
+        FROM rate r JOIN mono m USING (user_id)
+          JOIN burst b USING (user_id)
+    )
+    SELECT user_id, n_events, rate_ppm, mono_ppm, same_sec_pairs,
+           rk_rate <= {BOT_TOPN} AS flag_rate,
+           rk_mono <= {BOT_TOPN} AS flag_mono,
+           rk_burst <= {BOT_TOPN} AS flag_burst
+    FROM feat
+    WHERE rk_rate <= {BOT_TOPN} OR rk_mono <= {BOT_TOPN}
+       OR rk_burst <= {BOT_TOPN}
+    ORDER BY user_id
+    """,
+)
+def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/bot screening shortlist — the traffic-hygiene gate a
+    training-data pipeline runs before events feed any model: the
+    top-10 users by each of three integer-exact machine signals —
+    sustained event RATE (events/day, ppm), MONOTYPE share (one event
+    type dominating), and same-second BURST pairs (the machine-gun
+    fingerprint no human interaction pattern produces). Rank-based
+    flags (not absolute thresholds) keep the screen distribution-free;
+    an operator reviews the shortlist, not 10⁶ raw scores.
+
+    Determinism: every feature is BIGINT arithmetic over exact counts
+    and epoch seconds; flags come from total-ordered ranks (value
+    desc, user asc).
+
+    Scale: three hash aggregates over (user), (user, type),
+    (user, second) — all map-side combined; the rank windows run over
+    the user-count-sized feature table, and a production run would
+    TakeOrderedAndProject each signal instead of ranking all users.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "span_s"
+        ),
+    )
+    rate = per_user.filter(F.col("span_s") >= 3600).select(
+        "user_id",
+        "n_events",
+        F.expr("CAST(n_events * 86400000000 DIV span_s AS BIGINT)").alias(
+            "rate_ppm"
+        ),
+    )
+    mono = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(MAX(c) * 1000000 DIV SUM(c) AS BIGINT)").alias(
+                "mono_ppm"
+            )
+        )
+    )
+    burst = (
+        ev.groupBy("user_id", F.date_trunc("second", F.col("ts")).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias(
+                "same_sec_pairs"
+            )
+        )
+    )
+    feat = rate.join(mono, "user_id").join(burst, "user_id")
+    feat = feat.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rate_ppm"), "user_id"))
+        .alias("rk_rate"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("mono_ppm"), "user_id"))
+        .alias("rk_mono"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("same_sec_pairs"), "user_id"))
+        .alias("rk_burst"),
+    )
+    n = BOT_TOPN
+    return (
+        feat.filter(
+            (F.col("rk_rate") <= n)
+            | (F.col("rk_mono") <= n)
+            | (F.col("rk_burst") <= n)
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "rate_ppm",
+            "mono_ppm",
+            "same_sec_pairs",
+            (F.col("rk_rate") <= n).alias("flag_rate"),
+            (F.col("rk_mono") <= n).alias("flag_mono"),
+            (F.col("rk_burst") <= n).alias("flag_burst"),
+        )
+        .orderBy("user_id")
+    )
+
+
+FORECAST_EVAL_DAYS = 7
+
+
+@query(
+    "q_events_forecast_snaive",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    anchor AS (SELECT MAX(day) AS maxd FROM daily),
+    eval_days AS (
+        SELECT d.event_type, d.day, d.c,
+               s.c AS pred_snaive, n.c AS pred_naive
+        FROM daily d
+          CROSS JOIN anchor a
+          JOIN daily s ON s.event_type = d.event_type
+                      AND s.day = d.day - INTERVAL 7 DAY
+          JOIN daily n ON n.event_type = d.event_type
+                      AND n.day = d.day - INTERVAL 1 DAY
+        WHERE d.day > a.maxd - INTERVAL {FORECAST_EVAL_DAYS} DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(c - pred_snaive)) AS BIGINT) AS abs_err_snaive,
+           CAST(SUM(abs(c - pred_naive)) AS BIGINT) AS abs_err_naive,
+           CASE WHEN SUM(abs(c - pred_snaive)) < SUM(abs(c - pred_naive))
+                THEN 'seasonal_naive'
+                WHEN SUM(abs(c - pred_snaive)) > SUM(abs(c - pred_naive))
+                THEN 'naive' ELSE 'tie' END AS better_baseline
+    FROM eval_days
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation on the stream's own history: for
+    the last 7 days, score the SEASONAL-NAIVE forecast (same weekday
+    last week) against the plain naive one (yesterday) per event type
+    by total absolute error — the honest floor every real forecasting
+    model must beat before it ships, and the weekly-seasonality
+    detector in one number (seasonal-naive winning = weekday structure
+    exists).
+
+    Determinism: integer daily counts, integer errors; calendar joins
+    (day − 7, day − 1) rather than row offsets, so a missing day drops
+    the evaluation point instead of silently mispairing.
+
+    Scale: one map-combined rollup to (type, day), two self-equi-joins
+    on the calendar key over the tiny rollup, a per-type reduce.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    anchor = daily.agg(F.max("day").alias("maxd"))
+    s = daily.select(
+        F.col("event_type"),
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("c").alias("pred_snaive"),
+    )
+    n1 = daily.select(
+        F.col("event_type"),
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("c").alias("pred_naive"),
+    )
+    ev_days = (
+        daily.join(s, ["event_type", "day"])
+        .join(n1, ["event_type", "day"])
+        .crossJoin(F.broadcast(anchor))
+        .filter(
+            F.col("day") > F.date_sub(F.col("maxd"), FORECAST_EVAL_DAYS)
+        )
+    )
+    err_s = F.abs(F.col("c") - F.col("pred_snaive"))
+    err_n = F.abs(F.col("c") - F.col("pred_naive"))
+    return (
+        ev_days.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(err_s).cast("bigint").alias("abs_err_snaive"),
+            F.sum(err_n).cast("bigint").alias("abs_err_naive"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "abs_err_snaive",
+            "abs_err_naive",
+            F.when(
+                F.col("abs_err_snaive") < F.col("abs_err_naive"),
+                F.lit("seasonal_naive"),
+            )
+            .when(
+                F.col("abs_err_snaive") > F.col("abs_err_naive"),
+                F.lit("naive"),
+            )
+            .otherwise(F.lit("tie"))
+            .alias("better_baseline"),
+        )
+        .orderBy("event_type")
+    )
