@@ -131,3 +131,58 @@ def compact_rollup(spark: SparkSession, path: str, spec: RollupSpec) -> int:
             True,
         )
     return len(live)
+
+
+ERASURE_EPOCH_BASE = -2  # erasure partials live at epoch = -2 - erasure_id
+
+
+def apply_erasure(
+    erased_rows: DataFrame, erasure_id: int, path: str, spec: RollupSpec
+) -> None:
+    """Apply a right-to-be-forgotten batch to the maintained rollup by
+    writing the erased rows' NEGATED partial as its own epoch — the
+    streaming-sink realization of q_privacy_erasure's decrement
+    semantics: the standing 100 TB artifact is never rescanned, the
+    deletion costs |erased rows| aggregated map-side, and the read-side
+    merge nets the contribution out exactly.
+
+    Retraction is only sound for subtractable measures, so specs with
+    mins/maxs are REJECTED (an erased row that held the min would leave
+    a stale bound — recompute or keep a heap-per-group sketch for
+    those). Idempotent like the batch epochs: one erasure id → one
+    epoch directory (epoch = -2 - erasure_id, below the compaction
+    base) → replaying a deletion request overwrites identical bytes.
+    Compaction folds erasure epochs like any other partial, after
+    which the erased users are unrecoverable from the sink — the
+    property a deletion request actually demands.
+    """
+    if spec.mins or spec.maxs:
+        raise ValueError(
+            "erasure requires subtractable measures only (sums/count); "
+            f"spec has mins={list(spec.mins)} maxs={list(spec.maxs)}"
+        )
+    if erasure_id < 0:
+        raise ValueError("erasure_id must be >= 0")
+    from pyspark.sql import functions as F
+
+    partial = partial_rollup(
+        erased_rows, spec.keys, spec.sums, (), (), spec.count_col
+    )
+    negated = partial.select(
+        *spec.keys,
+        (-F.col(spec.count_col)).alias(spec.count_col),
+        *[(-F.col(f"sum_{c}")).alias(f"sum_{c}") for c in spec.sums],
+    )
+    negated.write.mode("overwrite").parquet(
+        f"{path}/epoch={ERASURE_EPOCH_BASE - erasure_id}"
+    )
+
+
+def read_rollup_live(
+    spark: SparkSession, path: str, spec: RollupSpec
+) -> DataFrame:
+    """read_rollup minus fully-erased groups (net count 0) — what a
+    serving reader should see after erasures."""
+    from pyspark.sql import functions as F
+
+    return read_rollup(spark, path, spec).filter(F.col(spec.count_col) > 0)

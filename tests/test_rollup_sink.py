@@ -158,3 +158,79 @@ class TestStreamingCountMin:
             ).collect()
         }
         assert streamed == whole
+
+
+SUM_SPEC = RollupSpec(keys=["event_type"], sums=["cents"])
+
+
+class TestErasure:
+    def _rows(self, spark, rows):
+        return spark.createDataFrame(rows, "event_type string, cents long")
+
+    def test_decrement_equals_recompute_over_survivors(
+        self, spark, tmp_path
+    ):
+        from aircraftutilization_etl_spark.streaming.rollup_sink import (
+            apply_erasure,
+            read_rollup_live,
+        )
+
+        path = str(tmp_path / "rollup")
+        b0 = [("click", 100), ("view", 50), ("click", 10)]
+        b1 = [("click", 7), ("purchase", 900)]
+        write_epoch_partial(self._rows(spark, b0), 0, path, SUM_SPEC)
+        write_epoch_partial(self._rows(spark, b1), 1, path, SUM_SPEC)
+        # erase one click row and the whole purchase group
+        erased = [("click", 10), ("purchase", 900)]
+        apply_erasure(self._rows(spark, erased), 0, path, SUM_SPEC)
+        got = {
+            tuple(r)
+            for r in read_rollup_live(spark, path, SUM_SPEC)
+            .select("event_type", "n_rows", "sum_cents")
+            .collect()
+        }
+        assert got == {("click", 2, 107), ("view", 1, 50)}
+
+    def test_erasure_replay_is_idempotent_and_compaction_folds(
+        self, spark, tmp_path
+    ):
+        from aircraftutilization_etl_spark.streaming.rollup_sink import (
+            apply_erasure,
+            read_rollup_live,
+        )
+
+        path = str(tmp_path / "rollup")
+        write_epoch_partial(
+            self._rows(spark, [("click", 100), ("view", 50)]), 0, path,
+            SUM_SPEC,
+        )
+        erased = self._rows(spark, [("view", 50)])
+        apply_erasure(erased, 0, path, SUM_SPEC)
+        apply_erasure(erased, 0, path, SUM_SPEC)  # replayed request
+        got = {
+            tuple(r)
+            for r in read_rollup_live(spark, path, SUM_SPEC)
+            .select("event_type", "n_rows", "sum_cents")
+            .collect()
+        }
+        assert got == {("click", 1, 100)}
+        # compaction folds the erasure epoch; the erased group is gone
+        # from the base partial itself, not just filtered at read time
+        assert compact_rollup(spark, path, SUM_SPEC) >= 1
+        assert {
+            tuple(r)
+            for r in read_rollup_live(spark, path, SUM_SPEC)
+            .select("event_type", "n_rows", "sum_cents")
+            .collect()
+        } == {("click", 1, 100)}
+
+    def test_rejects_non_subtractable_spec(self, spark, tmp_path):
+        from aircraftutilization_etl_spark.streaming.rollup_sink import (
+            apply_erasure,
+        )
+
+        with pytest.raises(ValueError, match="subtractable"):
+            apply_erasure(
+                self._rows(spark, [("click", 1)]), 0,
+                str(tmp_path / "r"), SPEC,
+            )
