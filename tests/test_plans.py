@@ -318,3 +318,71 @@ class TestSession3PlanShapes:
         # exactly 3 join nodes
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Join ") == 3
+
+
+class TestSession4PlanShapes:
+    """Exchange budgets + no-nested-loop pins for the session-4
+    operators (COVERAGE.md session-4 table)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_welch_is_one_scan_two_aggregates(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import (
+            count_exchanges,
+            executed_plan,
+        )
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        df = CATALOG["q_events_welch"].spark(spark, self.SF)
+        plan = executed_plan(df)
+        assert plan.count("FileScan") == 1  # one pass over the facts
+        assert count_exchanges(df) <= 3  # group agg + 1-row reduce
+        assert "Join" not in plan  # pivoted by conditional agg, no join
+
+    def test_layout_pruning_is_one_scan_no_joins_beyond_scalar(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        plan = executed_plan(CATALOG["q_layout_pruning"].spark(spark, self.SF))
+        # the only join is the 1-row max-orderkey broadcast; never a
+        # nested loop over data
+        assert "CartesianProduct" not in plan
+        assert plan.count("FileScan") <= 2  # data scan + scalar-max scan
+
+    def test_assoc_rules_take_ordered_topk(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        plan = executed_plan(
+            CATALOG["q_events_assoc_rules"].spark(spark, self.SF)
+        )
+        assert "TakeOrderedAndProject" in plan  # top-100, no global sort
+        assert "CartesianProduct" not in plan
+
+    def test_concurrency_has_no_single_partition_window(self, spark):
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        df = CATALOG["q_events_concurrency"].spark(spark, self.SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every Window node must be partitioned (the global cumsum runs
+        # through the two-phase range-partitioned form, windowed by
+        # __pid; sessionization windows by user). A partitioned Window
+        # line prints three bracket groups ([exprs], [partition],
+        # [order]); an unpartitioned one only two.
+        window_lines = [
+            ln for ln in plan.splitlines() if "Window [" in ln
+        ]
+        assert window_lines, "expected Window nodes in concurrency plan"
+        for ln in window_lines:
+            assert ln.count("], [") >= 2, f"unpartitioned Window: {ln}"
+
+    def test_erasure_decrement_never_rescans_standing_side_twice(
+        self, spark
+    ):
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        plan = executed_plan(CATALOG["q_privacy_erasure"].spark(spark, self.SF))
+        # two aggregates joined on the group key; no nested loop
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
