@@ -364,17 +364,21 @@ class TestSession4PlanShapes:
 
         df = CATALOG["q_events_concurrency"].spark(spark, self.SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # every Window node must be partitioned (the global cumsum runs
-        # through the two-phase range-partitioned form, windowed by
-        # __pid; sessionization windows by user). A partitioned Window
-        # line prints three bracket groups ([exprs], [partition],
-        # [order]); an unpartitioned one only two.
+        # every DATA-sized Window node must be partitioned (sessionize
+        # by user, local cumsum by __pid). The ONE sanctioned
+        # unpartitioned window is the two-phase cumsum's prefix-offset
+        # pass, which runs over the partition-TOTALS table
+        # (n_partitions rows — bounded by design, that is the whole
+        # point of the two-phase form). A partitioned Window line
+        # prints three bracket groups; an unpartitioned one two.
         window_lines = [
             ln for ln in plan.splitlines() if "Window [" in ln
         ]
         assert window_lines, "expected Window nodes in concurrency plan"
         for ln in window_lines:
-            assert ln.count("], [") >= 2, f"unpartitioned Window: {ln}"
+            if ln.count("], [") >= 2:
+                continue  # partitioned
+            assert "__part_total" in ln, f"unpartitioned data Window: {ln}"
 
     def test_erasure_decrement_never_rescans_standing_side_twice(
         self, spark
