@@ -990,3 +990,86 @@ def q_emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand.unpersist()
     pair.unpersist()
     return out
+
+
+KNN_CLS_K = 5
+
+
+@query(
+    "q_emb_knn_classifier",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, label AS nbr_label,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    nn AS (
+        SELECT query_id, true_label, nbr_label FROM (
+            SELECT q.query_id, q.true_label, c.nbr_label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND({_COSINE_SQL}, 6) DESC, c.neighbor_id
+                   ) AS rank
+            FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id)
+        WHERE rank <= {KNN_CLS_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, nbr_label AS pred_label,
+               COUNT(*) AS v
+        FROM nn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT query_id, true_label, pred_label FROM (
+            SELECT query_id, true_label, pred_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY v DESC, pred_label) AS rn
+            FROM votes) WHERE rn = 1
+    )
+    SELECT true_label, pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval (k=5, majority vote, ties → smallest
+    label) of the embedding labels against exact-cosine neighbors,
+    reported as a confusion matrix — the zero-training classifier
+    baseline (and the standard embedding-quality probe: if 5-NN can't
+    recover the label, the space doesn't separate the classes). Third
+    member of the classifier-eval family next to nearest-centroid
+    (q_emb_centroid_confusion) and Naive Bayes (q_text_naive_bayes).
+
+    Determinism: neighbor sets are the hash-proven rounded-cosine
+    rankings; votes are integer counts, tie-break by label.
+
+    Scale: one corpus-streaming GEMM per query batch (the cosine_topk
+    kernel); voting and the argmax run over queries × k rows.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    nn = cosine_topk(queries, e, KNN_CLS_K).select("query_id", "neighbor_id")
+    labels = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("pred_label"),
+    )
+    truth = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), "pred_label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label", "pred_label")
+    )
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+        .orderBy("true_label", "pred_label")
+    )
