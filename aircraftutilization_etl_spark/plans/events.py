@@ -2034,3 +2034,76 @@ def q_events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_events_anomaly_seasonal",
+    """
+    WITH cells AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    prof AS (
+        SELECT event_type, hod,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.day, c.hod, c.c AS n_events,
+           ROUND(p.s / CAST(p.n_days AS DOUBLE), 4) AS hod_mean
+    FROM cells c JOIN prof p
+      ON p.event_type = c.event_type AND p.hod = c.hod
+    WHERE p.n_days >= 7
+      AND (c.c * p.n_days - p.s) > 0
+      AND (c.c * p.n_days - p.s) * (c.c * p.n_days - p.s)
+          > 4 * (p.n_days * p.ss - p.s * p.s)
+    ORDER BY c.event_type, c.day, c.hod
+    """,
+)
+def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED volume anomalies: each (type, day, hour)
+    cell is compared against its own hour-of-day profile — a 2-sigma
+    spike at 3am is an incident even when 3pm routinely runs higher,
+    which the global-mean screen (q_events_error_anomalies)
+    structurally misses. The 2σ test is evaluated in pure integers by
+    clearing denominators: with population σ² = (n·ss − s²)/n²,
+    c > mean + 2σ  ⇔  (c·n − s) > 0 and (c·n − s)² > 4·(n·ss − s²) —
+    no float enters the predicate, so
+    cross-engine agreement is exact (the reported mean is decorative,
+    rounded at the edge).
+
+    Scale: one map-combined rollup to (type, day, hour) cells, one
+    profile aggregate over them (type × 24 rows, broadcast back), a
+    filtered join. The population-variance form keeps both moments
+    exact BIGINTs.
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    prof = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = cells.join(F.broadcast(prof), ["event_type", "hod"])
+    dev = F.col("c") * F.col("n_days") - F.col("s")
+    var_num = F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        j.filter((F.col("n_days") >= 7) & (dev > 0) & (dev * dev > 4 * var_num))
+        .select(
+            "event_type",
+            "day",
+            "hod",
+            F.col("c").alias("n_events"),
+            F.round(F.col("s") / F.col("n_days").cast("double"), 4).alias(
+                "hod_mean"
+            ),
+        )
+        .orderBy("event_type", "day", "hod")
+    )
