@@ -526,3 +526,48 @@ def layout_pruning_audit(
         )
         .orderBy("layout")
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    delta: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Incrementally fold a change-log ``delta`` into an existing SCD2
+    ``history`` (output shape of :func:`scd2_history`) — the
+    MERGE-free maintenance step a dimension table runs per ingest
+    batch instead of rebuilding its whole history.
+
+    Contract (the streaming reality this is built for): inserts only,
+    and every delta row is later than every history row of its key —
+    late/out-of-order arrivals belong in a watermark buffer upstream,
+    not here.
+
+    How it stays incremental: closed versions can never change under
+    the append-only contract, so they pass through untouched. Only
+    each affected key's OPEN version (re-seeded as a pseudo-change at
+    its original valid_from) plus its delta rows are re-run through
+    the scd2_history window — cost ∝ |delta| + |affected open
+    versions|, never |history|. Applying batch B to history(E) equals
+    scd2_history(E ∪ B) exactly; the catalog query hash-proves it
+    against the full-rebuild oracle.
+
+    Scale: one shuffle of the delta on ``key`` (the semi/anti joins
+    against open versions broadcast the affected-key set when it is
+    batch-sized); the recompute window sorts only the touched slice.
+    """
+    cols = [key, *attrs, ts_col, tiebreak]
+    open_rows = history.filter(F.col("is_current"))
+    closed = history.filter(~F.col("is_current"))
+    affected = delta.select(key).distinct()
+    seed = open_rows.join(affected, key, "left_semi").select(*cols)
+    seg_input = seed.unionByName(delta.select(*cols))
+    recomputed = scd2_history(seg_input, key, attrs, ts_col, tiebreak)
+    untouched_open = open_rows.join(affected, key, "left_anti")
+    return (
+        closed.unionByName(untouched_open)
+        .unionByName(recomputed.select(*closed.columns))
+    )

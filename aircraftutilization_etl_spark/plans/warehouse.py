@@ -607,3 +607,67 @@ def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_partkey", "l_suppkey", "l_orderkey", PRUNE_LO, PRUNE_HI,
         bucket_width=PRUNE_WIDTH,
     )
+
+
+@query(
+    "q_scd2_apply",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BIGINT) AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance, hash-proven exact: the history is
+    built from the pre-Jan-25 change log, then the Jan-25-onward batch
+    is APPLIED (operators/warehouse.scd2_apply) — closed versions pass
+    through untouched, only affected keys' open versions plus their
+    delta rows re-enter the window — and the result must equal the
+    oracle's full rebuild over the entire log, version boundary for
+    version boundary. This is the per-ingest cost model a dimension
+    table needs at 100 TB: each batch costs the batch, not the
+    history.
+
+    Scale: see scd2_apply — delta-keyed shuffle + touched-slice
+    window; the full-history pass exists only on the oracle side.
+    """
+    from ..operators.warehouse import scd2_apply
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    v1 = ev.filter(F.col("ts") < _CUT2)
+    delta = ev.filter(F.col("ts") >= _CUT2)
+    hist1 = scd2_history(
+        v1, key="user_id", attrs=["event_type"], ts_col="ts",
+        tiebreak="event_id",
+    )
+    applied = scd2_apply(
+        hist1, delta, key="user_id", attrs=["event_type"], ts_col="ts",
+        tiebreak="event_id",
+    )
+    return applied.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("bigint").alias("is_current"),
+    ).orderBy("user_id", "valid_from")

@@ -438,3 +438,65 @@ class TestLayoutPruningAudit:
         # scanned rows always cover the matching rows
         for r in out.values():
             assert r.rows_scanned >= r.rows_match
+
+
+class TestScd2Apply:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, attr string, ts long, tie long"
+        )
+
+    def test_apply_equals_full_rebuild(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            scd2_apply,
+            scd2_history,
+        )
+
+        old = [(1, "a", 10, 1), (1, "b", 20, 2), (2, "x", 5, 3)]
+        new = [(1, "b", 30, 4), (1, "c", 40, 5), (3, "q", 50, 6)]
+        hist = scd2_history(self._ev(spark, old), "k", ["attr"], "ts", "tie")
+        applied = scd2_apply(
+            hist, self._ev(spark, new), "k", ["attr"], "ts", "tie"
+        )
+        full = scd2_history(
+            self._ev(spark, old + new), "k", ["attr"], "ts", "tie"
+        )
+        key = ["k", "attr", "valid_from", "valid_to", "is_current"]
+        assert sorted(map(tuple, applied.select(*key).collect())) == sorted(
+            map(tuple, full.select(*key).collect())
+        )
+
+    def test_same_attr_delta_extends_open_version(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            scd2_apply,
+            scd2_history,
+        )
+
+        hist = scd2_history(
+            self._ev(spark, [(1, "a", 10, 1)]), "k", ["attr"], "ts", "tie"
+        )
+        applied = scd2_apply(
+            hist, self._ev(spark, [(1, "a", 99, 2)]), "k", ["attr"], "ts",
+            "tie",
+        )
+        rows = applied.collect()
+        # no new version: one row, original valid_from, still open
+        assert len(rows) == 1
+        assert rows[0]["valid_from"] == 10 and rows[0]["is_current"]
+
+    def test_untouched_keys_pass_through(self, spark):
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            scd2_apply,
+            scd2_history,
+        )
+
+        hist = scd2_history(
+            self._ev(spark, [(1, "a", 10, 1), (2, "x", 5, 2)]),
+            "k", ["attr"], "ts", "tie",
+        )
+        applied = scd2_apply(
+            hist, self._ev(spark, [(1, "b", 20, 3)]), "k", ["attr"], "ts",
+            "tie",
+        )
+        two = [r for r in applied.collect() if r["k"] == 2]
+        assert len(two) == 1 and two[0]["is_current"]
