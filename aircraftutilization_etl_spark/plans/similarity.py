@@ -1073,3 +1073,100 @@ def q_emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
         .orderBy("true_label", "pred_label")
     )
+
+
+HARD_NEG_K = 3
+
+
+@query(
+    "q_emb_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, ROUND({_COSINE_SQL}, 6) AS cosine
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    pos AS (
+        SELECT query_id, neighbor_id, cosine, 'positive' AS role
+        FROM scored WHERE cosine >= {NEAR_DUP_COSINE}
+    ),
+    neg AS (
+        SELECT query_id, neighbor_id, cosine, 'hard_negative' AS role
+        FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rn
+            FROM scored WHERE cosine < {NEAR_DUP_COSINE})
+        WHERE rn <= {HARD_NEG_K}
+    )
+    SELECT query_id, neighbor_id, cosine, role
+    FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+    WHERE query_id IN (SELECT query_id FROM pos)
+    ORDER BY query_id, role, neighbor_id
+    """,
+)
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector that HAS a positive (cosine ≥ 0.35 — the near-dup
+    threshold), emit its positives plus the 3 highest-cosine vectors
+    just BELOW the threshold — the near-misses that carry the training
+    signal (random negatives are trivially separable; hard ones define
+    the decision boundary). The deterministic complement to
+    q_emb_triplets' md5-drawn random negatives.
+
+    Scale: the corpus streams once against the broadcast 50-query set
+    (JVM cosine fold — the expression twin of the GEMM kernel; swap in
+    cosine_topk's Arrow path when the query set grows); the role split
+    and per-query top-k run on the scored set; anchors without
+    positives drop via a semi-join on the positive set.
+
+    Reference basis: SURVEY.md §8 (contrastive pair mining).
+    """
+    from ..operators.similarity import _as_double
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.expr("query_id <> neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    pos = scored.filter(F.col("cosine") >= NEAR_DUP_COSINE).select(
+        "query_id", "neighbor_id", "cosine", F.lit("positive").alias("role")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    neg = (
+        scored.filter(F.col("cosine") < NEAR_DUP_COSINE)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.lit("hard_negative").alias("role"),
+        )
+    )
+    anchors = pos.select("query_id").distinct()
+    return (
+        pos.unionByName(neg)
+        .join(anchors, "query_id", "left_semi")
+        .orderBy("query_id", "role", "neighbor_id")
+    )
