@@ -576,3 +576,48 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q_decimal_exact_totals",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(l_extendedprice AS DECIMAL(14, 2))) AS total_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(14, 2))
+               * CAST(1 - l_discount AS DECIMAL(14, 6))) AS total_disc_price,
+           MIN(CAST(l_extendedprice AS DECIMAL(14, 2))) AS min_price,
+           MAX(CAST(l_extendedprice AS DECIMAL(14, 2))) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic on DECIMAL, the type the engine owes finance
+    consumers: prices cast to DECIMAL(14,2) and summed EXACTLY —
+    including a DECIMAL×DECIMAL product (discounted price) whose scale
+    arithmetic both engines must agree on — with no float on any
+    aggregation path. The integer-cents trick used elsewhere is the
+    manual form of this; here the type system carries the exactness,
+    and the hash match certifies Spark's and DuckDB's decimal
+    addition, promotion, and rounding rules coincide on this shape.
+
+    Scale: plain hash aggregate with map-side combine; Spark decimals
+    up to precision 18 stay in a compact unscaled-long representation,
+    so the exactness is not paid for in memory.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(14,6)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(price).alias("total_price"),
+            F.sum(price * disc).alias("total_disc_price"),
+            F.min(price).alias("min_price"),
+            F.max(price).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
