@@ -621,3 +621,133 @@ def q_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_null_semantics",
+    """
+    WITH t AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
+                   AS bal,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(bal) AS BIGINT) AS n_bal,
+           CAST(SUM(CASE WHEN bal IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_null,
+           ROUND(SUM(COALESCE(bal, 0)), 2) AS total_bal,
+           ROUND(MIN(bal), 2) AS min_bal,
+           CAST(SUM(CASE WHEN NULLIF(seg, 'MACHINERY') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery_or_null
+    FROM t
+    GROUP BY seg
+    ORDER BY seg NULLS FIRST
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL null-semantics surface in one query: NULL group keys
+    form their own group, COUNT(col) skips nulls while COUNT(*) does
+    not, null-safe comparison (IS NOT DISTINCT FROM / <=>) counts the
+    nulls an ordinary predicate silently drops, COALESCE/NULLIF
+    round-trip, aggregates ignore nulls, and NULLS FIRST ordering is
+    explicit — the exact cross-engine agreement a user must be able to
+    rely on before trusting any outer-join pipeline (SURVEY.md §2.4's
+    key-coalescing trap is this surface in the wild).
+
+    Scale: one scan, one hash aggregate; nothing here costs anything —
+    the value is the pinned semantics.
+    """
+    c = table(spark, sf_dir, "customer")
+    t = c.select(
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    return (
+        t.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("bal").cast("bigint").alias("n_bal"),
+            F.sum(F.col("bal").eqNullSafe(F.lit(None)).cast("int"))
+            .cast("bigint")
+            .alias("n_null_safe_null"),
+            F.round(F.sum(F.coalesce("bal", F.lit(0))), 2).alias(
+                "total_bal"
+            ),
+            F.round(F.min("bal"), 2).alias("min_bal"),
+            F.sum(
+                F.nullif(F.col("seg"), F.lit("MACHINERY"))
+                .isNull()
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("n_machinery_or_null"),
+        )
+        .orderBy(F.col("seg").asc_nulls_first())
+    )
+
+
+@query(
+    "q_calendar_functions",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderdate = last_day(o_orderdate)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS month_end_orders,
+           CAST(SUM(CASE WHEN dayname(o_orderdate)
+                              IN ('Saturday', 'Sunday')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
+           CAST(MIN(CAST(date_trunc('quarter', o_orderdate) AS DATE))
+                AS DATE) AS quarter_start,
+           CAST(MAX(CAST(o_orderdate + INTERVAL 90 DAY AS DATE)) AS DATE)
+               AS latest_due
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY yr, qtr
+    """,
+)
+def q_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface: year/quarter extraction, month-end
+    detection (last_day), weekend classification by day NAME
+    (numeric dayofweek conventions differ across engines — DuckDB is
+    0-based Sunday, Spark 1-based Sunday; names don't), quarter truncation, and interval
+    arithmetic (+90 days) — the date algebra every reporting layer
+    leans on, grouped to a fiscal (year, quarter) rollup.
+
+    Scale: one scan, pure date expressions in codegen, one small
+    aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.groupBy(
+            F.year(d).cast("int").alias("yr"),
+            F.quarter(d).cast("int").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((d == F.last_day(d)).cast("int"))
+            .cast("bigint")
+            .alias("month_end_orders"),
+            F.sum(
+                F.date_format(d, "EEEE")
+                .isin("Saturday", "Sunday")
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("weekend_orders"),
+            F.min(F.date_trunc("quarter", d).cast("date")).alias(
+                "quarter_start"
+            ),
+            F.max(F.date_add(d, 90)).alias("latest_due"),
+        )
+        .orderBy("yr", "qtr")
+    )
