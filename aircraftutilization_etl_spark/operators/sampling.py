@@ -150,6 +150,7 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     n_partitions: int | None = None,
+    index_col: str | None = None,
 ) -> DataFrame:
     """Globally-ordered cumulative sum WITHOUT the single-partition
     window trap: ``Window.orderBy`` with no partitionBy funnels every
@@ -163,6 +164,11 @@ def global_running_sum(
     range boundaries land, local-cumsum + prefix-offset equals the
     global cumulative sum, because range partitioning preserves the
     global order across partitions.
+
+    ``index_col`` additionally emits the global 1-based row index
+    (the rank in the total order) computed the same two-phase way off
+    the SAME pinned materialization — one extra window function in the
+    already-sorted pass, no extra shuffle.
     """
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
@@ -183,13 +189,21 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("__local_sum", F.sum(value_col).over(w_local))
+    if index_col is not None:
+        w_rank = Window.partitionBy("__pid").orderBy(*order_cols)
+        local = local.withColumn(
+            "__local_idx", F.row_number().over(w_rank)
+        )
     # partition total = SUM of the measure, NOT max of the local cumsum:
     # the two coincide for non-negative measures, but a signed measure's
     # cumulative path can peak above its endpoint (the KS drift statistic
     # runs signed counts through here)
     totals = (
         local.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__part_total"))
+        .agg(
+            F.sum(value_col).alias("__part_total"),
+            F.count(F.lit(1)).alias("__part_count"),
+        )
     )
     w_prefix = (
         Window.orderBy("__pid")
@@ -200,12 +214,22 @@ def global_running_sum(
     offsets = totals.withColumn(
         "__offset",
         F.coalesce(F.sum("__part_total").over(w_prefix) - F.col("__part_total"), F.lit(0)),
-    ).select("__pid", "__offset")
-    return (
+    ).withColumn(
+        "__idx_offset",
+        F.coalesce(
+            F.sum("__part_count").over(w_prefix) - F.col("__part_count"),
+            F.lit(0),
+        ),
+    ).select("__pid", "__offset", "__idx_offset")
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local_sum") + F.col("__offset"))
-        .drop("__pid", "__local_sum", "__offset")
     )
+    if index_col is not None:
+        out = out.withColumn(
+            index_col, F.col("__local_idx") + F.col("__idx_offset")
+        ).drop("__local_idx")
+    return out.drop("__pid", "__local_sum", "__offset", "__idx_offset")
 
 
 def temperature_rebalance(

@@ -2107,3 +2107,72 @@ def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day", "hod")
     )
+
+
+@query(
+    "q_events_survival",
+    """
+    WITH lt AS (
+        SELECT user_id,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) AS lifetime_days
+        FROM events GROUP BY user_id
+    ),
+    n AS (SELECT COUNT(*) AS nu FROM lt),
+    grid AS (SELECT CAST(t AS INT) AS t FROM range(0, 30) g(t))
+    SELECT g.t AS day,
+           CAST(SUM(CASE WHEN lt.lifetime_days >= g.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving,
+           CAST(SUM(CASE WHEN lt.lifetime_days >= g.t THEN 1 ELSE 0 END)
+                * 1000000 // MAX(n.nu) AS BIGINT) AS survival_ppm
+    FROM grid g CROSS JOIN lt CROSS JOIN n
+    GROUP BY g.t
+    ORDER BY day
+    """,
+)
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve: S(t) = share of users still
+    observed ≥ t days after their first event, on a 0..29-day grid —
+    the churn/retention curve (the empirical complement-CDF of
+    lifetimes; with no censoring in a closed window this IS the
+    Kaplan-Meier estimate). The day-30 tail going to zero or not is
+    the first thing a growth dashboard reads off this.
+
+    Determinism: integer day diffs, integer counts, ppm integer
+    division.
+
+    Scale: one user-keyed rollup to lifetimes (map-side combine), then
+    a 30-row grid joined against the per-lifetime histogram — the
+    cross join is grid × |distinct lifetimes| after pre-aggregation
+    (the engine groups lifetimes first; the oracle's row-wise cross
+    join is the semantic spec, not the plan).
+    """
+    ev = table(spark, sf_dir, "events")
+    lt = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lifetime_days")
+    )
+    hist = lt.groupBy("lifetime_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    nu = lt.agg(F.count(F.lit(1)).alias("nu"))
+    grid = spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
+    return (
+        grid.join(
+            F.broadcast(hist),
+            F.col("lifetime_days") >= F.col("day"),
+            "left",
+        )
+        .groupBy("day")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_surviving"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "day",
+            F.col("n_surviving").cast("bigint").alias("n_surviving"),
+            F.expr(
+                "CAST(n_surviving * 1000000 DIV nu AS BIGINT)"
+            ).alias("survival_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -751,3 +751,101 @@ def q_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "qtr")
     )
+
+
+@query(
+    "q_revenue_gini",
+    """
+    WITH t AS (
+        SELECT c.c_custkey,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100)
+                                      AS BIGINT)), 0) AS BIGINT) AS cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ),
+    r AS (
+        SELECT cents,
+               SUM(cents) OVER (ORDER BY cents, c_custkey
+                                ROWS UNBOUNDED PRECEDING) AS s,
+               ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS idx
+        FROM t
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(SUM(s) AS BIGINT) AS sum_running
+        FROM r
+    ),
+    top AS (
+        SELECT CAST(SUM(r.cents) AS BIGINT) AS top_decile
+        FROM r CROSS JOIN agg
+        WHERE r.idx > agg.n - (agg.n + 9) // 10
+    )
+    SELECT n AS n_customers, total AS total_cents,
+           ROUND((n + 1) / CAST(n AS DOUBLE)
+                 - 2.0 * sum_running / (CAST(n AS DOUBLE) * total), 6)
+               AS gini,
+           CAST(top_decile * 1000000 // total AS BIGINT)
+               AS top_decile_share_ppm
+    FROM agg CROSS JOIN top
+    """,
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the exact Gini coefficient of
+    customer lifetime spend (zero-order customers included at 0) plus
+    the top-decile revenue share — the inequality numbers behind every
+    "whales vs long tail" decision, and the same statistic a data-mix
+    card reports for token-per-source concentration. Gini uses the
+    running-sum identity G = (n+1)/n − 2·ΣSᵢ/(n·Σx), whose ΣSᵢ is
+    invariant to tie order (equal values commute in the cumulative
+    path), so the scalar is engine-stable from exact BIGINTs.
+
+    Scale: customer totals are one map-combined rollup; the global
+    ascending cumsum AND the global rank both come from ONE pass of
+    the two-phase range-partitioned formulation
+    (operators/sampling.global_running_sum with index_col — no
+    single-partition window anywhere); the finale is a 1-row reduce.
+    """
+    from ..operators.sampling import global_running_sum
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    r = global_running_sum(
+        t, ["cents", "c_custkey"], "cents", out_col="s", index_col="idx"
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum("s").cast("bigint").alias("sum_running"),
+        F.max("idx").alias("__n2"),
+    )
+    top = (
+        r.crossJoin(F.broadcast(agg.select("n")))
+        .filter(F.col("idx") > F.col("n") - F.expr("(n + 9) DIV 10"))
+        .agg(F.sum("cents").cast("bigint").alias("top_decile"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("total").alias("total_cents"),
+            F.round(
+                (F.col("n") + 1) / F.col("n").cast("double")
+                - 2.0
+                * F.col("sum_running")
+                / (F.col("n").cast("double") * F.col("total")),
+                6,
+            ).alias("gini"),
+            F.expr(
+                "CAST(top_decile * 1000000 DIV total AS BIGINT)"
+            ).alias("top_decile_share_ppm"),
+        )
+    )
