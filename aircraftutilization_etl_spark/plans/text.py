@@ -1573,3 +1573,63 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return pmi_collocations(d, PMI_MIN_COUNT, PMI_TOPK)
+
+
+@query(
+    "q_mix_diversity",
+    """
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM cells
+            GROUP BY 1)
+    SELECT c.lang,
+           CAST(MAX(t.nl) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           ROUND(-SUM((c.n * 1.0 / t.nl) * ln(c.n * 1.0 / t.nl)), 6)
+               AS shannon_entropy,
+           CAST(SUM(c.n * (c.n - 1)) * 1000000
+                // (MAX(t.nl) * (MAX(t.nl) - 1)) AS BIGINT)
+               AS simpson_ppm
+    FROM cells c JOIN tot t USING (lang)
+    GROUP BY c.lang
+    ORDER BY c.lang
+    """,
+)
+def q_mix_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity indices per language — the data-card numbers
+    that say whether a slice is one crawl in a trench coat: Shannon
+    entropy of the source mix (exp(H) = effective source count) and
+    the Simpson collision index as exact integer ppm (probability two
+    random docs share a source, small = diverse). Low entropy on a big
+    slice is the single-source-dominance warning every mixing policy
+    (q_mix_manifest's sqrt-temperature targets) exists to fix.
+
+    Determinism: Simpson is pure BIGINT (Σn(n−1) over N(N−1));
+    Shannon sums ≤ |sources| ln terms of exact ratios, rounded at the
+    edge.
+
+    Scale: one (lang, source) rollup with map-side combine, a
+    lang-sized join, a lang-count result.
+    """
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nl"))
+    p = F.col("n") * 1.0 / F.col("nl")
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("nl").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("shannon_entropy"),
+            F.expr(
+                "CAST(SUM(n * (n - 1)) * 1000000"
+                " DIV (MAX(nl) * (MAX(nl) - 1)) AS BIGINT)"
+            ).alias("simpson_ppm"),
+        )
+        .orderBy("lang")
+    )
