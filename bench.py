@@ -77,6 +77,9 @@ HEADLINE = [
     "q_text_naive_bayes",  # closed-form training: two count aggs, JVM only
     "q_layout_pruning",  # 3 layouts' bucket ids as bit-algebra on one scan
     "q_events_concurrency",  # sweep-line peaks via two-phase global cumsum
+    "q_emb_pq_rerank",  # two-stage ANN: ADC overfetch + exact rerank
+    "q_scd2_apply",  # incremental SCD2: delta-sized window, history untouched
+    "q_revenue_gini",  # global cumsum + rank in one two-phase pass
 ]
 
 
