@@ -1170,3 +1170,77 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(anchors, "query_id", "left_semi")
         .orderBy("query_id", "role", "neighbor_id")
     )
+
+
+OOD_BOTTOM_K = 10
+
+
+@query(
+    "q_emb_ood_screen",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    nn AS (
+        SELECT query_id,
+               CAST(ROUND(ROUND({_COSINE_SQL}, 6) * 1000000) AS BIGINT)
+                   AS cos_u,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, neighbor_id
+               ) AS rank
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    score AS (
+        SELECT query_id, CAST(SUM(cos_u) AS BIGINT) AS knn_sim_u
+        FROM nn WHERE rank <= {TOP_K}
+        GROUP BY query_id
+    )
+    SELECT query_id, knn_sim_u,
+           CAST(rk AS INT) AS isolation_rank
+    FROM (SELECT query_id, knn_sim_u,
+                 ROW_NUMBER() OVER (ORDER BY knn_sim_u, query_id) AS rk
+          FROM score)
+    WHERE rk <= {OOD_BOTTOM_K}
+    ORDER BY isolation_rank
+    """,
+)
+def q_emb_ood_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution screen for an incoming vector batch: each
+    query's summed similarity to its 5 nearest corpus neighbors
+    (integer micro-units), bottom-10 flagged — vectors that are far
+    from EVERYTHING are corrupt inputs, wrong-modality embeds, or
+    genuinely novel content, and every curation pipeline wants them on
+    a review list before they enter the index (the embedding-space
+    sibling of the text quality gate). k-NN similarity is the standard
+    non-parametric OOD score: no trained density model, no
+    distribution assumption.
+
+    Determinism: neighbor sets are the hash-proven rounded-cosine
+    rankings; scores sum exact integers; the bottom-k cut orders by
+    (score, id).
+
+    Scale: one corpus-streaming GEMM for the batch; scoring and the
+    bottom-k run on batch × k rows.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    nn = cosine_topk(queries, e, TOP_K).select(
+        "query_id",
+        F.round(F.col("cosine") * 1_000_000).cast("bigint").alias("cos_u"),
+    )
+    score = nn.groupBy("query_id").agg(
+        F.sum("cos_u").cast("bigint").alias("knn_sim_u")
+    )
+    w = Window.orderBy("knn_sim_u", "query_id")
+    return (
+        score.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OOD_BOTTOM_K)
+        .select(
+            "query_id",
+            "knn_sim_u",
+            F.col("rk").cast("int").alias("isolation_rank"),
+        )
+        .orderBy("isolation_rank")
+    )
