@@ -825,7 +825,6 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
         F.sum("s").cast("bigint").alias("sum_running"),
-        F.max("idx").alias("__n2"),
     )
     top = (
         r.crossJoin(F.broadcast(agg.select("n")))
