@@ -54,7 +54,8 @@ PURE_JVM_PREFIXES = (
     "q_bloom_", "q_dedup_keep_best", "q_dedup_edit", "q_snapshot_",
     "q_token_",
     # round-4 additions that must stay JVM-pure
-    "q_layout_", "q_privacy_", "q_outlier_",
+    "q_layout_", "q_privacy_", "q_outlier_", "q_decimal_", "q_null_",
+    "q_calendar_", "q_revenue_", "q_mix_diversity",
 )
 
 PURE_JVM_EXACT = ("q_emb_kmeans",)
