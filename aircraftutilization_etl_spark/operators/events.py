@@ -621,3 +621,31 @@ def cusum(
         .sortWithinPartitions(key, ts_col, tiebreak)
         .mapInPandas(_scan, out_schema)
     )
+
+
+def directed_cooccurrence(
+    df: DataFrame,
+    key: str,
+    item: str,
+    weight_alias: str = "weight",
+) -> DataFrame:
+    """Symmetric DIRECTED co-occurrence edges (src, dst, weight): both
+    orientations of every unordered pair from
+    :func:`cooccurrence_pairs`, weight = number of keys exhibiting
+    both. The one edge-list constructor the graph/recsys queries share
+    (PageRank, k-NN sparsification, neighborhood Jaccard, association
+    rules) — the pair canonicalization and its cost bound live in
+    cooccurrence_pairs; this just mirrors the direction.
+    """
+    cooc = cooccurrence_pairs(df, key, item)
+    return cooc.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("n_keys").alias(weight_alias),
+    ).unionByName(
+        cooc.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("dst"),
+            F.col("n_keys").alias(weight_alias),
+        )
+    )

@@ -198,13 +198,10 @@ def global_running_sum(
     # the two coincide for non-negative measures, but a signed measure's
     # cumulative path can peak above its endpoint (the KS drift statistic
     # runs signed counts through here)
-    totals = (
-        local.groupBy("__pid")
-        .agg(
-            F.sum(value_col).alias("__part_total"),
-            F.count(F.lit(1)).alias("__part_count"),
-        )
-    )
+    total_aggs = [F.sum(value_col).alias("__part_total")]
+    if index_col is not None:
+        total_aggs.append(F.count(F.lit(1)).alias("__part_count"))
+    totals = local.groupBy("__pid").agg(*total_aggs)
     w_prefix = (
         Window.orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -214,22 +211,29 @@ def global_running_sum(
     offsets = totals.withColumn(
         "__offset",
         F.coalesce(F.sum("__part_total").over(w_prefix) - F.col("__part_total"), F.lit(0)),
-    ).withColumn(
-        "__idx_offset",
-        F.coalesce(
-            F.sum("__part_count").over(w_prefix) - F.col("__part_count"),
-            F.lit(0),
-        ),
-    ).select("__pid", "__offset", "__idx_offset")
+    )
+    offset_cols = ["__pid", "__offset"]
+    if index_col is not None:
+        offsets = offsets.withColumn(
+            "__idx_offset",
+            F.coalesce(
+                F.sum("__part_count").over(w_prefix) - F.col("__part_count"),
+                F.lit(0),
+            ),
+        )
+        offset_cols.append("__idx_offset")
+    offsets = offsets.select(*offset_cols)
     out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local_sum") + F.col("__offset"))
     )
+    drop = ["__pid", "__local_sum", "__offset"]
     if index_col is not None:
         out = out.withColumn(
             index_col, F.col("__local_idx") + F.col("__idx_offset")
-        ).drop("__local_idx")
-    return out.drop("__pid", "__local_sum", "__offset", "__idx_offset")
+        )
+        drop += ["__local_idx", "__idx_offset"]
+    return out.drop(*drop)
 
 
 def temperature_rebalance(

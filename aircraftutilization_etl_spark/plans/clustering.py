@@ -979,30 +979,77 @@ def q_emb_ivfpq_probe2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RERANK_CANDIDATES = 20
 
-
-@query(
-    "q_emb_pq_rerank",
-    f"""
-    WITH {_PQ_CTES},
-    {_PQ_ADC_CTES},
+# shared SQL leg: ADC top-RERANK_CANDIDATES re-scored by exact cosine
+# (both rerank queries splice this after _PQ_CTES/_PQ_ADC_CTES so the
+# two oracles can never drift apart)
+_PQ_RERANK_CTES = f"""
     q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
           FROM embeddings WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
           FROM embeddings),
-    rerank AS (
+    rerank_scored AS (
         SELECT a.query_id, a.neighbor_id,
                ROUND({_COSINE_SQL}, 6) AS cosine
         FROM (SELECT * FROM adc_ranked
               WHERE rank <= {RERANK_CANDIDATES}) a
           JOIN q ON q.query_id = a.query_id
           JOIN c ON c.neighbor_id = a.neighbor_id
+    ),
+    rerank_ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+        FROM rerank_scored
+    )"""
+
+
+def _pq_rerank_topk(spark: SparkSession, sf_dir: str):
+    """Shared Spark leg of the two-stage retrieval: PQ-ADC overfetch
+    (RERANK_CANDIDATES) re-scored by exact cosine, ranked per query →
+    (ranked_df, scodes). Caller materializes its projection and
+    unpersists scodes — the same contract as _pq_pipeline."""
+    from ..operators.clustering import pq_adc_topk
+    from ..operators.similarity import _as_double, cosine_expr
+
+    e, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
+    cands = pq_adc_topk(
+        scodes, encoded, books, N_QUERIES, RERANK_CANDIDATES
+    ).select("query_id", "neighbor_id")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
     )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    ranked = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return ranked, scodes
+
+
+@query(
+    "q_emb_pq_rerank",
+    f"""
+    WITH {_PQ_CTES},
+    {_PQ_ADC_CTES},
+    {_PQ_RERANK_CTES}
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
-    FROM (SELECT query_id, neighbor_id, cosine,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id)
-                     AS rank
-          FROM rerank)
+    FROM rerank_ranked
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """,
@@ -1027,38 +1074,9 @@ def q_emb_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: SURVEY.md §8 (ANN surface); two-stage ADC+rerank
     per Jégou et al. 2011 §V.
     """
-    from ..operators.clustering import pq_adc_topk
-    from ..operators.similarity import _as_double, cosine_expr
-
-    e, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
-    cands = pq_adc_topk(
-        scodes, encoded, books, N_QUERIES, RERANK_CANDIDATES
-    ).select("query_id", "neighbor_id")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        _as_double(F.col("embedding")).alias("qv"),
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _as_double(F.col("embedding")).alias("cv"),
-    )
-    rer = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), "neighbor_id"
-    )
+    ranked, scodes = _pq_rerank_topk(spark, sf_dir)
     out = (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        ranked.filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
             "neighbor_id",
@@ -1077,21 +1095,7 @@ def q_emb_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_PQ_CTES},
     {_PQ_ADC_CTES},
-    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-          FROM embeddings WHERE vec_id < {N_QUERIES}),
-    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-          FROM embeddings),
-    rr AS (
-        SELECT a.query_id, a.neighbor_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.query_id
-                   ORDER BY ROUND({_COSINE_SQL}, 6) DESC, a.neighbor_id
-               ) AS rank
-        FROM (SELECT * FROM adc_ranked
-              WHERE rank <= {RERANK_CANDIDATES}) a
-          JOIN q ON q.query_id = a.query_id
-          JOIN c ON c.neighbor_id = a.neighbor_id
-    ),
+    {_PQ_RERANK_CTES},
     exact_scored AS (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (
@@ -1105,7 +1109,7 @@ def q_emb_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(r.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
                AS recall_ppm
     FROM (SELECT * FROM exact_scored WHERE rank <= {TOP_K}) e
-      LEFT JOIN (SELECT * FROM rr WHERE rank <= {TOP_K}) r
+      LEFT JOIN (SELECT * FROM rerank_ranked WHERE rank <= {TOP_K}) r
         ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     ORDER BY e.query_id
@@ -1123,38 +1127,11 @@ def q_emb_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical legs to the rerank query plus the top-k-sized
     ground-truth comparison join.
     """
-    from ..operators.clustering import pq_adc_topk
-    from ..operators.similarity import _as_double, cosine_expr
-
-    e, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
-    cands = pq_adc_topk(
-        scodes, encoded, books, N_QUERIES, RERANK_CANDIDATES
-    ).select("query_id", "neighbor_id")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        _as_double(F.col("embedding")).alias("qv"),
+    ranked, scodes = _pq_rerank_topk(spark, sf_dir)
+    rr = ranked.filter(F.col("rank") <= TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("rr_neighbor")
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _as_double(F.col("embedding")).alias("cv"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), "neighbor_id"
-    )
-    rr = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias(
-                "cosine"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", F.col("neighbor_id").alias("rr_neighbor"))
-    )
+    e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
     exact = cosine_topk(queries, e, TOP_K).select(
         "query_id", F.col("neighbor_id").alias("exact_neighbor")

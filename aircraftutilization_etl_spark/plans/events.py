@@ -1422,9 +1422,9 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_a, n_b,
                s_a / CAST(n_a AS DOUBLE) AS mean_a,
                s_b / CAST(n_b AS DOUBLE) AS mean_b,
-               (ss_a - (s_a * s_a) / CAST(n_a AS DOUBLE))
+               (ss_a - (s_a * 1.0) * s_a / CAST(n_a AS DOUBLE))
                    / CAST(n_a - 1 AS DOUBLE) AS var_a,
-               (ss_b - (s_b * s_b) / CAST(n_b AS DOUBLE))
+               (ss_b - (s_b * 1.0) * s_b / CAST(n_b AS DOUBLE))
                    / CAST(n_b - 1 AS DOUBLE) AS var_b
         FROM w
     )
@@ -1452,12 +1452,18 @@ def q_events_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     work map-side, one scan, one 2-group shuffle); every float op after
     that is a scalar expression over exactly-representable integers, so
     mean/variance/t/df are bit-identical regardless of row order or
-    partitioning. This is the same exact-moments trick as
-    q_histogram_price, applied to inference statistics.
+    partitioning (the squared-sum term is promoted to double BEFORE the
+    multiply — s² in int64 overflows once a cohort's cents pass ~3e9,
+    i.e. ~$30M total; the double product of an exact int is correctly
+    rounded, so determinism survives the promotion). This is the same
+    exact-moments trick as q_histogram_price, applied to inference
+    statistics.
 
     Scale: single pass over the fact table, two result groups — the
-    statistic costs one map-side combine no matter how many trillion
-    rows back it.
+    statistic costs one map-side combine regardless of row count; the
+    int64 headroom limits are the cohort cent total (2^63 on s, and
+    ss while per-row cents² × rows stays under 2^63 — beyond that,
+    pre-scale to dollars or widen ss to DECIMAL).
     """
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
@@ -1483,10 +1489,12 @@ def q_events_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_a = F.col("s_a") / F.col("n_a").cast("double")
     mean_b = F.col("s_b") / F.col("n_b").cast("double")
     var_a = (
-        F.col("ss_a") - (F.col("s_a") * F.col("s_a")) / F.col("n_a").cast("double")
+        F.col("ss_a")
+        - (F.col("s_a") * F.lit(1.0)) * F.col("s_a") / F.col("n_a").cast("double")
     ) / (F.col("n_a") - 1).cast("double")
     var_b = (
-        F.col("ss_b") - (F.col("s_b") * F.col("s_b")) / F.col("n_b").cast("double")
+        F.col("ss_b")
+        - (F.col("s_b") * F.lit(1.0)) * F.col("s_b") / F.col("n_b").cast("double")
     ) / (F.col("n_b") - 1).cast("double")
     se2_a = var_a / F.col("n_a")
     se2_b = var_b / F.col("n_b")
@@ -1651,24 +1659,17 @@ def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Never |users|² — pairs form only through
     the shared-user equi-join.
     """
-    from ..operators.events import cooccurrence_pairs
+    from ..operators.events import directed_cooccurrence
 
     ev = table(spark, sf_dir, "events")
     ui = ev.select(
         "user_id",
         F.get_json_object("props", "$.k").cast("int").alias("item"),
     ).filter(F.col("item").isNotNull())
-    cooc = cooccurrence_pairs(ui, "user_id", "item")
-    directed = cooc.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        F.col("n_keys").alias("n_both"),
-    ).unionByName(
-        cooc.select(
-            F.col("item_b").alias("antecedent"),
-            F.col("item_a").alias("consequent"),
-            F.col("n_keys").alias("n_both"),
-        )
+    directed = directed_cooccurrence(ui, "user_id", "item").select(
+        F.col("src").alias("antecedent"),
+        F.col("dst").alias("consequent"),
+        F.col("weight").alias("n_both"),
     )
     distinct_ui = ui.distinct()
     ci = distinct_ui.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
@@ -1704,7 +1705,7 @@ def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_concurrency",
     """
     WITH s AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                      OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                     THEN 1 ELSE 0 END AS is_start
@@ -1716,7 +1717,7 @@ def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(ts) AS start_ts, MAX(ts) AS end_ts
         FROM (SELECT user_id, ts,
                      SUM(is_start) OVER (
-                         PARTITION BY user_id ORDER BY ts
+                         PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS session_seq
               FROM s)
         GROUP BY user_id, session_seq
@@ -1803,7 +1804,7 @@ BOT_TOPN = 10
         FROM events GROUP BY user_id
     ),
     rate AS (
-        SELECT user_id, n_events,
+        SELECT user_id,
                CAST(n_events * 86400000000 // span_s AS BIGINT)
                    AS rate_ppm
         FROM per_user WHERE span_s >= 3600
@@ -1824,24 +1825,26 @@ BOT_TOPN = 10
         GROUP BY user_id
     ),
     feat AS (
-        SELECT r.user_id, r.n_events, r.rate_ppm, m.mono_ppm,
+        SELECT u.user_id, u.n_events, r.rate_ppm, m.mono_ppm,
                b.same_sec_pairs,
-               ROW_NUMBER() OVER (ORDER BY r.rate_ppm DESC, r.user_id)
-                   AS rk_rate,
-               ROW_NUMBER() OVER (ORDER BY m.mono_ppm DESC, r.user_id)
+               ROW_NUMBER() OVER (ORDER BY r.rate_ppm DESC NULLS LAST,
+                                  u.user_id) AS rk_rate,
+               ROW_NUMBER() OVER (ORDER BY m.mono_ppm DESC, u.user_id)
                    AS rk_mono,
                ROW_NUMBER() OVER (ORDER BY b.same_sec_pairs DESC,
-                                  r.user_id) AS rk_burst
-        FROM rate r JOIN mono m USING (user_id)
+                                  u.user_id) AS rk_burst
+        FROM per_user u
+          LEFT JOIN rate r USING (user_id)
+          JOIN mono m USING (user_id)
           JOIN burst b USING (user_id)
     )
     SELECT user_id, n_events, rate_ppm, mono_ppm, same_sec_pairs,
-           rk_rate <= {BOT_TOPN} AS flag_rate,
+           rk_rate <= {BOT_TOPN} AND rate_ppm IS NOT NULL AS flag_rate,
            rk_mono <= {BOT_TOPN} AS flag_mono,
            rk_burst <= {BOT_TOPN} AS flag_burst
     FROM feat
-    WHERE rk_rate <= {BOT_TOPN} OR rk_mono <= {BOT_TOPN}
-       OR rk_burst <= {BOT_TOPN}
+    WHERE (rk_rate <= {BOT_TOPN} AND rate_ppm IS NOT NULL)
+       OR rk_mono <= {BOT_TOPN} OR rk_burst <= {BOT_TOPN}
     ORDER BY user_id
     """,
 )
@@ -1857,7 +1860,11 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every feature is BIGINT arithmetic over exact counts
     and epoch seconds; flags come from total-ordered ranks (value
-    desc, user asc).
+    desc, user asc). The mono and burst shortlists rank over ALL
+    users; the rate signal alone requires a ≥ 1 h observation span
+    (a rate over seconds is noise, and a machine-gun bot that fires
+    and vanishes is exactly what the burst signal still catches via
+    the left join).
 
     Scale: three hash aggregates over (user), (user, type),
     (user, second) — all map-side combined; the rank windows run over
@@ -1873,7 +1880,6 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = per_user.filter(F.col("span_s") >= 3600).select(
         "user_id",
-        "n_events",
         F.expr("CAST(n_events * 86400000000 DIV span_s AS BIGINT)").alias(
             "rate_ppm"
         ),
@@ -1898,11 +1904,16 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    feat = rate.join(mono, "user_id").join(burst, "user_id")
+    feat = (
+        per_user.select("user_id", "n_events")
+        .join(rate, "user_id", "left")
+        .join(mono, "user_id")
+        .join(burst, "user_id")
+    )
     feat = feat.select(
         "*",
         F.row_number()
-        .over(Window.orderBy(F.desc("rate_ppm"), "user_id"))
+        .over(Window.orderBy(F.desc_nulls_last("rate_ppm"), "user_id"))
         .alias("rk_rate"),
         F.row_number()
         .over(Window.orderBy(F.desc("mono_ppm"), "user_id"))
@@ -1912,11 +1923,10 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk_burst"),
     )
     n = BOT_TOPN
+    flag_rate = (F.col("rk_rate") <= n) & F.col("rate_ppm").isNotNull()
     return (
         feat.filter(
-            (F.col("rk_rate") <= n)
-            | (F.col("rk_mono") <= n)
-            | (F.col("rk_burst") <= n)
+            flag_rate | (F.col("rk_mono") <= n) | (F.col("rk_burst") <= n)
         )
         .select(
             "user_id",
@@ -1924,7 +1934,7 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_ppm",
             "mono_ppm",
             "same_sec_pairs",
-            (F.col("rk_rate") <= n).alias("flag_rate"),
+            flag_rate.alias("flag_rate"),
             (F.col("rk_mono") <= n).alias("flag_mono"),
             (F.col("rk_burst") <= n).alias("flag_burst"),
         )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.events import cooccurrence_pairs
+from ..operators.events import cooccurrence_pairs, directed_cooccurrence
 from ..operators.graph import pagerank
 from .catalog import query, table
 
@@ -81,11 +81,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ui = ev.select(
         "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
     ).filter(F.col("item").isNotNull())
-    cooc = cooccurrence_pairs(ui, "user_id", "item")
-    edges = cooc.select(
-        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
-    ).union(
-        cooc.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    edges = directed_cooccurrence(ui, "user_id", "item").select(
+        "src", "dst"
     )
     # item vocabulary is tiny relative to the event stream: keep the
     # per-iteration rank table on a few partitions
@@ -208,7 +205,6 @@ def q_graph_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join against the visited set (work ∝ newly reached nodes, not
     paths — the oracle's UNION-dedup recursion is the same pruning).
     """
-    from ..operators.events import cooccurrence_pairs
     from ..operators.graph import bfs_depths, knn_edges
 
     ev = table(spark, sf_dir, "events")
@@ -306,18 +302,7 @@ def q_graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ui = ev.select(
         "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
     ).filter(F.col("item").isNotNull())
-    cooc = cooccurrence_pairs(ui, "user_id", "item")
-    directed = cooc.select(
-        F.col("item_a").alias("src"),
-        F.col("item_b").alias("dst"),
-        F.col("n_keys").alias("weight"),
-    ).unionByName(
-        cooc.select(
-            F.col("item_b").alias("src"),
-            F.col("item_a").alias("dst"),
-            F.col("n_keys").alias("weight"),
-        )
-    )
+    directed = directed_cooccurrence(ui, "user_id", "item")
     sparse = knn_edges(directed, KNN_K)
     return (
         neighborhood_jaccard(sparse, JACCARD_MIN_PPM)

@@ -773,7 +773,8 @@ def q_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(cents) AS BIGINT) AS total,
-               CAST(SUM(s) AS BIGINT) AS sum_running
+               CAST(SUM(CAST(s AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+                   AS sum_running
         FROM r
     ),
     top AS (
@@ -783,8 +784,8 @@ def q_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_customers, total AS total_cents,
            ROUND((n + 1) / CAST(n AS DOUBLE)
-                 - 2.0 * sum_running / (CAST(n AS DOUBLE) * total), 6)
-               AS gini,
+                 - 2.0 * CAST(sum_running AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * total), 6) AS gini,
            CAST(top_decile * 1000000 // total AS BIGINT)
                AS top_decile_share_ppm
     FROM agg CROSS JOIN top
@@ -824,7 +825,11 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
-        F.sum("s").cast("bigint").alias("sum_running"),
+        # ΣSᵢ grows as n·total/2 — int64 overflows around n·total ≈
+        # 1.8e19 (a few hundred SF); DECIMAL(38,0) keeps the sum exact
+        # to 38 digits on both engines
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .alias("sum_running"),
     )
     top = (
         r.crossJoin(F.broadcast(agg.select("n")))
@@ -839,7 +844,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.col("n") + 1) / F.col("n").cast("double")
                 - 2.0
-                * F.col("sum_running")
+                * F.col("sum_running").cast("double")
                 / (F.col("n").cast("double") * F.col("total")),
                 6,
             ).alias("gini"),

@@ -124,6 +124,14 @@ def compact_rollup(spark: SparkSession, path: str, spec: RollupSpec) -> int:
         spark._jvm.org.apache.hadoop.fs.Path(staged), base  # noqa: SLF001
     )
     for e in live:
+        if e <= BASE_EPOCH - 1:
+            # an erasure epoch: its id must stay on the applied ledger
+            # even though the directory is about to fold away
+            fs.mkdirs(
+                spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+                    _erasure_marker(path, BASE_EPOCH - 1 - e)
+                )
+            )
         fs.delete(
             spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
                 f"{path}/epoch={e}"
@@ -134,6 +142,19 @@ def compact_rollup(spark: SparkSession, path: str, spec: RollupSpec) -> int:
 
 
 ERASURE_EPOCH_BASE = -2  # erasure partials live at epoch = -2 - erasure_id
+_ERASURE_LEDGER = "__erasures"  # applied-id markers, outside the epoch glob
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    return (
+        jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()),  # noqa: SLF001
+        spark._jvm.org.apache.hadoop.fs.Path,  # noqa: SLF001
+    )
+
+
+def _erasure_marker(path: str, erasure_id: int) -> str:
+    return f"{path}/{_ERASURE_LEDGER}/{erasure_id}"
 
 
 def apply_erasure(
@@ -149,12 +170,17 @@ def apply_erasure(
     Retraction is only sound for subtractable measures, so specs with
     mins/maxs are REJECTED (an erased row that held the min would leave
     a stale bound — recompute or keep a heap-per-group sketch for
-    those). Idempotent like the batch epochs: one erasure id → one
-    epoch directory (epoch = -2 - erasure_id, below the compaction
-    base) → replaying a deletion request overwrites identical bytes.
-    Compaction folds erasure epochs like any other partial, after
-    which the erased users are unrecoverable from the sink — the
-    property a deletion request actually demands.
+    those). Idempotence has TWO layers: pre-compaction, replaying an
+    erasure id overwrites its epoch directory (epoch = -2 - erasure_id)
+    with identical bytes; post-compaction the epoch directory is gone,
+    so a ledger marker (``__erasures/<id>``, outside the epoch glob)
+    records the applied id forever — a replayed deletion request
+    short-circuits on the marker instead of decrementing twice.
+    Compaction stamps the marker for any erasure epoch it folds before
+    deleting it, closing the crash window between an epoch write and
+    its marker write. After compaction the erased users are
+    unrecoverable from the sink — the property a deletion request
+    actually demands.
     """
     if spec.mins or spec.maxs:
         raise ValueError(
@@ -165,6 +191,11 @@ def apply_erasure(
         raise ValueError("erasure_id must be >= 0")
     from pyspark.sql import functions as F
 
+    spark = erased_rows.sparkSession
+    fs, jpath = _fs(spark, path)
+    marker = _erasure_marker(path, erasure_id)
+    if fs.exists(jpath(marker)):
+        return  # already applied (possibly folded into the base)
     partial = partial_rollup(
         erased_rows, spec.keys, spec.sums, (), (), spec.count_col
     )
@@ -176,6 +207,7 @@ def apply_erasure(
     negated.write.mode("overwrite").parquet(
         f"{path}/epoch={ERASURE_EPOCH_BASE - erasure_id}"
     )
+    fs.mkdirs(jpath(marker))
 
 
 def read_rollup_live(

@@ -223,6 +223,55 @@ class TestErasure:
             .select("event_type", "n_rows", "sum_cents")
             .collect()
         } == {("click", 1, 100)}
+        # replaying the SAME erasure id AFTER compaction must be a
+        # no-op (the folded epoch is gone; the ledger marker is not)
+        apply_erasure(erased, 0, path, SUM_SPEC)
+        assert {
+            tuple(r)
+            for r in read_rollup_live(spark, path, SUM_SPEC)
+            .select("event_type", "n_rows", "sum_cents")
+            .collect()
+        } == {("click", 1, 100)}
+
+    def test_compaction_stamps_ledger_for_unmarked_erasure_epochs(
+        self, spark, tmp_path
+    ):
+        """Crash window: an erasure epoch written without its marker
+        (crash between the two writes) must still be recorded by the
+        compaction that folds it, so a later replay cannot double-apply."""
+        from aircraftutilization_etl_spark.streaming.rollup_sink import (
+            ERASURE_EPOCH_BASE,
+            _erasure_marker,
+            apply_erasure,
+            read_rollup_live,
+        )
+
+        path = str(tmp_path / "rollup")
+        write_epoch_partial(
+            self._rows(spark, [("click", 100), ("view", 50)]), 0, path,
+            SUM_SPEC,
+        )
+        # simulate the crash: epoch written, marker missing
+        neg = self._rows(spark, [("view", -50)]).selectExpr(
+            "event_type", "CAST(-1 AS BIGINT) AS n_rows",
+            "CAST(cents AS BIGINT) AS sum_cents",
+        )
+        neg.write.mode("overwrite").parquet(
+            f"{path}/epoch={ERASURE_EPOCH_BASE - 0}"
+        )
+        import os
+
+        assert not os.path.exists(_erasure_marker(path, 0))
+        assert compact_rollup(spark, path, SUM_SPEC) >= 1
+        assert os.path.exists(_erasure_marker(path, 0))
+        # the replayed request is now a no-op
+        apply_erasure(self._rows(spark, [("view", 50)]), 0, path, SUM_SPEC)
+        assert {
+            tuple(r)
+            for r in read_rollup_live(spark, path, SUM_SPEC)
+            .select("event_type", "n_rows", "sum_cents")
+            .collect()
+        } == {("click", 1, 100)}
 
     def test_rejects_non_subtractable_spec(self, spark, tmp_path):
         from aircraftutilization_etl_spark.streaming.rollup_sink import (
