@@ -2186,3 +2186,79 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_events_burstiness",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(LAG(ts) OVER (
+                         PARTITION BY event_type, user_id
+                         ORDER BY ts, event_id))) AS BIGINT) AS g
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS s,
+               CAST(SUM(g * g) AS BIGINT) AS ss
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           ROUND(s / CAST(n AS DOUBLE), 4) AS mean_gap_s,
+           ROUND(sqrt((ss - (s * 1.0) * s / n) / n), 4) AS stddev_gap_s,
+           ROUND((sqrt((ss - (s * 1.0) * s / n) / n) - s / CAST(n AS DOUBLE))
+                 / (sqrt((ss - (s * 1.0) * s / n) / n)
+                    + s / CAST(n AS DOUBLE)), 6) AS burstiness
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness index per event type over per-user
+    inter-event gaps: B = (σ−μ)/(σ+μ) ∈ (−1, 1) — the single number
+    that separates clocklike traffic (B→−1), Poisson traffic (B≈0),
+    and bursty human/incident traffic (B→1). The distributional
+    companion to q_events_think_time's percentiles and the stationary
+    twin of the CUSUM/anomaly detectors: a rising B with a flat mean
+    is load arriving in spikes.
+
+    Determinism: whole-second gaps in exact BIGINTs (floored epochs on
+    both engines), population moments with the squared sum promoted to
+    double before multiplying (Welch's overflow discipline); σ is one
+    correctly-rounded sqrt.
+
+    Scale: one (type, user)-keyed window for gaps, one map-combined
+    moment aggregate, a type-count result.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    g = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).alias("g")
+    gaps = ev.select("event_type", g).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (
+        F.col("ss") - (F.col("s") * F.lit(1.0)) * F.col("s") / F.col("n")
+    ) / F.col("n")
+    sd = F.sqrt(var)
+    return (
+        m.select(
+            "event_type",
+            F.col("n").alias("n_gaps"),
+            F.round(mean, 4).alias("mean_gap_s"),
+            F.round(sd, 4).alias("stddev_gap_s"),
+            F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )

@@ -853,3 +853,143 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_decile_share_ppm"),
         )
     )
+
+
+@query(
+    "q_cohort_ltv",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(o_orderdate) AS first_order,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS ltv_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(EXTRACT(year FROM first_order) AS INT) AS cohort_year,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(ltv_cents) AS BIGINT) AS total_cents,
+           CAST(SUM(ltv_cents) // COUNT(*) AS BIGINT)
+               AS avg_ltv_cents,
+           CAST(SUM(n_orders) * 1000 // COUNT(*) AS BIGINT)
+               AS orders_per_customer_milli
+    FROM firsts
+    GROUP BY 1
+    ORDER BY cohort_year
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort lifetime value: customers grouped by
+    first-order year, with per-cohort order counts and exact-cent LTV
+    — the "are newer cohorts worth less?" table behind every growth
+    model, and the orders-side sibling of the events-side weekly
+    retention triangle (q_events_cohort_retention).
+
+    Determinism: integer cents and counts end to end (per-customer
+    averages as integer DIV in cents / milli-orders).
+
+    Scale: one customer-keyed rollup with map-side combine, then a
+    years-sized reduce — two shuffles total, no windows.
+    """
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "ltv_cents"
+        ),
+    )
+    return (
+        firsts.groupBy(
+            F.year("first_order").cast("int").alias("cohort_year")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("ltv_cents").cast("bigint").alias("total_cents"),
+            F.expr(
+                "CAST(SUM(ltv_cents) DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_ltv_cents"),
+            F.expr(
+                "CAST(SUM(n_orders) * 1000 DIV COUNT(*) AS BIGINT)"
+            ).alias("orders_per_customer_milli"),
+        )
+        .orderBy("cohort_year")
+    )
+
+
+@query(
+    "q_order_milestones",
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER w AS rn,
+               FIRST_VALUE(o_orderdate) OVER w AS first_order,
+               NTH_VALUE(o_orderdate, 3) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS third_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey AS custkey, first_order, third_order,
+           CAST(date_diff('day', first_order, third_order) AS BIGINT)
+               AS days_to_third,
+           CAST(SUM(CASE WHEN rn <= 3 THEN cents ELSE 0 END) AS BIGINT)
+               AS first3_cents
+    FROM ranked
+    WHERE third_order IS NOT NULL
+    GROUP BY o_custkey, first_order, third_order
+    ORDER BY custkey
+    """,
+)
+def q_order_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer activation milestones via the positional window family
+    (FIRST_VALUE / NTH_VALUE over the full-partition frame): for every
+    customer who reached a third order, the time from first to third
+    order and the exact cents of those first three — "time to habitual"
+    is the canonical activation metric, and the third order is the
+    classic habit threshold. Covers the positional window functions the
+    catalog's offset (LAG/LEAD) and ranking (ROW_NUMBER/NTILE) queries
+    don't touch.
+
+    Determinism: total order (o_orderdate, o_orderkey) inside the
+    window; integer dates and cents out.
+
+    Scale: one customer-keyed window pass (single Exchange + Sort),
+    then a per-customer reduce on the same key — AQE reuses the
+    partitioning.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.first("o_orderdate").over(w_full).alias("first_order"),
+        F.nth_value("o_orderdate", 3).over(w_full).alias("third_order"),
+    )
+    return (
+        ranked.filter(F.col("third_order").isNotNull())
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            "first_order",
+            "third_order",
+        )
+        .agg(
+            F.datediff("third_order", "first_order")
+            .cast("bigint")
+            .alias("days_to_third"),
+            F.sum(F.when(F.col("rn") <= 3, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("first3_cents"),
+        )
+        .orderBy("custkey")
+    )
