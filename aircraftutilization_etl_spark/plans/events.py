@@ -2262,3 +2262,82 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_events_entropy_rate",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM counts GROUP BY from_type),
+    grand AS (SELECT CAST(SUM(n) AS BIGINT) AS g FROM counts)
+    SELECT c.from_type,
+           MAX(t.row_total) AS n_transitions,
+           CAST(MAX(t.row_total) * 1000000 // MAX(g.g) AS BIGINT)
+               AS state_ppm,
+           ROUND(-SUM((c.n * 1.0 / t.row_total)
+                      * ln(c.n * 1.0 / t.row_total)), 6)
+               AS cond_entropy_nats
+    FROM counts c JOIN tot t USING (from_type) CROSS JOIN grand g
+    GROUP BY c.from_type
+    ORDER BY c.from_type
+    """,
+)
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy of the first-order user-journey
+    Markov chain (same transition counts as
+    q_events_markov_transitions): how predictable the NEXT action is
+    from each current action, in nats — 0 means deterministic flow
+    (every view leads to a click), ln(5) ≈ 1.609 means anything can
+    follow. The state_ppm weights let a reader fold the rows into the
+    chain's overall entropy rate Σ p(s)·H(s) — the single
+    predictability number behind "can we prefetch the next screen".
+
+    Determinism: exact transition counts; ≤ |states| ln terms per row
+    summed then rounded at the edge (the heldout-logprob discipline).
+
+    Scale: one user-keyed window for transitions, two tiny aggregates
+    — the matrix is |states|² however long the stream.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    grand = counts.agg(F.sum("n").cast("bigint").alias("g"))
+    p = F.col("n") * 1.0 / F.col("row_total")
+    return (
+        counts.join(F.broadcast(tot), "from_type")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("from_type")
+        .agg(
+            F.max("row_total").alias("n_transitions"),
+            F.expr(
+                "CAST(MAX(row_total) * 1000000 DIV MAX(g) AS BIGINT)"
+            ).alias("state_ppm"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("cond_entropy_nats"),
+        )
+        .orderBy("from_type")
+    )

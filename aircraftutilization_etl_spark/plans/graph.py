@@ -315,3 +315,90 @@ def q_graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_a", "node_b")
     )
+
+
+@query(
+    "q_graph_degree_distribution",
+    f"""
+    WITH ui AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.item AS src, b.item AS dst, COUNT(*) AS n
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n DESC, dst) AS r
+            FROM pairs)
+        WHERE r <= {KNN_K}
+    ),
+    indeg AS (SELECT dst AS node, COUNT(*) AS d FROM knn GROUP BY dst),
+    binned AS (
+        SELECT CAST(FLOOR(ln(d) / ln(2)) AS INT) AS log2_bin, d
+        FROM indeg
+    )
+    SELECT log2_bin,
+           CAST(POW(2, log2_bin) AS BIGINT) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM binned
+    GROUP BY log2_bin
+    ORDER BY log2_bin
+    """,
+)
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned IN-degree distribution of the k-NN item graph — the
+    "is it scale-free?" diagnostic that decides every downstream graph
+    strategy (a heavy tail says salt the hubs before any wedge join;
+    out-degree is fixed at k by construction, so in-degree carries all
+    the signal: items that are many items' nearest neighbor are the
+    hubs). A straight line across these bins on log-log axes is the
+    power-law signature.
+
+    Determinism: degrees are exact counts; the bin is floor(ln d/ln 2)
+    of an integer — exact except astronomically near powers of two,
+    where both engines compute the identical double expression anyway.
+
+    Scale: the k-NN construction bounds edges at k·|V|; binning is one
+    count aggregate over the degree table.
+    """
+    from ..operators.graph import knn_edges
+
+    ev = table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).filter(F.col("item").isNotNull())
+    sparse = knn_edges(directed_cooccurrence(ui, "user_id", "item"), KNN_K)
+    indeg = sparse.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    binned = indeg.select(
+        F.floor(F.log("d") / F.log(F.lit(2.0))).cast("int").alias(
+            "log2_bin"
+        ),
+        "d",
+    )
+    return (
+        binned.groupBy("log2_bin")
+        .agg(
+            F.pow(F.lit(2.0), F.col("log2_bin")).cast("bigint").alias(
+                "bin_lo"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("d").cast("bigint").alias("min_degree"),
+            F.max("d").cast("bigint").alias("max_degree"),
+        )
+        .select(
+            "log2_bin", "bin_lo", "n_nodes", "min_degree", "max_degree"
+        )
+        .orderBy("log2_bin")
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.text import (
     ENGLISH_STOPWORDS,
@@ -1632,4 +1633,103 @@ def q_mix_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simpson_ppm"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "q_text_vocab_growth",
+    """
+    WITH d10 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+               COUNT(*) OVER () AS nd
+        FROM documents
+    ),
+    chk AS (
+        SELECT dec, MAX(doc_id) AS thr FROM (
+            SELECT doc_id, CAST(CEIL(rn * 10.0 / nd) AS INT) AS dec
+            FROM d10)
+        GROUP BY dec
+    ),
+    words AS (
+        SELECT doc_id, lower(t.w) AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+    ),
+    firsts AS (SELECT w, MIN(doc_id) AS fd FROM words GROUP BY w),
+    vocab AS (
+        SELECT c.dec, CAST(COUNT(*) AS BIGINT) AS vocab_size
+        FROM firsts f JOIN chk c ON f.fd <= c.thr
+        GROUP BY c.dec
+    ),
+    toks AS (
+        SELECT c.dec,
+               CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM words w JOIN chk c ON w.doc_id <= c.thr
+        GROUP BY c.dec
+    )
+    SELECT t.dec AS decile, t.n_docs, t.n_tokens, v.vocab_size
+    FROM toks t JOIN vocab v ON v.dec = t.dec
+    ORDER BY decile
+    """,
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-word count at each
+    corpus decile (docs taken in id order) against cumulative tokens —
+    sublinear growth flattening out says the corpus is saturating its
+    domain vocabulary; a curve that keeps climbing linearly says the
+    ingest is still discovering new content (or new noise). The
+    number-one tokenizer-sizing and corpus-saturation diagnostic.
+
+    Determinism: each word's introducing document is MIN(doc_id) —
+    the same first-occurrence machinery as the novelty audit; all
+    counts exact integers.
+
+    Scale: the decile thresholds come from a window over the DOCUMENT
+    REGISTRY (id + row number — registry-sized, not corpus-sized); the
+    vocabulary side is one (word → min doc) aggregate with map-side
+    combine and a 10-row threshold join; token counts likewise. At
+    real scale the threshold join is a broadcast of 10 rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    from ..operators.text import words_expr
+
+    d10 = d.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+    ).crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("nd"))))
+    chk = (
+        d10.select(
+            "doc_id",
+            F.ceil(F.col("rn") * 10.0 / F.col("nd")).cast("int").alias(
+                "dec"
+            ),
+        )
+        .groupBy("dec")
+        .agg(F.max("doc_id").alias("thr"))
+    )
+    words = d.select(
+        "doc_id", F.explode(words_expr("text")).alias("w0")
+    ).select("doc_id", F.lower("w0").alias("w"))
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    vocab = (
+        firsts.join(F.broadcast(chk), F.col("fd") <= F.col("thr"))
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    )
+    toks = (
+        words.join(F.broadcast(chk), F.col("doc_id") <= F.col("thr"))
+        .groupBy("dec")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        toks.join(vocab, "dec")
+        .select(
+            F.col("dec").alias("decile"), "n_docs", "n_tokens", "vocab_size"
+        )
+        .orderBy("decile")
     )
