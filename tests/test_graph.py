@@ -202,3 +202,51 @@ class TestNeighborhoodJaccard:
         )
         got = neighborhood_jaccard(edges, min_ppm=600_000).collect()
         assert {(r.node_a, r.node_b) for r in got} == {(1, 4)}
+
+
+class TestNeighborhoodJaccardRandomized:
+    def test_randomized_vs_python_sets(self, spark):
+        import random
+
+        from aircraftutilization_etl_spark.operators.graph import (
+            neighborhood_jaccard,
+        )
+
+        for seed in (3, 41):
+            rng = random.Random(seed)
+            nodes = list(range(rng.randint(4, 9)))
+            edges = set()
+            for s in nodes:
+                for d in nodes:
+                    if s != d and rng.random() < 0.4:
+                        edges.add((s, d))
+            if not edges:
+                continue
+            df = spark.createDataFrame(
+                sorted(edges), "src long, dst long"
+            )
+            got = {
+                (r.node_a, r.node_b): (
+                    r.n_common,
+                    r.jaccard_ppm,
+                    r.is_edge,
+                )
+                for r in neighborhood_jaccard(df).collect()
+            }
+            nbrs = {}
+            for s, d in edges:
+                nbrs.setdefault(s, set()).add(d)
+            expect = {}
+            ns = sorted(nbrs)
+            for i, a in enumerate(ns):
+                for b in ns[i + 1 :]:
+                    inter = nbrs[a] & nbrs[b]
+                    if not inter:
+                        continue
+                    union = len(nbrs[a]) + len(nbrs[b]) - len(inter)
+                    expect[(a, b)] = (
+                        len(inter),
+                        len(inter) * 1_000_000 // union,
+                        (a, b) in edges or (b, a) in edges,
+                    )
+            assert got == expect, seed

@@ -500,3 +500,40 @@ class TestScd2Apply:
         )
         two = [r for r in applied.collect() if r["k"] == 2]
         assert len(two) == 1 and two[0]["is_current"]
+
+
+class TestScd2ApplyRandomized:
+    def test_randomized_apply_equals_rebuild(self, spark):
+        """Seeded random change logs: applying the post-cut slice to the
+        pre-cut history must equal the full rebuild — for any key set,
+        state alphabet, tie pattern, and cut point."""
+        import random
+
+        from aircraftutilization_etl_spark.operators.warehouse import (
+            scd2_apply,
+            scd2_history,
+        )
+
+        for seed in (7, 23, 99):
+            rng = random.Random(seed)
+            rows = []
+            tie = 0
+            for k in range(rng.randint(3, 8)):
+                t = 0
+                for _ in range(rng.randint(1, 12)):
+                    t += rng.randint(0, 5)  # allow equal-ts ties
+                    tie += 1
+                    rows.append((k, rng.choice("abc"), t, tie))
+            cut = rng.randint(1, 25)
+            df = spark.createDataFrame(
+                rows, "k long, attr string, ts long, tie long"
+            )
+            old = df.filter(f"ts < {cut}")
+            new = df.filter(f"ts >= {cut}")
+            hist = scd2_history(old, "k", ["attr"], "ts", "tie")
+            applied = scd2_apply(hist, new, "k", ["attr"], "ts", "tie")
+            full = scd2_history(df, "k", ["attr"], "ts", "tie")
+            key = ["k", "attr", "valid_from", "valid_to", "is_current"]
+            assert sorted(
+                map(tuple, applied.select(*key).collect())
+            ) == sorted(map(tuple, full.select(*key).collect())), seed
