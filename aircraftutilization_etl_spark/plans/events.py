@@ -2341,3 +2341,174 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+@query(
+    "q_events_conversion_ztest",
+    """
+    WITH half AS (
+        SELECT user_id,
+               CASE WHEN MIN(CAST(ts AS DATE)) < DATE '2024-01-16'
+                    THEN 'first_half' ELSE 'second_half' END AS cohort,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS k
+        FROM half GROUP BY cohort
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN cohort = 'first_half' THEN n END) AS n1,
+               MAX(CASE WHEN cohort = 'first_half' THEN k END) AS k1,
+               MAX(CASE WHEN cohort = 'second_half' THEN n END) AS n2,
+               MAX(CASE WHEN cohort = 'second_half' THEN k END) AS k2
+        FROM g
+    )
+    SELECT n1, k1, n2, k2,
+           CAST(k1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+           CAST(k2 * 1000000 // n2 AS BIGINT) AS rate2_ppm,
+           ROUND((k1 * 1.0 / n1 - k2 * 1.0 / n2)
+                 / sqrt(((k1 + k2) * 1.0 / (n1 + n2))
+                        * (1 - (k1 + k2) * 1.0 / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 4) AS z_stat
+    FROM w
+    """,
+)
+def q_events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (ever purchased)
+    between acquisition cohorts (users first seen in the first vs
+    second half of the month) — the categorical A/B-test primitive
+    next to q_events_welch's continuous one: pooled-proportion
+    standard error, |z| > 1.96 is the 95% flag a growth dashboard
+    raises.
+
+    Determinism: counts are exact BIGINTs; every float op is a scalar
+    expression over them (k/n ratios, one sqrt) — identical IEEE
+    sequence both engines.
+
+    Scale: one user-keyed rollup with map-side combine (first-seen
+    date and converted flag in the same pass), a 2-group reduce, a
+    1-row statistic.
+    """
+    ev = table(spark, sf_dir, "events")
+    half = ev.groupBy("user_id").agg(
+        F.when(
+            F.min(F.col("ts").cast("date")) < F.lit("2024-01-16").cast("date"),
+            F.lit("first_half"),
+        )
+        .otherwise(F.lit("second_half"))
+        .alias("cohort"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    g = half.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+
+    def side(col: str, c: str):
+        return F.max(F.when(F.col("cohort") == c, F.col(col)))
+
+    w = g.agg(
+        side("n", "first_half").alias("n1"),
+        side("k", "first_half").alias("k1"),
+        side("n", "second_half").alias("n2"),
+        side("k", "second_half").alias("k2"),
+    )
+    p1 = F.col("k1") * 1.0 / F.col("n1")
+    p2 = F.col("k2") * 1.0 / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")) * 1.0 / (F.col("n1") + F.col("n2"))
+    se = F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return w.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        F.expr("CAST(k1 * 1000000 DIV n1 AS BIGINT)").alias("rate1_ppm"),
+        F.expr("CAST(k2 * 1000000 DIV n2 AS BIGINT)").alias("rate2_ppm"),
+        F.round((p1 - p2) / se, 4).alias("z_stat"),
+    )
+
+
+@query(
+    "q_events_bounce_rate",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, session_seq,
+               MIN(ts) AS start_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (SELECT user_id, ts,
+                     SUM(is_start) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM s)
+        GROUP BY user_id, session_seq
+    )
+    SELECT CAST(start_ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm,
+           CAST(SUM(n_events) // COUNT(*) AS BIGINT)
+               AS events_per_session
+    FROM sess
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 30-minute-gap sessions that
+    contain exactly one event, plus mean session depth — the
+    engagement-quality headline next to the volume metrics (DAU says
+    how many came; bounce rate says whether they stayed). Sessions are
+    attributed to their START day, so a midnight-spanning session
+    counts once.
+
+    Determinism: same sessionization as q_events_sessionize/
+    q_events_concurrency (ts, event_id total order); integer counts
+    and ppm division.
+
+    Scale: one user-keyed window pass, one session rollup, one per-day
+    reduce.
+    """
+    from ..operators.events import sessionize
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = (
+        sessionize(ev, "user_id", "ts", 30, order_cols=("event_id",))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (
+        sess.groupBy(F.col("start_ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(bounce).cast("bigint").alias("n_bounces"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("bounce_ppm"),
+            F.expr(
+                "CAST(SUM(n_events) DIV COUNT(*) AS BIGINT)"
+            ).alias("events_per_session"),
+        )
+        .orderBy("day")
+    )
