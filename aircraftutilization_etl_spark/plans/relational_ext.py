@@ -993,3 +993,76 @@ def q_order_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "q_share_of_region",
+    """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, cents,
+           CAST(cents * 1000000
+                // SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+               AS region_share_ppm,
+           CAST(RANK() OVER (PARTITION BY region
+                             ORDER BY cents DESC, nation) AS INT)
+               AS rank_in_region
+    FROM rev
+    ORDER BY region, rank_in_region
+    """,
+)
+def q_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's exact-cent revenue, its ppm share
+    of its region's total, and its in-region rank — the
+    percent-of-parent shape every hierarchical BI report uses
+    (aggregate once, then a window over the AGGREGATED rows, never a
+    second pass over the facts).
+
+    Scale: the fact table joins the SF-scaled customer dimension
+    without a hint (AQE picks broadcast vs shuffle by measured size —
+    the q5 discipline), then two always-broadcast fixed dims; the
+    share/rank window runs over nation-count rows. Integer cents end
+    to end.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    # customer is SF-scaled: no broadcast hint (AQE decides); the
+    # fixed-size nation/region dims are always broadcast-safe
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wrank = wr.orderBy(F.desc("cents"), "nation")
+    return (
+        rev.select(
+            "region",
+            "nation",
+            "cents",
+            F.expr(
+                "CAST(cents * 1000000 DIV SUM(cents)"
+                " OVER (PARTITION BY region) AS BIGINT)"
+            ).alias("region_share_ppm"),
+            F.rank().over(wrank).cast("int").alias("rank_in_region"),
+        )
+        .orderBy("region", "rank_in_region")
+    )
