@@ -897,7 +897,7 @@ def dsir_logratio(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("__lr"), 4).alias("dsir_logratio"),
+            (F.round(F.avg("__lr"), 4) + 0.0).alias("dsir_logratio"),
         )
     )
 
@@ -1362,12 +1362,15 @@ def pmi_collocations(
             "w1",
             "w2",
             F.col("pair_count").cast("bigint").alias("pair_count"),
-            F.round(
-                F.log(
-                    (F.col("pair_count") * F.col("__b") * F.lit(1.0))
-                    / (F.col("__c1") * F.col("__c2"))
-                ),
-                6,
+            (
+                F.round(
+                    F.log(
+                        (F.col("pair_count") * F.col("__b") * F.lit(1.0))
+                        / (F.col("__c1") * F.col("__c2"))
+                    ),
+                    6,
+                )
+                + 0.0
             ).alias("pmi"),
         )
     )

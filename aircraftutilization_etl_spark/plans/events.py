@@ -1432,7 +1432,7 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mean_a, 4) AS mean_cents_a,
            ROUND(mean_b, 4) AS mean_cents_b,
            ROUND((mean_a - mean_b)
-                 / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+                 / sqrt(var_a / n_a + var_b / n_b), 4) + 0.0 AS t_stat,
            ROUND(((var_a / n_a + var_b / n_b)
                   * (var_a / n_a + var_b / n_b))
                  / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
@@ -1503,7 +1503,9 @@ def q_events_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(mean_a, 4).alias("mean_cents_a"),
         F.round(mean_b, 4).alias("mean_cents_b"),
-        F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 4).alias("t_stat"),
+        (F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 4) + 0.0).alias(
+            "t_stat"
+        ),
         F.round(
             ((se2_a + se2_b) * (se2_a + se2_b))
             / (
@@ -1546,7 +1548,7 @@ def q_events_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n AS n_pairs,
            ROUND((n * sxy - sx * sy)
                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
                AS lag1_autocorr
     FROM m
     ORDER BY event_type
@@ -1598,7 +1600,7 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(
             "event_type",
             F.col("n").alias("n_pairs"),
-            F.round(num / den, 6).alias("lag1_autocorr"),
+            (F.round(num / den, 6) + 0.0).alias("lag1_autocorr"),
         )
         .orderBy("event_type")
     )
@@ -2212,7 +2214,7 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sqrt((ss - (s * 1.0) * s / n) / n), 4) AS stddev_gap_s,
            ROUND((sqrt((ss - (s * 1.0) * s / n) / n) - s / CAST(n AS DOUBLE))
                  / (sqrt((ss - (s * 1.0) * s / n) / n)
-                    + s / CAST(n AS DOUBLE)), 6) AS burstiness
+                    + s / CAST(n AS DOUBLE)), 6) + 0.0 AS burstiness
     FROM m
     ORDER BY event_type
     """,
@@ -2258,7 +2260,9 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_gaps"),
             F.round(mean, 4).alias("mean_gap_s"),
             F.round(sd, 4).alias("stddev_gap_s"),
-            F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+            (F.round((sd - mean) / (sd + mean), 6) + 0.0).alias(
+                "burstiness"
+            ),
         )
         .orderBy("event_type")
     )
@@ -2372,7 +2376,7 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((k1 * 1.0 / n1 - k2 * 1.0 / n2)
                  / sqrt(((k1 + k2) * 1.0 / (n1 + n2))
                         * (1 - (k1 + k2) * 1.0 / (n1 + n2))
-                        * (1.0 / n1 + 1.0 / n2)), 4) AS z_stat
+                        * (1.0 / n1 + 1.0 / n2)), 4) + 0.0 AS z_stat
     FROM w
     """,
 )
@@ -2431,7 +2435,7 @@ def q_events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k2",
         F.expr("CAST(k1 * 1000000 DIV n1 AS BIGINT)").alias("rate1_ppm"),
         F.expr("CAST(k2 * 1000000 DIV n2 AS BIGINT)").alias("rate2_ppm"),
-        F.round((p1 - p2) / se, 4).alias("z_stat"),
+        (F.round((p1 - p2) / se, 4) + 0.0).alias("z_stat"),
     )
 
 

@@ -364,10 +364,13 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
-           ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar,
-           ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
-           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(corr(l_extendedprice, l_quantity), 4) + 0.0
+               AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2) + 0.0
+               AS price_qty_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 2) + 0.0 AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) + 0.0
+               AS intercept,
            ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev
     FROM lineitem
     GROUP BY l_returnflag
@@ -390,17 +393,20 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+            (F.round(F.corr("l_extendedprice", "l_quantity"), 4) + 0.0).alias(
                 "price_qty_corr"
             ),
-            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
-                "price_qty_covar"
-            ),
-            F.round(
-                F.regr_slope("l_extendedprice", "l_quantity"), 2
+            (
+                F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2)
+                + 0.0
+            ).alias("price_qty_covar"),
+            (
+                F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2)
+                + 0.0
             ).alias("slope"),
-            F.round(
-                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            (
+                F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2)
+                + 0.0
             ).alias("intercept"),
             F.round(F.stddev_samp("l_extendedprice"), 2).alias(
                 "price_stddev"

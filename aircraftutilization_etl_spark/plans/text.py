@@ -980,7 +980,7 @@ DSIR_TARGET_SOURCE = "src0"
     scored AS (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               ROUND(AVG(lr), 4) AS dsir_logratio
+               ROUND(AVG(lr), 4) + 0.0 AS dsir_logratio
         FROM words JOIN model USING (w)
         GROUP BY doc_id
     )
@@ -1547,7 +1547,7 @@ PMI_TOPK = 50
     tot AS (SELECT COUNT(*) AS b FROM bigrams)
     SELECT m.w1, m.w2, CAST(m.pair_count AS BIGINT) AS pair_count,
            ROUND(ln((m.pair_count * t.b * 1.0) / (h.c1 * g.c2)), 6)
-               AS pmi
+               + 0.0 AS pmi
     FROM c12 m JOIN c1 h USING (w1) JOIN c2 g USING (w2)
          CROSS JOIN tot t
     ORDER BY pmi DESC, m.w1, m.w2
