@@ -652,7 +652,7 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hourly
     )
     SELECT h.hour, h.n_errors, h.n_events,
-           ROUND((h.n_errors - s.mu) / s.sigma, 3) AS z_score
+           ROUND((h.n_errors - s.mu) / s.sigma, 3) + 0.0 AS z_score
     FROM hourly h CROSS JOIN stats s
     WHERE (h.n_errors - s.mu) / s.sigma > 2
     ORDER BY h.hour
@@ -691,7 +691,7 @@ def q_events_error_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour",
             "n_errors",
             "n_events",
-            F.round(z, 3).alias("z_score"),
+            (F.round(z, 3) + 0.0).alias("z_score"),
         )
         .orderBy("hour")
     )

@@ -32,7 +32,7 @@ _SOURCE_LIKE_SQL = """
                 ELSE epoch_us(ts) // 1000000 END AS last_contact,
            CASE WHEN event_type = 'error' THEN NULL ELSE value END AS velocity,
            CASE WHEN event_type = 'signup' THEN NULL
-                ELSE ROUND(value - 100, 2) END AS vertical_rate,
+                ELSE ROUND(value - 100, 2) + 0.0 END AS vertical_rate,
            CASE WHEN event_type = 'click' THEN 'descend'
                 WHEN event_type = 'purchase' THEN 'climb'
                 ELSE 'other' END AS flight_trajectory,
@@ -53,7 +53,7 @@ def _source_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value")
         ).alias("velocity"),
         F.when(F.col("event_type") == "signup", F.lit(None))
-        .otherwise(F.round(F.col("value") - 100, 2))
+        .otherwise(F.round(F.col("value") - 100, 2) + 0.0)
         .alias("vertical_rate"),
         F.when(F.col("event_type") == "click", "descend")
         .when(F.col("event_type") == "purchase", "climb")

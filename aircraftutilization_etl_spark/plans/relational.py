@@ -324,7 +324,8 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS DATE) AS order_day,
            ROUND(o_totalprice, 2) AS totalprice,
            ROUND(o_totalprice - LAG(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+               + 0.0 AS delta_prev
     FROM orders
     WHERE o_custkey < 100
     ORDER BY o_custkey, order_day, o_orderkey
@@ -339,9 +340,10 @@ def q_order_value_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.to_date("o_orderdate").alias("order_day"),
         _money(F.col("o_totalprice")).alias("totalprice"),
-        _money(F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
-            "delta_prev"
-        ),
+        (
+            _money(F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+            + 0.0
+        ).alias("delta_prev"),
     ).orderBy("o_custkey", "order_day", "o_orderkey")
 
 
