@@ -1074,7 +1074,7 @@ def q_events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON o.user_id = r.user_id AND o.rn = r.rn + 1
     )
     SELECT user_id, event_id, ts, ROUND(value, 6) AS value,
-           ROUND(ewma, 6) AS ewma
+           CAST(FLOOR(ewma * 1000000) AS BIGINT) AS ewma_micros
     FROM rec
     ORDER BY user_id, ts, event_id
     """,
@@ -1083,7 +1083,12 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (alpha = 0.25, adjust-free) of purchase values in
     event order — the recursive-CTE oracle replays the identical
     float64 op sequence ((1-a)*prev + a*x), so every smoothed value is
-    bit-checked, not approximately checked.
+    bit-checked, not approximately checked. The output edge is
+    FLOOR-of-micros, not ROUND: alpha = 1/4 lands smoothed values on
+    exact 7-dp points (x.xxx1875…) where Spark's shortest-repr HALF_UP
+    and DuckDB's binary-value rounding disagree by one ulp of the last
+    kept digit (surfaced at sf0.1); floor of the identical double is
+    rounding-rule-free.
 
     Scale: one shuffle on user_id, then a linear per-key pass
     (applyInPandas) — group memory is the user's own purchase count.
@@ -1102,7 +1107,9 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.round("value", 6).alias("value"),
-        F.round("ewma", 6).alias("ewma"),
+        F.floor(F.col("ewma") * 1_000_000).cast("bigint").alias(
+            "ewma_micros"
+        ),
     ).orderBy("user_id", "ts", "event_id")
 
 
