@@ -1155,3 +1155,99 @@ def q_emb_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scodes.unpersist()
     return out
+
+
+@query(
+    "q_emb_drift",
+    f"""
+    WITH {_QUANT_EXPL},
+    halves AS (
+        SELECT label, dim, q,
+               CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 'a' ELSE 'b' END AS half
+        FROM qq
+    ),
+    cents AS (
+        SELECT label, half, dim,
+               CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM halves GROUP BY label, half, dim
+    ),
+    paired AS (
+        SELECT a.label, a.dim, a.c AS ca, b.c AS cb,
+               a.n AS na, b.n AS nb
+        FROM (SELECT * FROM cents WHERE half = 'a') a
+          JOIN (SELECT * FROM cents WHERE half = 'b') b
+            ON a.label = b.label AND a.dim = b.dim
+    )
+    SELECT label,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT) AS centroid_sq_l2
+    FROM paired
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the exact
+    integer squared L2 distance between the int8-quantized centroids
+    of two md5 halves of the corpus (half A plays yesterday's ingest,
+    half B today's) — the semantic twin of the KS value-drift gate: a
+    centroid that moves between batches means the upstream encoder or
+    the content mix changed, and every ANN index built on yesterday's
+    cells degrades. Near-zero distances here are the healthy baseline
+    the alert threshold sits on.
+
+    Determinism: the kmeans_int8 quantization protocol (exact
+    floor-of-double codes, floor-of-mean centroids) keeps everything
+    in BIGINTs — no float enters the distance.
+
+    Scale: one (label, half, dim) aggregate with map-side combine
+    (k·2·d result groups regardless of corpus size), a dim-keyed
+    self-join on the label, a label-count result.
+    """
+    from ..operators.similarity import quantize_embeddings
+
+    e = table(spark, sf_dir, "embeddings")
+    qq = quantize_embeddings(e, "vec_id", "embedding").join(
+        e.select("vec_id", "label"), "vec_id"
+    ).select(
+        "vec_id",
+        "label",
+        F.posexplode("qvec").alias("dim", "q"),
+    )
+    halves = qq.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        "q",
+        F.when(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8",
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("half"),
+    )
+    cents = halves.groupBy("label", "half", "dim").agg(
+        F.floor(F.sum("q") / F.count(F.lit(1))).cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = cents.filter("half = 'a'").select(
+        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = cents.filter("half = 'b'").select(
+        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("bigint")
+            .alias("centroid_sq_l2"),
+        )
+        .orderBy("label")
+    )

@@ -1072,3 +1072,66 @@ def q_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "rank_in_region")
     )
+
+
+@query(
+    "q_ship_lag",
+    """
+    WITH lag_days AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE)
+                   AS order_month,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(lag_d, 0.5), 1) AS median_days,
+           ROUND(quantile_cont(lag_d, 0.9), 1) AS p90_days,
+           CAST(SUM(CASE WHEN lag_d > 30 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS late_ppm
+    FROM lag_days
+    GROUP BY order_month
+    ORDER BY order_month
+    """,
+)
+def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA report: per order month, the median and p90
+    days from order to line shipment and the share of lines breaching
+    a 30-day SLA (integer ppm) — the operations dashboard staple, and
+    the fact-to-fact temporal join (order header date vs line ship
+    date) the TPC-H suite itself never aggregates this way.
+
+    Determinism: integer day lags; exact percentiles interpolate the
+    same way in both engines (the q_outlier_iqr precedent); the SLA
+    share is integer DIV.
+
+    Scale: one orderkey equi-join (both sides huge — the classic
+    co-partitioned fact join; bucketing both tables on orderkey makes
+    it exchange-free), then a months-sized rollup. Exact percentiles
+    buffer per-group values — at 100 TB swap approx_percentile, same
+    plan shape.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag_d = F.datediff("l_shipdate", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias(
+            "order_month"
+        ),
+        lag_d.alias("lag_d"),
+    )
+    return (
+        j.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.percentile("lag_d", F.lit(0.5)), 1).alias(
+                "median_days"
+            ),
+            F.round(F.percentile("lag_d", F.lit(0.9)), 1).alias("p90_days"),
+            F.expr(
+                "CAST(SUM(CASE WHEN lag_d > 30 THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("late_ppm"),
+        )
+        .orderBy("order_month")
+    )
