@@ -1135,3 +1135,102 @@ def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+@query(
+    "q_dq_referential",
+    """
+    SELECT * FROM (
+        SELECT 'lineitem->orders' AS fk,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o
+          ON o.o_orderkey = l.l_orderkey
+        UNION ALL
+        SELECT 'lineitem->part',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        UNION ALL
+        SELECT 'customer->nation',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM customer c LEFT JOIN nation n
+          ON n.n_nationkey = c.c_nationkey
+        UNION ALL
+        SELECT 'nation->region',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM nation n LEFT JOIN region r
+          ON r.r_regionkey = n.n_regionkey
+    )
+    ORDER BY fk
+    """,
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-snowflake referential-integrity audit: orphan counts for
+    every foreign key in the star (lineitem→orders/part/supplier,
+    orders→customer, customer→nation, nation→region) in one report —
+    the data-contract sweep a warehouse runs after every load, and the
+    completion of q_dq_audit's single-FK check. Zero orphans is the
+    pass condition; any non-zero row names the broken edge directly.
+
+    Scale: each FK check is a left join whose null-side count
+    aggregates map-side; dimension-sided checks broadcast, the two
+    fact-to-fact checks shuffle once on their key (bucketed tables
+    make them exchange-free). The six checks share nothing and
+    pipeline independently.
+    """
+
+    def check(child, ckey, parent, pkey, name):
+        return (
+            child.join(parent, child[ckey] == parent[pkey], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(parent[pkey].isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    su = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    out = (
+        check(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(check(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(
+            check(li, "l_suppkey", su, "s_suppkey", "lineitem->supplier")
+        )
+        .unionByName(
+            check(o, "o_custkey", c, "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            check(c, "c_nationkey", n, "n_nationkey", "customer->nation")
+        )
+        .unionByName(
+            check(n, "n_regionkey", r, "r_regionkey", "nation->region")
+        )
+    )
+    return out.orderBy("fk")
