@@ -1733,3 +1733,98 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_text_drift_js",
+    """
+    WITH tagged AS (
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 'a' ELSE 'b' END AS half,
+               text
+        FROM documents
+    ),
+    words AS (
+        SELECT half, lower(t.w) AS w
+        FROM tagged,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+    ),
+    counts AS (
+        SELECT w,
+               SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS cb
+        FROM words GROUP BY w
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+               CAST(SUM(cb) AS BIGINT) AS tb,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts
+    ),
+    ps AS (
+        SELECT (ca + 1.0) / (ta + v) AS pa,
+               (cb + 1.0) / (tb + v) AS pb
+        FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(MAX(t.ta) AS BIGINT) AS tokens_a,
+           CAST(MAX(t.tb) AS BIGINT) AS tokens_b,
+           CAST(MAX(t.v) AS BIGINT) AS vocab,
+           ROUND(0.5 * SUM(pa * ln(pa / ((pa + pb) / 2)))
+                 + 0.5 * SUM(pb * ln(pb / ((pa + pb) / 2))), 6)
+               AS js_divergence
+    FROM ps CROSS JOIN tot t
+    """,
+)
+def q_text_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-distribution drift between two md5 ingest halves:
+    Jensen-Shannon divergence of their add-1-smoothed unigram models —
+    the third leg of the drift-monitor triple (q_drift_ks for values,
+    q_emb_drift for embedding space, this for token space). JS is
+    symmetric and bounded by ln 2, so the alert threshold is absolute;
+    two halves of one corpus give the near-zero healthy baseline.
+
+    Determinism: both model denominators come from exact BIGINTs; the
+    JS sum is vocabulary-many ln terms rounded at the edge (the same
+    budget the per-source KL divergence holds at sf0.1).
+
+    Scale: ONE token shuffle builds both halves' counts (conditional
+    sums in the same aggregate — not two scans), a 1-row total, and a
+    vocabulary-sized map-side fold into the final scalar.
+    """
+    from ..operators.text import words_expr
+
+    d = table(spark, sf_dir, "documents")
+    tagged = d.select(
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8",
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        F.explode(words_expr("text")).alias("w0"),
+    ).select("half", F.lower("w0").alias("w"))
+    counts = tagged.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cb").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("ta") + F.col("v"))
+    pb = (F.col("cb") + 1.0) / (F.col("tb") + F.col("v"))
+    m = (pa + pb) / 2
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("ta").cast("bigint").alias("tokens_a"),
+            F.max("tb").cast("bigint").alias("tokens_b"),
+            F.max("v").cast("bigint").alias("vocab"),
+            F.round(
+                0.5 * F.sum(pa * F.log(pa / m))
+                + 0.5 * F.sum(pb * F.log(pb / m)),
+                6,
+            ).alias("js_divergence"),
+        )
+    )
