@@ -2299,7 +2299,7 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(t.row_total) * 1000000 // MAX(g.g) AS BIGINT)
                AS state_ppm,
            ROUND(-SUM((c.n * 1.0 / t.row_total)
-                      * ln(c.n * 1.0 / t.row_total)), 6)
+                      * ln(c.n * 1.0 / t.row_total)), 6) + 0.0
                AS cond_entropy_nats
     FROM counts c JOIN tot t USING (from_type) CROSS JOIN grand g
     GROUP BY c.from_type
@@ -2348,7 +2348,9 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(MAX(row_total) * 1000000 DIV MAX(g) AS BIGINT)"
             ).alias("state_ppm"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("cond_entropy_nats"),
+            (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias(
+                "cond_entropy_nats"
+            ),
         )
         .orderBy("from_type")
     )

@@ -342,11 +342,11 @@ def q_graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     indeg AS (SELECT dst AS node, COUNT(*) AS d FROM knn GROUP BY dst),
     binned AS (
-        SELECT CAST(FLOOR(ln(d) / ln(2)) AS INT) AS log2_bin, d
+        SELECT CAST(LENGTH(BIN(d)) - 1 AS INT) AS log2_bin, d
         FROM indeg
     )
     SELECT log2_bin,
-           CAST(POW(2, log2_bin) AS BIGINT) AS bin_lo,
+           CAST(1 << log2_bin AS BIGINT) AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n_nodes,
            CAST(MIN(d) AS BIGINT) AS min_degree,
            CAST(MAX(d) AS BIGINT) AS max_degree
@@ -364,9 +364,10 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs). A straight line across these bins on log-log axes is the
     power-law signature.
 
-    Determinism: degrees are exact counts; the bin is floor(ln d/ln 2)
-    of an integer — exact except astronomically near powers of two,
-    where both engines compute the identical double expression anyway.
+    Determinism: degrees are exact counts and the bin is the
+    integer's BIT LENGTH minus one — pure integer derivation, because
+    floor(ln d / ln 2) amplifies a 1-ulp libm difference into a whole
+    bin exactly at the power-of-two degrees a k-NN graph is full of.
 
     Scale: the k-NN construction bounds edges at k·|V|; binning is one
     count aggregate over the degree table.
@@ -382,17 +383,14 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("d")
     )
     binned = indeg.select(
-        F.floor(F.log("d") / F.log(F.lit(2.0))).cast("int").alias(
-            "log2_bin"
-        ),
+        (F.length(F.bin("d")) - 1).cast("int").alias("log2_bin"),
         "d",
     )
     return (
         binned.groupBy("log2_bin")
         .agg(
-            F.pow(F.lit(2.0), F.col("log2_bin")).cast("bigint").alias(
-                "bin_lo"
-            ),
+            F.expr("CAST(SHIFTLEFT(CAST(1 AS BIGINT), log2_bin)"
+                   " AS BIGINT)").alias("bin_lo"),
             F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
             F.min("d").cast("bigint").alias("min_degree"),
             F.max("d").cast("bigint").alias("max_degree"),

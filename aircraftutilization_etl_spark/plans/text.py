@@ -1770,7 +1770,7 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(t.tb) AS BIGINT) AS tokens_b,
            CAST(MAX(t.v) AS BIGINT) AS vocab,
            ROUND(0.5 * SUM(pa * ln(pa / ((pa + pb) / 2)))
-                 + 0.5 * SUM(pb * ln(pb / ((pa + pb) / 2))), 6)
+                 + 0.5 * SUM(pb * ln(pb / ((pa + pb) / 2))), 6) + 0.0
                AS js_divergence
     FROM ps CROSS JOIN tot t
     """,
@@ -1821,10 +1821,13 @@ def q_text_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ta").cast("bigint").alias("tokens_a"),
             F.max("tb").cast("bigint").alias("tokens_b"),
             F.max("v").cast("bigint").alias("vocab"),
-            F.round(
-                0.5 * F.sum(pa * F.log(pa / m))
-                + 0.5 * F.sum(pb * F.log(pb / m)),
-                6,
+            (
+                F.round(
+                    0.5 * F.sum(pa * F.log(pa / m))
+                    + 0.5 * F.sum(pb * F.log(pb / m)),
+                    6,
+                )
+                + 0.0
             ).alias("js_divergence"),
         )
     )
