@@ -141,3 +141,41 @@ def test_every_query_builds_lazily(spark):
     for name, qd in CATALOG.items():
         df = qd.spark(spark, SF_DIR)
         assert df.columns, name
+
+
+def test_signed_rounds_normalize_negative_zero():
+    """Structural gate for the -0.0 trap: DuckDB's ROUND preserves
+    negative zero, Spark's does not, and the driver's value canon
+    distinguishes them — so every ORACLE expression that rounds a
+    possibly-signed value must append `+ 0.0`. The heuristic flags
+    ROUND arguments containing a subtraction or a signed function;
+    expressions that are provably non-negative (shingle-Jaccard ratios:
+    intersection over union of counts) are allowlisted by pattern."""
+    import re
+
+    NON_NEGATIVE = (
+        # |A∩B| / (|A| + |B| - |A∩B|) ∈ [0, 1]
+        re.compile(r"n_common\s*/"),
+    )
+    offenders = []
+    for name, qd in CATALOG.items():
+        sql = qd.oracle
+        if not sql:
+            continue
+        for m in re.finditer(
+            r"ROUND\(((?:[^()]|\([^()]*\))*)\,\s*\d+\)(\s*\+\s*0\.0)?",
+            sql,
+            re.I,
+        ):
+            arg, normalized = m.group(1), m.group(2)
+            if normalized:
+                continue
+            if not re.search(
+                r"-|corr|covar|slope|intercept|ln\(|log\(", arg, re.I
+            ):
+                continue
+            if any(p.search(arg) for p in NON_NEGATIVE):
+                continue
+            offenders.append((name, arg.strip()[:60]))
+            break
+    assert offenders == []
