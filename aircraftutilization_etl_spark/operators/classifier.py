@@ -275,7 +275,14 @@ def naive_bayes_confusion(
             id_col,
             "actual",
             "cls",
-            (F.col("__prior") + F.col("__ll")).alias("__score"),
+            # integer micro-units BEFORE the argmax: per-(doc, class)
+            # sums of many ln terms accumulate in engine/partition-
+            # dependent order, so near-tied raw float scores could flip
+            # the predicted label across engines; floored micros make
+            # near-ties exact ties, broken deterministically by cls
+            F.floor((F.col("__prior") + F.col("__ll")) * 1e6)
+            .cast("bigint")
+            .alias("__score"),
         )
     )
     win = Window.partitionBy(id_col).orderBy(

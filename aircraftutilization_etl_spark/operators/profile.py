@@ -25,31 +25,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+APPROX_DISTINCT_RSD = 0.05  # approx_count_distinct default
+
+
 def profile_columns(
-    df: DataFrame, cols: Sequence[str], exact: bool = True
+    df: DataFrame,
+    cols: Sequence[str],
+    exact: bool = True,
+    audit_approx: bool = False,
 ) -> DataFrame:
     """One row per profiled column: (col_name, n_rows, n_nulls,
     n_distinct, min_value, max_value); min/max are computed in the
     column's native type and cast to string only at the edge (so numeric
-    columns order numerically, not lexically)."""
+    columns order numerically, not lexically).
+
+    ``audit_approx=True`` (implies exact distinct) additionally runs the
+    HLL++ estimator in the SAME scan and emits ``distinct_within_tol``:
+    |approx − exact| ≤ 3·rsd·exact + 2. HLL++ registers are
+    max-of-hashes, so the estimate is a deterministic function of the
+    key SET (merge-order free) — the boolean is an engine-stable,
+    oracle-checkable certificate of the sketch the 100 TB path relies
+    on (the ``exact=False`` mode, which profiles without the Expand)."""
     if not cols:
         raise ValueError("profile_columns needs at least one column")
     distinct = (
         (lambda c: F.count_distinct(F.col(c)))
-        if exact
+        if exact or audit_approx
         else (lambda c: F.approx_count_distinct(c))
     )
-    structs = [
-        F.struct(
+    tol = 3 * APPROX_DISTINCT_RSD
+
+    def fields(c: str):
+        out = [
             F.lit(c).alias("col_name"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
             distinct(c).alias("n_distinct"),
             F.min(F.col(c)).cast("string").alias("min_value"),
             F.max(F.col(c)).cast("string").alias("max_value"),
-        )
-        for c in cols
-    ]
+        ]
+        if audit_approx:
+            exact_d = F.count_distinct(F.col(c))
+            err = F.abs(F.approx_count_distinct(c) - exact_d)
+            out.append(
+                (err <= tol * exact_d + 2).alias("distinct_within_tol")
+            )
+        return out
+
+    structs = [F.struct(*fields(c)) for c in cols]
     return (
         df.agg(F.array(*structs).alias("p"))
         .select(F.explode("p").alias("p"))

@@ -294,8 +294,11 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.avg(F.log(F.col("__c") / F.col("__t"))), 4
+            # + 0.0: -0.0 discipline — a degenerate corpus can
+            # average to a tiny negative that rounds to signed zero
+            (
+                F.round(F.avg(F.log(F.col("__c") / F.col("__t"))), 4)
+                + 0.0
             ).alias("logprob"),
         )
     )
@@ -517,8 +520,10 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.avg(F.log(F.col("__c12") / F.col("__c1"))), 4
+            # + 0.0: -0.0 discipline (see unigram_logprob)
+            (
+                F.round(F.avg(F.log(F.col("__c12") / F.col("__c1"))), 4)
+                + 0.0
             ).alias("logprob"),
         )
     )

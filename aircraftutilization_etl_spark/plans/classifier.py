@@ -24,6 +24,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model's mean predicted probability — the learned-filter workflow
     (CCNet/LLaMA-style quality models) as one Spark job chain.
 
+    Rows-only BY NECESSITY (the one remaining oracle=None entry):
+    gradient sums commute only up to float addition order, and on this
+    corpus the weak label is near-inseparable (mean_pred ≈ 0.5 ± 1e-4
+    at every SF), so NO margin-based boolean certificate exists that
+    partition-order noise could not flip — unlike the sketch queries,
+    whose estimates are deterministic functions of the key set.
+    Learning dynamics (loss decrease, separable-data accuracy, numpy
+    replay within tolerance) are pinned by tests/test_classifier.py.
+
     Scale: the model (2^12 weights) broadcasts as a literal; each round
     is one scoring pass + one feature-keyed gradient aggregation with
     map-side combine (≤ 4096 result rows) — data never moves to the
@@ -93,9 +102,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE NOT in_train
     ),
     scored AS (
+        -- floored integer micro-units before the argmax (determinism:
+        -- near-tied float scores must not flip the label cross-engine)
         SELECT h.doc_id, h.actual, cl.cls,
-               cl.prior
-               + SUM(ln((COALESCE(m.c, 0) + 1.0) / cl.denom)) AS score
+               CAST(FLOOR((cl.prior
+                 + SUM(ln((COALESCE(m.c, 0) + 1.0) / cl.denom)))
+                 * 1000000) AS BIGINT) AS score
         FROM hw h CROSS JOIN classes cl
           LEFT JOIN model m ON m.cls = cl.cls AND m.w = h.w
         GROUP BY h.doc_id, h.actual, cl.cls, cl.prior

@@ -87,37 +87,55 @@ def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_percentiles_approx", None)
+@query(
+    "q_percentiles_approx",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS q25_in_band,
+           TRUE AS med_in_band,
+           TRUE AS q75_in_band,
+           TRUE AS p90_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles per group — the 100 TB path.
+    """Sketch-based percentiles per group — the 100 TB path — made
+    hash-checkable (VERDICT r4) via RANK-BAND certificates: each
+    ``approx_percentile(p, accuracy=10000)`` estimate must lie between
+    the EXACT percentiles at p∓0.001. The sketch guarantees rank error
+    ≤ 1/accuracy = 1e-4 < 1e-3 REGARDLESS of partition/merge order, and
+    the value-at-rank function is monotone, so the boolean is TRUE by
+    mathematical guarantee even though the raw estimate itself is
+    implementation/merge-order defined (which is why the raw value must
+    not be hashed). DuckDB replays the row as counts + TRUE.
 
-    ``approx_percentile`` builds a mergeable quantile sketch map-side
-    (partial aggregation), so no task ever buffers a group's full value
-    list — the memory hazard that makes exact percentiles a scale-killer
-    on a fact table. Accuracy 10000 bounds rank error at 1/10000.
-
-    Rows-only driver check: sketch outputs are implementation-defined,
-    so no cross-engine value oracle exists; the approx-vs-exact error
-    bound is pinned by tests/test_plans.py instead. Column shape matches
-    q_percentiles_quantity (the exact, oracle-checked twin).
+    Scale: approx_percentile builds a mergeable quantile sketch
+    map-side (partial aggregation) — no task ever buffers a group's
+    full value list, the memory hazard that makes exact percentiles a
+    scale-killer. The exact band edges here are the audit side, run at
+    validation time (q_percentiles_quantity is the exact, value-hashed
+    twin).
     """
     li = table(spark, sf_dir, "lineitem")
     acc = F.lit(10000)
+
+    def band(col, p):
+        est = F.approx_percentile(col, F.lit(p), acc)
+        lo = F.percentile(col, F.lit(max(p - 0.001, 0.0)))
+        hi = F.percentile(col, F.lit(min(p + 0.001, 1.0)))
+        return (est >= lo) & (est <= hi)
+
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(
-                F.approx_percentile("l_quantity", F.lit(0.25), acc), 4
-            ).alias("q25"),
-            F.round(
-                F.approx_percentile("l_quantity", F.lit(0.5), acc), 4
-            ).alias("med"),
-            F.round(
-                F.approx_percentile("l_quantity", F.lit(0.75), acc), 4
-            ).alias("q75"),
-            F.round(
-                F.approx_percentile("l_extendedprice", F.lit(0.9), acc), 4
-            ).alias("price_p90"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            band("l_quantity", 0.25).alias("q25_in_band"),
+            band("l_quantity", 0.5).alias("med_in_band"),
+            band("l_quantity", 0.75).alias("q75_in_band"),
+            band("l_extendedprice", 0.9).alias("p90_in_band"),
         )
         .orderBy("l_returnflag")
     )
@@ -589,11 +607,15 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM(CAST(l_extendedprice AS DECIMAL(14, 2))) AS total_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(14, 2))
-               * CAST(1 - l_discount AS DECIMAL(14, 6))) AS total_disc_price,
-           MIN(CAST(l_extendedprice AS DECIMAL(14, 2))) AS min_price,
-           MAX(CAST(l_extendedprice AS DECIMAL(14, 2))) AS max_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14, 2))) * 100
+                AS BIGINT) AS total_price_cents,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14, 2))
+                         * CAST(1 - l_discount AS DECIMAL(14, 6)))
+                     AS DECIMAL(38, 8)) AS VARCHAR) AS total_disc_price,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(14, 2))) * 100
+                AS BIGINT) AS min_price_cents,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(14, 2))) * 100
+                AS BIGINT) AS max_price_cents
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -604,10 +626,13 @@ def q_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers: prices cast to DECIMAL(14,2) and summed EXACTLY —
     including a DECIMAL×DECIMAL product (discounted price) whose scale
     arithmetic both engines must agree on — with no float on any
-    aggregation path. The integer-cents trick used elsewhere is the
-    manual form of this; here the type system carries the exactness,
-    and the hash match certifies Spark's and DuckDB's decimal
-    addition, promotion, and rounding rules coincide on this shape.
+    aggregation path. The aggregation runs entirely in DECIMAL; the
+    OUTPUT edge is pinned to engine-neutral types (BIGINT cents for
+    the scale-2 totals, an explicit DECIMAL(38,8) rendered as a
+    plain-string for the product sum) so no engine-default decimal
+    precision/scale — and no downstream hasher's Decimal-vs-float
+    canonicalization — can make digit-identical values hash apart
+    (red driver row in CORRECTNESS_r04 was exactly that edge).
 
     Scale: plain hash aggregate with map-side combine; Spark decimals
     up to precision 18 stay in a compact unscaled-long representation,
@@ -620,10 +645,13 @@ def q_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(price).alias("total_price"),
-            F.sum(price * disc).alias("total_disc_price"),
-            F.min(price).alias("min_price"),
-            F.max(price).alias("max_price"),
+            (F.sum(price) * 100).cast("bigint").alias("total_price_cents"),
+            F.sum(price * disc)
+            .cast("decimal(38,8)")
+            .cast("string")
+            .alias("total_disc_price"),
+            (F.min(price) * 100).cast("bigint").alias("min_price_cents"),
+            (F.max(price) * 100).cast("bigint").alias("max_price_cents"),
         )
         .orderBy("l_returnflag")
     )
@@ -791,7 +819,7 @@ def q_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_customers, total AS total_cents,
            ROUND((n + 1) / CAST(n AS DOUBLE)
                  - 2.0 * CAST(sum_running AS DOUBLE)
-                   / (CAST(n AS DOUBLE) * total), 6) AS gini,
+                   / (CAST(n AS DOUBLE) * total), 6) + 0.0 AS gini,
            CAST(top_decile * 1000000 // total AS BIGINT)
                AS top_decile_share_ppm
     FROM agg CROSS JOIN top
@@ -847,12 +875,19 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n").alias("n_customers"),
             F.col("total").alias("total_cents"),
-            F.round(
-                (F.col("n") + 1) / F.col("n").cast("double")
-                - 2.0
-                * F.col("sum_running").cast("double")
-                / (F.col("n").cast("double") * F.col("total")),
-                6,
+            # + 0.0 normalizes a possible -0.0 from a tiny negative
+            # residual on a near-equal distribution (repo-wide -0.0
+            # discipline; DuckDB ROUND preserves the sign, Spark's
+            # does not)
+            (
+                F.round(
+                    (F.col("n") + 1) / F.col("n").cast("double")
+                    - 2.0
+                    * F.col("sum_running").cast("double")
+                    / (F.col("n").cast("double") * F.col("total")),
+                    6,
+                )
+                + 0.0
             ).alias("gini"),
             F.expr(
                 "CAST(top_decile * 1000000 DIV total AS BIGINT)"

@@ -12,10 +12,13 @@ Sketches replace that with fixed-size mergeable state:
   facts. That re-aggregability is the property a 100 TB pipeline needs
   (daily sketches persisted, monthly/yearly rollups from sketch unions).
 
-Both are rows-only driver checks: sketch estimates are implementation-
-defined, so no cross-engine value oracle exists. Accuracy against exact
-distinct counts and partial-aggregation plan shape are pinned by
-tests/test_plans.py.
+Since r5 every query here is HASH-CHECKED: raw sketch estimates are
+implementation-defined (never hashed), but each query emits the exact
+statistic plus a ``within_tol`` certificate that the sketch landed
+inside its documented error bound — HLL registers are max-of-hashes
+(deterministic in the key set, merge-order free), so the booleans are
+engine-stable and the DuckDB oracle replays them as exact values + TRUE.
+Partial-aggregation plan shape is pinned by tests/test_plans.py.
 """
 
 from __future__ import annotations
@@ -26,42 +29,93 @@ from pyspark.sql import functions as F
 from .catalog import query, table
 
 
-@query("q_approx_distinct_orders", None)
+@query(
+    "q_approx_distinct_orders",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS orders_within_tol,
+           TRUE AS parts_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q_approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct estimates per return flag (rows-only check).
+    """HLL++ distinct counting per return flag, made hash-checkable
+    (VERDICT r4): the exact distinct counts plus ``within_tol``
+    certificates that the HLL++ estimates (rsd=0.01) land within 3·rsd
+    of exact. HLL++ registers are max-of-hashes — a deterministic
+    function of the key SET, independent of partitioning and merge
+    order — so the booleans are engine-stable and DuckDB replays the
+    row as exact counts + TRUE.
 
-    Scale: approx_count_distinct carries a ~kilobyte HLL register array
-    per group through the shuffle instead of the full key set — partial
-    aggregation map-side, constant memory per group regardless of fact
-    count. rsd=0.01 sizes the registers for ~1% standard error.
+    Scale: the CERTIFICATE runs both estimators (the exact side plans
+    an Expand — audit cost, run at validation time); the production
+    rollup keeps only approx_count_distinct: a ~kilobyte register
+    array per group through the shuffle instead of the full key set,
+    partial aggregation map-side, constant memory per group.
     """
     li = table(spark, sf_dir, "lineitem")
+    tol = 0.03  # 3 × rsd
+
+    def cert(approx, exact):
+        return F.abs(approx - exact) <= tol * exact + 2
+
+    ao = F.approx_count_distinct("l_orderkey", rsd=0.01)
+    ap = F.approx_count_distinct("l_partkey", rsd=0.01)
+    eo = F.count_distinct("l_orderkey")
+    ep = F.count_distinct("l_partkey")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.count(F.lit(1)).alias("n_rows"),
+            eo.cast("bigint").alias("exact_orders"),
+            ep.cast("bigint").alias("exact_parts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            cert(ao, eo).alias("orders_within_tol"),
+            cert(ap, ep).alias("parts_within_tol"),
         )
         .orderBy("l_returnflag")
     )
 
 
-@query("q_sketch_reaggregation", None)
+@query(
+    "q_sketch_reaggregation",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_days,
+           TRUE AS union_within_tol
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_year, order_month
+    """,
+)
 def q_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataSketches HLL built daily, UNIONED to months (rows-only check).
+    """DataSketches HLL built daily, UNIONED to months — made
+    hash-checkable (VERDICT r4): the monthly roll emits the exact
+    distinct-customer count plus a ``union_within_tol`` certificate
+    that the estimate coming out of the daily-sketch UNION path lands
+    within 5% (3σ at lgK=12's ~1.6% rsd) of exact. The sketch value is
+    a deterministic function of the key set (register maxima), so the
+    boolean is engine-stable; DuckDB replays exact counts + TRUE.
 
-    The two-level shape proves mergeability: the monthly estimate comes
-    from ``hll_union_agg`` over the daily sketch binaries — the fact
-    table is scanned exactly once, at the fine grain. At 100 TB the
-    daily sketch table is what you persist; every coarser rollup
-    (month, year, region×month, …) is a cheap union over kilobyte blobs.
+    The two-level shape still proves mergeability: the monthly estimate
+    comes from ``hll_union_agg`` over daily sketch binaries — the fact
+    table is scanned once at the fine grain. At 100 TB the daily sketch
+    table is what you persist; every coarser rollup (month, year,
+    region×month, …) is a cheap union over kilobyte blobs, and the
+    exact side of this certificate is the audit you run at validation
+    time, not per-rollup.
     """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.to_date("o_orderdate").alias("order_day")
     ).agg(F.hll_sketch_agg("o_custkey").alias("cust_sketch"))
-    return (
+    monthly = (
         daily.groupBy(
             F.year("order_day").cast("int").alias("order_year"),
             F.month("order_day").cast("int").alias("order_month"),
@@ -69,27 +123,78 @@ def q_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.hll_sketch_estimate(
                 F.hll_union_agg("cust_sketch")
-            ).alias("approx_customers"),
-            F.count(F.lit(1)).alias("n_days"),
+            ).alias("__approx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    exact = o.groupBy(
+        F.year(F.to_date("o_orderdate")).cast("int").alias("order_year"),
+        F.month(F.to_date("o_orderdate")).cast("int").alias("order_month"),
+    ).agg(F.count_distinct("o_custkey").cast("bigint").alias("exact_customers"))
+    return (
+        monthly.join(exact, ["order_year", "order_month"])
+        .select(
+            "order_year",
+            "order_month",
+            "exact_customers",
+            "n_days",
+            (
+                F.abs(F.col("__approx") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers") + 2
+            ).alias("union_within_tol"),
         )
         .orderBy("order_year", "order_month")
     )
 
 
-@query("q_sketch_overlap", None)
+@query(
+    "q_sketch_overlap",
+    """
+    WITH pairs(type_a, type_b) AS (
+        VALUES ('click', 'purchase'), ('view', 'signup'),
+               ('click', 'error')
+    ),
+    nd AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS nd
+        FROM events GROUP BY 1
+    ),
+    inter AS (
+        SELECT p.type_a, p.type_b,
+               (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT user_id FROM events
+                     WHERE event_type = p.type_a
+                     INTERSECT
+                     SELECT DISTINCT user_id FROM events
+                     WHERE event_type = p.type_b))
+                   AS exact_intersection
+        FROM pairs p
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(na.nd + nb.nd AS BIGINT) AS sum_exact_distinct,
+           CAST(i.exact_intersection AS BIGINT) AS exact_intersection,
+           TRUE AS overlap_within_tol
+    FROM inter i
+      JOIN nd na ON na.event_type = i.type_a
+      JOIN nd nb ON nb.event_type = i.type_b
+    ORDER BY i.type_a, i.type_b
+    """,
+)
 def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-audience OVERLAP between event types from HLL algebra
-    (rows-only check): |A ∩ B| ≈ |A| + |B| − |A ∪ B|, the union
-    estimated by ``hll_union_agg`` over the two per-type sketches —
-    inclusion–exclusion entirely in sketch space.
+    """Distinct-audience OVERLAP between event types from HLL algebra,
+    made hash-checkable (VERDICT r4): |A ∩ B| ≈ |A| + |B| − |A ∪ B|,
+    the union estimated by ``hll_union_agg`` over the two per-type
+    sketches — inclusion–exclusion entirely in sketch space — reported
+    as the exact intersection plus an ``overlap_within_tol``
+    certificate that the sketch-space estimate lands within
+    5%·(|A|+|B|) + 10 of exact. Sketch estimates are deterministic
+    functions of the key sets, so the boolean is engine-stable; DuckDB
+    replays exact set algebra + TRUE.
 
     The question ("how many users do these two segments share?") is the
     classic two-sided distinct problem that exact COUNT(DISTINCT)
     answers only by re-shuffling both key sets per pair; with persisted
     per-segment sketches every pairwise overlap is a kilobyte-blob
-    union. The exact intersection and the signed error ride along so
-    the estimate's quality is measured, not assumed (the audit
-    discipline of q_cms_user_counts / q_dedup_minhash_estimate).
+    union. The exact side here is the audit, run at validation time.
     """
     e = table(spark, sf_dir, "events")
     pairs = [("click", "purchase"), ("view", "signup"), ("click", "error")]
@@ -130,11 +235,18 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = (
         out.join(exact, ["type_a", "type_b"], "left")
-        .withColumn(
-            "err",
-            (F.col("approx_intersection") - F.col("exact_intersection")).cast(
-                "bigint"
-            ),
+        .select(
+            "type_a",
+            "type_b",
+            "sum_exact_distinct",
+            "exact_intersection",
+            (
+                F.abs(
+                    F.col("approx_intersection")
+                    - F.col("exact_intersection")
+                )
+                <= 0.05 * F.col("sum_exact_distinct") + 10
+            ).alias("overlap_within_tol"),
         )
         .orderBy("type_a", "type_b")
         .localCheckpoint(eager=True)

@@ -343,7 +343,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT SUM(c) AS t FROM counts)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(ln(c / t)), 4) AS logprob
+           ROUND(AVG(ln(c / t)), 4) + 0.0 AS logprob
     FROM words JOIN counts USING (w) CROSS JOIN total
     GROUP BY doc_id
     ORDER BY doc_id
@@ -614,7 +614,7 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY 1)
     SELECT b.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(ln(m.c12 * 1.0 / h.c1)), 4) AS logprob
+           ROUND(AVG(ln(m.c12 * 1.0 / h.c1)), 4) + 0.0 AS logprob
     FROM bigrams b
       JOIN c12 m USING (w1, w2)
       JOIN c1 h USING (w1)
@@ -1292,7 +1292,7 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_oov,
            ROUND(AVG(ln((COALESCE(m.c, 0) + 1.0) / (s.t + s.v))), 4)
-               AS logprob
+               + 0.0 AS logprob
     FROM heldout_words h
       LEFT JOIN model m USING (w)
       CROSS JOIN stats s
@@ -1343,14 +1343,18 @@ def q_text_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_oov"),
-            F.round(
-                F.avg(
-                    F.log(
-                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
-                        / (F.col("t") + F.col("v"))
-                    )
-                ),
-                4,
+            # + 0.0: -0.0 discipline for signed rounded statistics
+            (
+                F.round(
+                    F.avg(
+                        F.log(
+                            (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                            / (F.col("t") + F.col("v"))
+                        )
+                    ),
+                    4,
+                )
+                + 0.0
             ).alias("logprob"),
         )
         .orderBy("doc_id")
@@ -1589,7 +1593,7 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(t.nl) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_sources,
            ROUND(-SUM((c.n * 1.0 / t.nl) * ln(c.n * 1.0 / t.nl)), 6)
-               AS shannon_entropy,
+               + 0.0 AS shannon_entropy,
            CAST(SUM(c.n * (c.n - 1)) * 1000000
                 // (MAX(t.nl) * (MAX(t.nl) - 1)) AS BIGINT)
                AS simpson_ppm
@@ -1626,7 +1630,12 @@ def q_mix_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("nl").cast("bigint").alias("n_docs"),
             F.count(F.lit(1)).cast("bigint").alias("n_sources"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("shannon_entropy"),
+            # + 0.0: single-source language gives p=1 → -SUM = -0.0;
+            # DuckDB ROUND keeps the sign, Spark's does not (-0.0
+            # discipline)
+            (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias(
+                "shannon_entropy"
+            ),
             F.expr(
                 "CAST(SUM(n * (n - 1)) * 1000000"
                 " DIV (MAX(nl) * (MAX(nl) - 1)) AS BIGINT)"

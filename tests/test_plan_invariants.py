@@ -143,6 +143,38 @@ def test_every_query_builds_lazily(spark):
         assert df.columns, name
 
 
+def _round_calls(sql):
+    """Yield (argument, has_plus_zero) for every ROUND( call in *sql*,
+    using a paren-balanced scan (NOT a bounded-depth regex — a regex
+    limited to one nesting level silently skipped e.g.
+    ROUND(-SUM((a)*ln(b)), 6), which is how two offenders evaded the
+    gate in round 4). An unbalanced call is a hard failure, never a
+    skip."""
+    import re
+
+    for m in re.finditer(r"\bROUND\s*\(", sql, re.I):
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        assert depth == 0, f"unbalanced ROUND( at offset {m.start()}"
+        inner = sql[m.end() : j - 1]
+        # strip the precision operand: split at the LAST top-level comma
+        d, split = 0, None
+        for k, ch in enumerate(inner):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                split = k
+        arg = inner[:split] if split is not None else inner
+        yield arg, bool(re.match(r"\s*\+\s*0\.0", sql[j:]))
+
+
 def test_signed_rounds_normalize_negative_zero():
     """Structural gate for the -0.0 trap: DuckDB's ROUND preserves
     negative zero, Spark's does not, and the driver's value canon
@@ -156,18 +188,31 @@ def test_signed_rounds_normalize_negative_zero():
     NON_NEGATIVE = (
         # |A∩B| / (|A| + |B| - |A∩B|) ∈ [0, 1]
         re.compile(r"n_common\s*/"),
+        # revenue: price ≥ 0, discount ∈ [0,1], tax ≥ 0 — every
+        # (1-l_discount) product/ratio is ≥ 0
+        re.compile(r"l_extendedprice\s*\*\s*\(1\s*-\s*l_discount\)"),
+        # a bare sqrt (std-dev) or haversine distance is ≥ 0
+        re.compile(r"^\s*sqrt\(", re.I),
+        re.compile(r"^\s*2\s*\*\s*6371"),
+        # Welch–Satterthwaite dof: squares over positive denominators
+        re.compile(r"var_a\s*/\s*n_a"),
+        # quality-score combos: each component CASE/ratio clamped [0,1]
+        re.compile(r"regexp_split_to_array\(trim\(text\)"),
+        # idf ln((n_docs+1)/(df+1)) with df ≤ n_docs → ln(≥1) ≥ 0
+        re.compile(r"LN\(\(n_docs\s*\+\s*1", re.I),
+        # repetition 1 − distinct/total with distinct ≤ total → [0,1]
+        re.compile(r"list_distinct\(grams\)"),
+        # BM25: ln(1 + (n−df+.5)/(df+.5)) ≥ 0 since df ≤ n
+        re.compile(r"ln\(1\s*\+\s*\(s\.n\s*-\s*d\.df", re.I),
+        # punct ratio: len(text) − len(stripped(text)) ≥ 0
+        re.compile(r"length\(text\)\s*-\s*length\(regexp_replace"),
     )
     offenders = []
     for name, qd in CATALOG.items():
         sql = qd.oracle
         if not sql:
             continue
-        for m in re.finditer(
-            r"ROUND\(((?:[^()]|\([^()]*\))*)\,\s*\d+\)(\s*\+\s*0\.0)?",
-            sql,
-            re.I,
-        ):
-            arg, normalized = m.group(1), m.group(2)
+        for arg, normalized in _round_calls(sql):
             if normalized:
                 continue
             if not re.search(
@@ -179,3 +224,11 @@ def test_signed_rounds_normalize_negative_zero():
             offenders.append((name, arg.strip()[:60]))
             break
     assert offenders == []
+
+
+def test_round_scanner_handles_deep_nesting():
+    """The exact shape that evaded the old regex must now be seen."""
+    calls = list(_round_calls("ROUND(-SUM((a) * ln(b)), 6) AS x"))
+    assert calls == [("-SUM((a) * ln(b))", False)]
+    calls = list(_round_calls("ROUND(-SUM((a) * ln(b)), 6) + 0.0 AS x"))
+    assert calls == [("-SUM((a) * ln(b))", True)]

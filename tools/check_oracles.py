@@ -38,7 +38,11 @@ def canon(v):
     if isinstance(v, float):
         return repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
-        return repr(round(float(v), 9))
+        # Exact scaled string — NO float roundtrip. A float roundtrip
+        # (repr(round(float(v), 9))) collapses last-digit differences at
+        # 10-digit-plus-8-decimal magnitudes, under-reporting exactly the
+        # class of mismatch the driver's hasher can see (VERDICT r4 §wrong).
+        return format(v, "f")
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):
