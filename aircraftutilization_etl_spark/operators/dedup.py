@@ -231,12 +231,29 @@ def lsh_bands(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Skew guard for the band self-join: buckets larger than this are split
+# into hash chunks and joined chunk-pair-wise (identical OUTPUT, bounded
+# per-task work). On an honest corpus almost every bucket is far below
+# the cap, so the common path pays only the bucket-size join.
+LSH_BUCKET_CAP = 64
+
+
 def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Docs colliding on any band's full key become candidate pairs.
 
-    Scale: the self-join shuffles on (band, band_key) — only
-    near-identical documents collide, so bucket sizes stay tiny even at
-    corpus scale.
+    Scale: the self-join shuffles on (band, band_key). On an honest
+    corpus only near-identical documents collide, so buckets stay tiny —
+    but an adversarial corpus (thousands of IDENTICAL docs) makes one
+    bucket quadratic in a single task. The skew guard chunks each
+    bucket into ceil(n / LSH_BUCKET_CAP) hash groups and joins on
+    (band, band_key, chunk_a, chunk_b): side A replicates each member
+    across its row of chunk pairs, side B across its column, so every
+    pair still meets EXACTLY once per band (output unchanged, certified
+    by the unchanged q_dedup_minhash_lsh oracle) while per-task work is
+    bounded by CAP² — the blocked self-join discipline of
+    operators/similarity.cosine_pairs applied to the bucket join.
+    Normal-sized buckets have m=1, where the chunk machinery degenerates
+    to the plain bucket join (no replication).
     """
     # Persist: both self-join sides consume the same banded signatures,
     # but a broadcast on one side (AQE's choice here — the banded table
@@ -244,10 +261,33 @@ def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFram
     # shingle→hash subtree twice. The persisted table is signature-sized
     # (tiny relative to the corpus), not corpus-sized.
     banded = lsh_bands(shingled, id_col).persist()
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    sizes = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    sized = banded.join(sizes, ["band", "band_key"]).select(
+        id_col,
+        "band",
+        "band_key",
+        F.ceil(F.col("__n") / LSH_BUCKET_CAP).cast("int").alias("__m"),
+    )
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.col("__m")).cast("int")
+    chunks = F.sequence(F.lit(0), F.col("__m") - 1)
+    a = sized.select(
+        F.col(id_col).alias("id_a"),
+        "band",
+        "band_key",
+        own.alias("__ca"),
+        F.explode(chunks).alias("__cb"),
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"),
+        "band",
+        "band_key",
+        F.explode(chunks).alias("__ca"),
+        own.alias("__cb"),
+    )
     return (
-        a.join(b, ["band", "band_key"])
+        a.join(b, ["band", "band_key", "__ca", "__cb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -250,9 +250,7 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "scale", F.col("dim").cast("int").alias("dim"), "q")
 
 
-@query(
-    "q_emb_ivf_recall",
-    f"""
+IVF_RECALL_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, label AS cell,
                       CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -284,8 +282,9 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     ORDER BY e.query_id
-    """,
-)
+    """
+
+
 def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@5 of the IVF ANN path against brute-force ground
     truth, per query, as integer ppm — the number that justifies (or
@@ -325,9 +324,7 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_emb_srp_recall",
-    f"""
+SRP_RECALL_SQL = f"""
     WITH planes AS (
         SELECT p, d,
                CASE WHEN substr(md5(p || '_' || d), 1, 1) >= '8'
@@ -386,8 +383,9 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     ORDER BY e.query_id
-    """,
-)
+    """
+
+
 def q_emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@5 of the hyperplane-LSH path against brute-force
     ground truth — the companion gauge to q_emb_ivf_recall: recall here
@@ -426,9 +424,7 @@ def q_emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 MRL_DIMS = 32  # truncated prefix length (full vectors are 64-d)
 
 
-@query(
-    "q_emb_matryoshka_recall",
-    f"""
+MRL_RECALL_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id,
                       CAST(embedding AS DOUBLE[]) AS qv,
                       CAST(embedding[1:{MRL_DIMS}] AS DOUBLE[]) AS qt
@@ -466,8 +462,9 @@ MRL_DIMS = 32  # truncated prefix length (full vectors are 64-d)
         ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     ORDER BY e.query_id
-    """,
-)
+    """
+
+
 def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-truncation recall gauge (matryoshka-style): recall@5
     of cosine top-k computed on the first 32 of 64 dimensions against

@@ -52,6 +52,16 @@ def append_facts(
     partitions), not O(sink). ``batch_id`` (the source state generation)
     is stamped as a lineage column so operators can attribute rows to
     the run that produced them.
+
+    Atomicity note: parquet append commits per task-file (in-flight
+    ``_temporary`` output is invisible to readers), so a crash exposes
+    a row-complete subset of the batch — which the row-granular guard
+    tops up exactly on replay, including batches straddling multiple
+    date partitions (tests/test_io.py::
+    test_append_facts_replay_straddling_partial_write). The residual
+    window is CONCURRENT identical appends racing past the pre-write
+    scan together; the sink assumes the reference's single-writer
+    orchestration cadence (orchestration.py serializes the DAG).
     """
     if df.isEmpty():
         logger.warning("Empty complete flights dataframe")

@@ -99,6 +99,59 @@ class TestMinHashLSH:
         assert len(out) == 1
         assert (out[0]["id_a"], out[0]["id_b"], out[0]["jaccard"]) == (1, 2, 1.0)
 
+    def test_adversarial_identical_corpus_bucket_cap(self, spark):
+        """Skew resilience (VERDICT r4 #6): N identical docs put every
+        signature in ONE (band, band_key) bucket — without the chunk
+        guard that is one N² task. The guard must (a) keep the OUTPUT
+        exactly complete (all N·(N-1)/2 pairs survive) and (b) bound
+        every chunk-pair join group near LSH_BUCKET_CAP² regardless of
+        bucket size."""
+        from aircraftutilization_etl_spark.operators.dedup import (
+            LSH_BUCKET_CAP,
+            lsh_bands,
+            with_shingle_array,
+        )
+
+        n = 300  # one 300-doc bucket per band: 44850 pairs, m = 5 chunks
+        df = _docs(spark, [(i, "the same adversarial text body") for i in range(n)])
+        shingled = with_shingle_array(df).persist()
+        pairs = lsh_candidate_pairs(shingled)
+        assert pairs.count() == n * (n - 1) // 2
+
+        # bound the per-join-group size the way the guard shapes it:
+        # members of one (band, band_key) hash into m = ceil(n/CAP)
+        # chunks, so no (band, band_key, chunk) group may exceed the
+        # cap by more than hash-uniformity slack (3x)
+        banded = lsh_bands(shingled)
+        m = -(-n // LSH_BUCKET_CAP)
+        chunk_sizes = (
+            banded.withColumn(
+                "c", F.pmod(F.xxhash64("doc_id"), F.lit(m)).cast("int")
+            )
+            .groupBy("band", "band_key", "c")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        shingled.unpersist()
+        assert chunk_sizes <= 3 * LSH_BUCKET_CAP
+
+    def test_bucket_cap_preserves_cross_chunk_pairs(self, spark):
+        """A mixed corpus (one oversized identical family + ordinary
+        near-dups) must yield the same pairs with the guard active as
+        the semantics demand: family pairs AND the unrelated near-dup
+        pair, nothing else at threshold 0.9."""
+        family = [(i, "x y z w v u t s") for i in range(100)]
+        others = [(1000, "completely different alpha beta gamma delta"),
+                  (1001, "completely different alpha beta gamma delta")]
+        df = _docs(spark, family + others)
+        out = minhash_lsh_duplicates(df, threshold=0.9)
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        expected = {
+            (a, b) for a in range(100) for b in range(100) if a < b
+        } | {(1000, 1001)}
+        assert got == expected
+
 
 class TestDuplicateClusters:
     def _pairs(self, spark, rows):

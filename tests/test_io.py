@@ -124,6 +124,53 @@ def test_append_facts_partitions_by_date_and_ttl(spark, tmp_path):
     assert [r["icao24"] for r in remaining.collect()] == ["new111"]
 
 
+def test_append_facts_replay_straddling_partial_write(spark, tmp_path):
+    """The remaining at-least-once window (VERDICT r4 #5): a landing
+    batch straddles TWO date partitions (a red-eye over midnight), the
+    first append crashes after committing only part of the batch —
+    one whole partition plus a fragment of the other — and the batch
+    is then replayed in full. The (icao24, landed_at) anti-join guard
+    must top up exactly the missing rows: no duplicates, no gaps.
+
+    Parquet append atomicity is per task-file (uncommitted _temporary
+    output is invisible to readers), so a crash can only expose a
+    row-complete prefix of the batch — exactly what this simulates.
+    The guard assumes a single writer per sink (the reference's Airflow
+    cadence); concurrent identical appends could both pass the
+    pre-write scan, which orchestration-level serialization closes.
+    """
+    from aircraftutilization_etl_spark.schemas import COMPLETE_FLIGHTS_SCHEMA
+
+    path = str(tmp_path / "facts")
+    d1 = dt.datetime(2026, 8, 1, 23, 58)
+    d2 = dt.datetime(2026, 8, 2, 0, 7)
+    rows = [
+        ("aaa111", 10, d1, None, None, None, None, None, None),
+        ("bbb222", 12, d1, None, None, None, None, None, None),
+        ("ccc333", 15, d2, None, None, None, None, None, None),
+        ("ddd444", 17, d2, None, None, None, None, None, None),
+    ]
+    batch = spark.createDataFrame(rows, COMPLETE_FLIGHTS_SCHEMA)
+    # crash after the Aug-1 partition and HALF of the Aug-2 partition
+    partial = spark.createDataFrame(rows[:3], COMPLETE_FLIGHTS_SCHEMA)
+    assert append_facts(partial, path) is True
+    # full replay of the original batch
+    assert append_facts(batch, path) is True
+    got = sorted(
+        (r["icao24"], r["landed_at"], r["landed_date"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [
+        ("aaa111", d1, d1.date()),
+        ("bbb222", d1, d1.date()),
+        ("ccc333", d2, d2.date()),
+        ("ddd444", d2, d2.date()),
+    ]
+    # a second full replay appends nothing and reports so
+    assert append_facts(batch, path) is False
+    assert spark.read.parquet(path).count() == 4
+
+
 def test_state_store_time_travel(spark, tmp_path):
     """Every retained generation stays readable as a consistent
     snapshot; vacuumed generations are rejected by name."""
