@@ -106,15 +106,52 @@ def attach_fake_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes) -> np.ndarray:
-    """STUB codec — deterministic fake decode.
+# Real-codec dispatch (r5): payloads that carry an actual image
+# container signature decode through Pillow WHEN IT IS INSTALLED (an
+# optional extra — this sandbox ships without it); everything else, and
+# every environment without the codec, takes the deterministic byte-view
+# fake. The synthetic fixture's payloads are utf-8 text bytes, which can
+# never match a container magic — so the SQL oracles' closed-form fake
+# replay stays exact whether or not Pillow is present.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
 
-    A real implementation would dispatch to Pillow (image), librosa/
-    soundfile (audio) or pyav (video) and return pixel/sample arrays.
-    Those libraries are not installed here, so the stub treats the raw
-    bytes as the decoded signal. The call signature and the uint8
-    ndarray contract are what the real codecs would honor.
+
+def _looks_like_image(payload: bytes) -> bool:
+    return payload[:8] == _PNG_MAGIC or payload[:3] == _JPEG_MAGIC
+
+
+def _real_image_decode(payload: bytes) -> np.ndarray | None:
+    """Pillow-backed decode → flat uint8 grayscale pixels, or None when
+    the optional codec is unavailable / the container is corrupt (the
+    caller then falls back to the byte-view fake, keeping the pipeline
+    total — a quarantine screen can route on metadata instead)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8).ravel()
+    except Exception:  # corrupt container — fall back, don't kill the job
+        return None
+
+
+def _decode_payload(payload: bytes) -> np.ndarray:
+    """Codec step: real image decode where the payload is a real image
+    AND Pillow is installed; deterministic byte-view fake otherwise.
+
+    The uint8 flat-ndarray contract is identical on both paths, so every
+    downstream kernel (histogram features, resize, frame slice, pHash)
+    and every plan shape is unchanged by the dispatch. Audio/video
+    codecs (soundfile/pyav) would slot in the same way.
     """
+    if _looks_like_image(payload):
+        decoded = _real_image_decode(payload)
+        if decoded is not None:
+            return decoded
     return np.frombuffer(payload, dtype=np.uint8)
 
 

@@ -137,3 +137,125 @@ def q_flight_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         flight_duration_minutes_expr().alias("flight_duration_minutes"),
         F.timestamp_seconds("last_contact").alias("landed_at"),
     ).orderBy("icao24")
+
+
+# ---------------------------------------------------------------------------
+# Streaming session-fold exposure (r5, VERDICT r4 #8): the fold_events
+# state machine that BOTH streaming kernels (processing-time and
+# event-time applyInPandasWithState) run per key, replayed in batch over
+# a deterministic flight-dynamics encoding of the events table and
+# hash-checked against a recursive-CTE oracle that replays every
+# transition (merge C1-C3 → classify U1 with prior trajectory → landing
+# emit F2 → takeoff stamp C4 → trajectory update U2).
+# ---------------------------------------------------------------------------
+
+# event types drive the state machine with exact constants (no float
+# traps): signup/view climb (vr>0 → session-first events stamp takeoff),
+# click descends (sticky), purchase is a slow level packet (lands after
+# a descend: vel 5 < 10), error is a stopped packet (lands via vel=0).
+_DYNAMICS_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS icao24,
+           event_id,
+           epoch_us(ts) // 1000000 AS lc,
+           CASE event_type WHEN 'purchase' THEN 5.0
+                           WHEN 'error' THEN 0.0
+                           ELSE 80.0 END AS vel,
+           CASE event_type WHEN 'signup' THEN 9.0
+                           WHEN 'view' THEN 1.0
+                           WHEN 'click' THEN -5.0
+                           ELSE 0.0 END AS vr
+    FROM events
+    WHERE user_id % 5 = 0
+"""
+
+# transition expressions over (f = prior fold state, s = next event) —
+# shared strings so the branches can never drift apart within the oracle
+_TRAJ0 = "CASE WHEN f.sess THEN f.traj ELSE 'other' END"
+_TAKEOFF0 = "CASE WHEN f.sess THEN f.takeoff_at ELSE 0 END"
+_FLC0 = "CASE WHEN f.sess THEN f.flc ELSE 0 END"
+_FLC1 = f"CASE WHEN s.lc <> 0 THEN s.lc ELSE {_FLC0} END"
+_IS_TAKEOFF = "(NOT f.sess AND s.vr > 0)"
+_IS_LANDING = (
+    f"(s.lc <> 0 AND s.vr = 0 AND (({_TRAJ0} = 'descend' AND s.vel < 10)"
+    " OR s.vel = 0))"
+)
+
+_FOLD_SQL = f"""
+    WITH RECURSIVE src AS (
+        SELECT icao24, lc, vel, vr,
+               ROW_NUMBER() OVER (PARTITION BY icao24
+                                  ORDER BY lc, event_id) AS rn
+        FROM ({_DYNAMICS_SQL})
+    ),
+    fold AS (
+        SELECT icao24, 0 AS rn, 0 AS takeoff_at, 0 AS flc,
+               'other' AS traj, FALSE AS sess,
+               CAST(NULL AS BIGINT) AS emit_takeoff,
+               CAST(NULL AS BIGINT) AS emit_landed
+        FROM (SELECT DISTINCT icao24 FROM src)
+        UNION ALL
+        SELECT f.icao24, f.rn + 1,
+               CASE WHEN {_IS_LANDING} THEN 0
+                    WHEN {_IS_TAKEOFF} THEN {_FLC1}
+                    ELSE {_TAKEOFF0} END,
+               CASE WHEN {_IS_LANDING} THEN 0 ELSE {_FLC1} END,
+               CASE WHEN {_IS_LANDING} THEN 'other'
+                    WHEN s.vr > 0 THEN 'climb'
+                    WHEN s.vr < 0 OR {_TRAJ0} = 'descend' THEN 'descend'
+                    ELSE 'other' END,
+               NOT {_IS_LANDING},
+               CASE WHEN {_IS_LANDING} AND {_TAKEOFF0} <> 0
+                    THEN {_TAKEOFF0} END,
+               CASE WHEN {_IS_LANDING} AND {_TAKEOFF0} <> 0
+                    THEN s.lc END
+        FROM fold f JOIN src s ON s.icao24 = f.icao24 AND s.rn = f.rn + 1
+    )
+    SELECT icao24,
+           CAST(CEIL((emit_landed - emit_takeoff) / 60.0) AS INT)
+               AS flight_duration_minutes,
+           CAST(to_timestamp(emit_landed) AS TIMESTAMP) AS landed_at
+    FROM fold
+    WHERE emit_takeoff IS NOT NULL
+    ORDER BY icao24, landed_at
+"""
+
+
+@query("q_stream_flight_sessions", _FOLD_SQL)
+def q_stream_flight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming session state machine, driver-checked: fold_events
+    — the exact kernel both applyInPandasWithState wrappers run
+    (streaming/flight_stream.py:96-151, event-time variant :250-339) —
+    replayed per key in event-time order over a deterministic
+    flight-dynamics encoding of the events table, emitting completed
+    flights. The DuckDB oracle is a recursive CTE that replays EVERY
+    merge/classify/emit transition, so a hash match certifies the whole
+    state machine, not just its end state.
+
+    Multiple flights per aircraft arise naturally (each landing resets
+    the session and the next climb-first packet stamps a new takeoff),
+    exercising C2 carry-forward, U1's prior-trajectory classification,
+    U2 sticky descend, C4 takeoff stamping and F2's
+    no-takeoff-no-emission guard across thousands of transitions.
+
+    Scale: one hash exchange on icao24 and an Arrow-batched per-key
+    fold — the identical shape one micro-batch of the production
+    stream pays; the recursion lives only in the oracle.
+    """
+    from ..streaming.flight_stream import fold_completed_batch
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    src = e.select(
+        F.col("user_id").cast("string").alias("icao24"),
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("last_contact"),
+        F.when(F.col("event_type") == "purchase", 5.0)
+        .when(F.col("event_type") == "error", 0.0)
+        .otherwise(80.0)
+        .alias("velocity"),
+        F.when(F.col("event_type") == "signup", 9.0)
+        .when(F.col("event_type") == "view", 1.0)
+        .when(F.col("event_type") == "click", -5.0)
+        .otherwise(0.0)
+        .alias("vertical_rate"),
+    )
+    return fold_completed_batch(src).orderBy("icao24", "landed_at")
