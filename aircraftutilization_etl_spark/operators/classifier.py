@@ -246,13 +246,25 @@ def naive_bayes_confusion(
         F.count(F.lit(1)).alias("nd")
     )
     n_train = train.agg(F.count(F.lit(1)).alias("n"))
+    # Determinism: each PER-TERM log-likelihood is floored to integer
+    # micro-units BEFORE summation. A term's argument is a ratio of
+    # exact integers, so its ln is the identical double on every
+    # engine, its floored micros the identical BIGINT — and an INTEGER
+    # sum is order-independent, making the per-(doc, class) score (and
+    # the argmax below) exactly equal across engines and partitionings.
+    # Flooring the SUM instead (the first r5 form) left the score one
+    # accumulation-order ulp from a micro boundary in the worst case.
+    # The ~1e-6-per-token quantization is classification-irrelevant and
+    # replayed exactly by the SQL oracle.
     classes = (
         priors.crossJoin(F.broadcast(n_train))
         .join(cls_tot, "cls")
         .crossJoin(F.broadcast(vocab))
         .select(
             "cls",
-            (F.log(F.col("nd") / F.col("n"))).alias("__prior"),
+            F.floor(F.log(F.col("nd") / F.col("n")) * 1e6)
+            .cast("bigint")
+            .alias("__prior_micros"),
             (F.col("t") + F.col("v")).alias("__denom"),
         )
     )
@@ -262,27 +274,25 @@ def naive_bayes_confusion(
     scored = (
         hw.crossJoin(F.broadcast(classes))
         .join(model, ["cls", "w"], "left")
-        .groupBy(id_col, "actual", "cls", "__prior")
+        .groupBy(id_col, "actual", "cls", "__prior_micros")
         .agg(
             F.sum(
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                    / F.col("__denom")
-                )
-            ).alias("__ll")
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                        / F.col("__denom")
+                    )
+                    * 1e6
+                ).cast("bigint")
+            ).alias("__ll_micros")
         )
         .select(
             id_col,
             "actual",
             "cls",
-            # integer micro-units BEFORE the argmax: per-(doc, class)
-            # sums of many ln terms accumulate in engine/partition-
-            # dependent order, so near-tied raw float scores could flip
-            # the predicted label across engines; floored micros make
-            # near-ties exact ties, broken deterministically by cls
-            F.floor((F.col("__prior") + F.col("__ll")) * 1e6)
-            .cast("bigint")
-            .alias("__score"),
+            (F.col("__prior_micros") + F.col("__ll_micros")).alias(
+                "__score"
+            ),
         )
     )
     win = Window.partitionBy(id_col).orderBy(

@@ -89,7 +89,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE in_train GROUP BY 1),
     ntr AS (SELECT COUNT(*) AS n FROM tagged WHERE in_train),
     classes AS (
-        SELECT p.cls, ln(p.nd * 1.0 / ntr.n) AS prior,
+        SELECT p.cls,
+               CAST(FLOOR(ln(p.nd * 1.0 / ntr.n) * 1000000) AS BIGINT)
+                   AS prior_micros,
                ct.t + vocab.v AS denom
         FROM priors p CROSS JOIN ntr
           JOIN cls_tot ct ON ct.cls = p.cls
@@ -102,15 +104,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE NOT in_train
     ),
     scored AS (
-        -- floored integer micro-units before the argmax (determinism:
-        -- near-tied float scores must not flip the label cross-engine)
+        -- PER-TERM floored micros, then an INTEGER (order-independent)
+        -- sum: each ln of an exact integer ratio is the identical
+        -- double on both engines, so the score is exactly equal
+        -- cross-engine and the argmax can never flip
         SELECT h.doc_id, h.actual, cl.cls,
-               CAST(FLOOR((cl.prior
-                 + SUM(ln((COALESCE(m.c, 0) + 1.0) / cl.denom)))
-                 * 1000000) AS BIGINT) AS score
+               cl.prior_micros
+                 + SUM(CAST(FLOOR(ln((COALESCE(m.c, 0) + 1.0) / cl.denom)
+                                  * 1000000) AS BIGINT)) AS score
         FROM hw h CROSS JOIN classes cl
           LEFT JOIN model m ON m.cls = cl.cls AND m.w = h.w
-        GROUP BY h.doc_id, h.actual, cl.cls, cl.prior
+        GROUP BY h.doc_id, h.actual, cl.cls, cl.prior_micros
     ),
     pred AS (
         SELECT doc_id, actual, cls AS predicted

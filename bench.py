@@ -26,7 +26,11 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q_top_customers_per_nation",
     "q_grouping_sets_revenue",
-    "q_percentiles_approx",  # sketch path; exact twin stays oracle-only
+    # r5: the approx entry became a self-auditing certificate (computes
+    # exact band edges too — 3.5x its old cost by design); bench the
+    # exact group-sort percentile path instead, which is the costlier
+    # production-relevant shape of the two
+    "q_percentiles_quantity",
     "q_full_outer_merge",
     "q_skew_salted_join",
     "q_bloom_prune_join",  # runtime-filter pruning before the join shuffle
@@ -80,6 +84,7 @@ HEADLINE = [
     "q_emb_pq_rerank",  # two-stage ANN: ADC overfetch + exact rerank
     "q_scd2_apply",  # incremental SCD2: delta-sized window, history untouched
     "q_revenue_gini",  # global cumsum + rank in one two-phase pass
+    "q_stream_flight_sessions",  # per-key Arrow fold = one stream micro-batch
 ]
 
 
