@@ -40,12 +40,16 @@ def profile_columns(
     columns order numerically, not lexically).
 
     ``audit_approx=True`` (implies exact distinct) additionally runs the
-    HLL++ estimator in the SAME scan and emits ``distinct_within_tol``:
+    HLL++ estimator and emits ``distinct_within_tol``:
     |approx − exact| ≤ 3·rsd·exact + 2. HLL++ registers are
     max-of-hashes, so the estimate is a deterministic function of the
     key SET (merge-order free) — the boolean is an engine-stable,
     oracle-checkable certificate of the sketch the 100 TB path relies
-    on (the ``exact=False`` mode, which profiles without the Expand)."""
+    on (the ``exact=False`` mode, which profiles without the Expand).
+    The estimator runs in its OWN aggregation joined back on col_name:
+    mixed exact+approx distinct in one agg sends the HLL buffer
+    through the multi-distinct Expand plan — one register set per
+    distinct VALUE group instead of one per profiled column."""
     if not cols:
         raise ValueError("profile_columns needs at least one column")
     distinct = (
@@ -53,10 +57,9 @@ def profile_columns(
         if exact or audit_approx
         else (lambda c: F.approx_count_distinct(c))
     )
-    tol = 3 * APPROX_DISTINCT_RSD
 
     def fields(c: str):
-        out = [
+        return [
             F.lit(c).alias("col_name"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
@@ -64,19 +67,39 @@ def profile_columns(
             F.min(F.col(c)).cast("string").alias("min_value"),
             F.max(F.col(c)).cast("string").alias("max_value"),
         ]
-        if audit_approx:
-            exact_d = F.count_distinct(F.col(c))
-            err = F.abs(F.approx_count_distinct(c) - exact_d)
-            out.append(
-                (err <= tol * exact_d + 2).alias("distinct_within_tol")
-            )
-        return out
 
     structs = [F.struct(*fields(c)) for c in cols]
-    return (
+    out = (
         df.agg(F.array(*structs).alias("p"))
         .select(F.explode("p").alias("p"))
         .select("p.*")
+    )
+    if not audit_approx:
+        return out
+    tol = 3 * APPROX_DISTINCT_RSD
+    approx_structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.approx_count_distinct(c).alias("__approx"),
+        )
+        for c in cols
+    ]
+    approx = (
+        df.agg(F.array(*approx_structs).alias("p"))
+        .select(F.explode("p").alias("p"))
+        .select("p.*")
+    )
+    return out.join(F.broadcast(approx), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        (
+            F.abs(F.col("__approx") - F.col("n_distinct"))
+            <= tol * F.col("n_distinct") + 2
+        ).alias("distinct_within_tol"),
     )
 
 

@@ -57,25 +57,37 @@ def q_approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup keeps only approx_count_distinct: a ~kilobyte register
     array per group through the shuffle instead of the full key set,
     partial aggregation map-side, constant memory per group.
+
+    The two estimators aggregate SEPARATELY and join on the 3-row
+    group key: mixing count_distinct and approx_count_distinct in one
+    agg makes Catalyst route the HLL buffer through the multi-distinct
+    Expand plan — one ~3k-register state per DISTINCT KEY group
+    instead of per output group (measured 78 s vs 2 s at sf0.1).
     """
     li = table(spark, sf_dir, "lineitem")
     tol = 0.03  # 3 × rsd
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
+    )
 
-    def cert(approx, exact):
-        return F.abs(approx - exact) <= tol * exact + 2
+    def cert(a, e):
+        return F.abs(F.col(a) - F.col(e)) <= tol * F.col(e) + 2
 
-    ao = F.approx_count_distinct("l_orderkey", rsd=0.01)
-    ap = F.approx_count_distinct("l_partkey", rsd=0.01)
-    eo = F.count_distinct("l_orderkey")
-    ep = F.count_distinct("l_partkey")
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            eo.cast("bigint").alias("exact_orders"),
-            ep.cast("bigint").alias("exact_parts"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            cert(ao, eo).alias("orders_within_tol"),
-            cert(ap, ep).alias("parts_within_tol"),
+        exact.join(F.broadcast(approx), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            "n_rows",
+            cert("__ao", "exact_orders").alias("orders_within_tol"),
+            cert("__ap", "exact_parts").alias("parts_within_tol"),
         )
         .orderBy("l_returnflag")
     )
