@@ -367,3 +367,77 @@ class TestSession4PlanShapes:
         # two aggregates joined on the group key; no nested loop
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSession5PlanShapes:
+    """Plan pins for the round-5 surfaces (COVERAGE.md round-5 table)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_distinct_certificates_keep_hll_out_of_expand(self, spark):
+        """Mixed exact+approx distinct in ONE agg routes the HLL buffer
+        through the multi-distinct Expand (a register set per distinct
+        KEY group — 78 s vs 2 s at sf0.1). The certificates must keep
+        the estimators in separate aggregations: no plan line may carry
+        a partial approx sketch under a grouping-id key."""
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        for name in ("q_approx_distinct_orders", "q_profile_lineitem_approx"):
+            plan = executed_plan(CATALOG[name].spark(spark, self.SF))
+            offenders = [
+                ln
+                for ln in plan.splitlines()
+                if "partial_approx_count_distinct" in ln and "gid#" in ln
+            ]
+            assert offenders == [], (name, offenders[:1])
+
+    def test_stream_fold_is_one_exchange_arrow_batch(self, spark):
+        """The batch replay of the streaming session fold must cost what
+        one stream micro-batch costs: one hash exchange on the key into
+        a single Arrow-batched group map."""
+        from aircraftutilization_etl_spark.diagnostics import (
+            count_exchanges,
+            executed_plan,
+        )
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        df = CATALOG["q_stream_flight_sessions"].spark(spark, self.SF)
+        plan = executed_plan(df)
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        # key exchange + output range-sort; never more
+        assert count_exchanges(df) <= 2
+        assert "CartesianProduct" not in plan
+
+    def test_ann_recall_report_has_no_row_python(self, spark):
+        from aircraftutilization_etl_spark.diagnostics import executed_plan
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        plan = executed_plan(
+            CATALOG["q_emb_ann_recall_report"].spark(spark, self.SF)
+        )
+        assert "BatchEvalPython" not in plan  # Arrow kernels only
+        assert "CartesianProduct" not in plan
+
+    def test_lsh_guard_common_path_stays_bucket_join(self, spark):
+        """On an honest corpus every bucket has m=1 — the guard's
+        sequence(0, m-1) explode must not inflate the banded table."""
+        from aircraftutilization_etl_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            with_shingle_array,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    " ".join(
+                        f"tok{i}x{j}" for j in range(8)
+                    ),  # zero shared shingles across docs
+                )
+                for i in range(50)
+            ],
+            "doc_id long, text string",
+        )
+        pairs = lsh_candidate_pairs(with_shingle_array(docs))
+        assert pairs.count() == 0  # no near-dups in a unique corpus
