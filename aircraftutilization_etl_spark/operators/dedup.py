@@ -255,20 +255,29 @@ def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFram
     Normal-sized buckets have m=1, where the chunk machinery degenerates
     to the plain bucket join (no replication).
     """
-    # Persist: both self-join sides consume the same banded signatures,
-    # but a broadcast on one side (AQE's choice here — the banded table
-    # is 4 rows/doc of ~50 bytes) would otherwise recompute the whole
-    # shingle→hash subtree twice. The persisted table is signature-sized
-    # (tiny relative to the corpus), not corpus-sized.
-    banded = lsh_bands(shingled, id_col).persist()
-    sizes = banded.groupBy("band", "band_key").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    sized = banded.join(sizes, ["band", "band_key"]).select(
-        id_col,
-        "band",
-        "band_key",
-        F.ceil(F.col("__n") / LSH_BUCKET_CAP).cast("int").alias("__m"),
+    from pyspark.sql.window import Window
+
+    # Persist: both self-join sides consume the same banded+sized
+    # signatures, but a broadcast on one side (AQE's choice here — the
+    # banded table is 4 rows/doc of ~50 bytes) would otherwise
+    # recompute the whole shingle→hash subtree twice. The persisted
+    # table is signature-sized (tiny relative to the corpus), not
+    # corpus-sized. Bucket sizes come from ONE window count over the
+    # band partitioning (a separate size aggregate joined back would
+    # re-exchange the banded table a second time; the bucket row-count
+    # table is corpus-sized at scale, so it cannot broadcast).
+    bucket = Window.partitionBy("band", "band_key")
+    sized = (
+        lsh_bands(shingled, id_col)
+        .select(
+            id_col,
+            "band",
+            "band_key",
+            F.ceil(F.count(F.lit(1)).over(bucket) / LSH_BUCKET_CAP)
+            .cast("int")
+            .alias("__m"),
+        )
+        .persist()
     )
     own = F.pmod(F.xxhash64(F.col(id_col)), F.col("__m")).cast("int")
     chunks = F.sequence(F.lit(0), F.col("__m") - 1)
