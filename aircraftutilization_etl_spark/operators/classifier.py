@@ -247,15 +247,16 @@ def naive_bayes_confusion(
     )
     n_train = train.agg(F.count(F.lit(1)).alias("n"))
     # Determinism: each PER-TERM log-likelihood is floored to integer
-    # micro-units BEFORE summation. A term's argument is a ratio of
-    # exact integers, so its ln is the identical double on every
-    # engine, its floored micros the identical BIGINT — and an INTEGER
-    # sum is order-independent, making the per-(doc, class) score (and
-    # the argmax below) exactly equal across engines and partitionings.
-    # Flooring the SUM instead (the first r5 form) left the score one
-    # accumulation-order ulp from a micro boundary in the worst case.
-    # The ~1e-6-per-token quantization is classification-irrelevant and
-    # replayed exactly by the SQL oracle.
+    # micro-units BEFORE summation, so the sum is over BIGINTs —
+    # order-independent across partitionings and engines. The residual
+    # cross-engine hazard is a single term's ln (1-ulp-accurate
+    # Math.log vs libm) landing within ~1e-9 of a micro integer —
+    # ~1e-9 odds per MODEL term, orders of magnitude tighter than
+    # flooring the float SUM (the first r5 form), whose
+    # accumulation-order noise spanned micro boundaries at ~1e-3 odds
+    # per score. The ~1e-6-per-token quantization is
+    # classification-irrelevant and replayed exactly by the SQL
+    # oracle.
     classes = (
         priors.crossJoin(F.broadcast(n_train))
         .join(cls_tot, "cls")

@@ -255,8 +255,6 @@ def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFram
     Normal-sized buckets have m=1, where the chunk machinery degenerates
     to the plain bucket join (no replication).
     """
-    from pyspark.sql.window import Window
-
     # Persist: both self-join sides consume the same banded+sized
     # signatures, but a broadcast on one side (AQE's choice here — the
     # banded table is 4 rows/doc of ~50 bytes) would otherwise

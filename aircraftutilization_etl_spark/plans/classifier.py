@@ -105,9 +105,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         -- PER-TERM floored micros, then an INTEGER (order-independent)
-        -- sum: each ln of an exact integer ratio is the identical
-        -- double on both engines, so the score is exactly equal
-        -- cross-engine and the argmax can never flip
+        -- sum: scores cannot drift with partitioning/accumulation
+        -- order; the only residual cross-engine hazard is one term's
+        -- ln landing within an ulp of a micro boundary (~1e-9/term)
         SELECT h.doc_id, h.actual, cl.cls,
                cl.prior_micros
                  + SUM(CAST(FLOOR(ln((COALESCE(m.c, 0) + 1.0) / cl.denom)

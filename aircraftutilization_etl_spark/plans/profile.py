@@ -61,17 +61,20 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL++ profiling path, made hash-checkable: the exact profile
-    plus a ``distinct_within_tol`` certificate that the SAME scan's
-    HLL++ estimate lands within 3·rsd of the exact distinct count.
-    HLL++ registers are max-of-hashes — a deterministic function of the
-    key set, independent of partitioning/merge order — so the boolean
-    is engine-stable and the DuckDB oracle replays it as the exact
+    plus a ``distinct_within_tol`` certificate that the HLL++ estimate
+    lands within 3·rsd of the exact distinct count. HLL++ registers are
+    max-of-hashes — a deterministic function of the key set,
+    independent of partitioning/merge order — so the boolean is
+    engine-stable and the DuckDB oracle replays it as the exact
     profile + TRUE. (Until r5 this was a rows-only entry; VERDICT r4
     asked for the exactness-invariant form.)
 
-    Scale: the CERTIFICATE computes both estimators (Expand for the
-    exact side — audit cost); the routine 100 TB path is
-    profile_columns(exact=False): one scan, no Expand, sketch-only.
+    Scale: the CERTIFICATE runs the two estimators as SEPARATE
+    aggregations joined on col_name (mixing them in one agg routes the
+    HLL buffer through the multi-distinct Expand — a register set per
+    distinct VALUE); the exact side's Expand is the audit cost. The
+    routine 100 TB path is profile_columns(exact=False): one scan, no
+    Expand, sketch-only.
     """
     li = table(spark, sf_dir, "lineitem")
     return profile_columns(li, _COLS, audit_approx=True).orderBy("col_name")

@@ -371,17 +371,9 @@ def fold_completed_batch(src: DataFrame) -> DataFrame:
             None,
         )
         key = pdf["icao24"].iloc[0] if len(pdf) else None
-        return pd.DataFrame(
-            {
-                "icao24": [key] * len(emissions),
-                "flight_duration_minutes": [
-                    math.ceil((lc - t) / 60) for t, lc in emissions
-                ],
-                "landed_at": [
-                    pd.Timestamp(lc, unit="s") for _, lc in emissions
-                ],
-            }
-        )
+        # the SAME emission formatting the streaming wrappers use —
+        # U3/T2 must never drift between the stream and its replay
+        return _emissions_pdf(key, emissions)
 
     return src.groupBy("icao24").applyInPandas(
         fold, schema=COMPLETED_SCHEMA

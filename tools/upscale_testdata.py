@@ -47,8 +47,11 @@ KEYS = {
     # (1499) is far below custkey's (14999) and a per-column base would
     # land copy k's events inside copy 0's customer range
     "events": [("event_id", "event"), ("user_id", "cust")],
+    # vec_id is the same id space as doc_id (q_hybrid_rrf full-outer
+    # joins BM25 doc ranks against cosine vec ranks), so embeddings
+    # share the documents offset family
     "documents": [("doc_id", "doc")],
-    "embeddings": [("vec_id", "vec")],
+    "embeddings": [("vec_id", "doc")],
 }
 COPY_AS_IS = ("region", "nation")
 
