@@ -136,6 +136,60 @@ class TestMinHashLSH:
         shingled.unpersist()
         assert chunk_sizes <= 3 * LSH_BUCKET_CAP
 
+    def test_guard_equals_plain_bucket_join_on_random_corpora(self, spark):
+        """The chunk guard must be output-invariant: on seeded random
+        corpora mixing duplicate families, near-dups and unique docs,
+        the guarded candidate set equals the plain (unguarded)
+        (band, band_key) self-join's."""
+        import random
+
+        from aircraftutilization_etl_spark.operators.dedup import (
+            lsh_bands,
+            with_shingle_array,
+        )
+
+        for seed in (7, 41, 1234):
+            rng = random.Random(seed)
+            rows = []
+            doc_id = 0
+            vocab = [f"w{seed}x{i}" for i in range(40)]
+            for _fam in range(rng.randint(2, 5)):
+                body = " ".join(rng.choices(vocab, k=rng.randint(6, 12)))
+                for _ in range(rng.randint(1, 90)):  # some families huge
+                    rows.append((doc_id, body))
+                    doc_id += 1
+                # a near-dup variant of the family
+                rows.append((doc_id, body + " extraword"))
+                doc_id += 1
+            for _ in range(rng.randint(5, 15)):  # unique tail
+                rows.append(
+                    (doc_id, " ".join(f"u{seed}q{doc_id}t{j}" for j in range(8)))
+                )
+                doc_id += 1
+            df = _docs(spark, rows)
+            shingled = with_shingle_array(df).persist()
+            guarded = {
+                (r["id_a"], r["id_b"])
+                for r in lsh_candidate_pairs(shingled).collect()
+            }
+            banded = lsh_bands(shingled)
+            a = banded.select(
+                F.col("doc_id").alias("id_a"), "band", "band_key"
+            )
+            b = banded.select(
+                F.col("doc_id").alias("id_b"), "band", "band_key"
+            )
+            plain = {
+                (r["id_a"], r["id_b"])
+                for r in a.join(b, ["band", "band_key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+                .collect()
+            }
+            shingled.unpersist()
+            assert guarded == plain, seed
+
     def test_bucket_cap_preserves_cross_chunk_pairs(self, spark):
         """A mixed corpus (one oversized identical family + ordinary
         near-dups) must yield the same pairs with the guard active as
