@@ -29,13 +29,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["q_curation_funnel"].spark(spark, SF_SMOKE_DIR)
 
 
+# Queries whose code or output contract changed this round and therefore
+# need a fresh driver row regardless of earlier green history (the two
+# r4 non-green rows, the five sketch certificates that replaced the old
+# rows-only outputs, and the queries touched by the r5 LSH-skew /
+# negative-zero / integer-argmax fixes).
+_REVERIFY_FIRST = [
+    "q_decimal_exact_totals",
+    "q_approx_distinct_orders",
+    "q_percentiles_approx",
+    "q_profile_lineitem_approx",
+    "q_sketch_reaggregation",
+    "q_sketch_overlap",
+    "q_dedup_minhash_lsh",
+    "q_dedup_minhash_estimate",
+    "q_mix_diversity",
+    "q_revenue_gini",
+    "q_text_naive_bayes",
+]
+
+
+def _driver_checked() -> set[str]:
+    """Names that already have a driver CORRECTNESS row (any round)."""
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                seen.update(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _catalog_order() -> list[str]:
+    """Verification-priority order for the catalog.
+
+    The driver checks a bounded sample of ``queries()`` per round, taken
+    from the front; with a flat alphabetical order the same prefix is
+    re-checked every round and queries past it never receive the hard
+    cross-engine signal. Ordering by verification need — changed queries
+    first, then queries with no CORRECTNESS row yet (alphabetical), then
+    the already-verified remainder (alphabetical) — rotates the whole
+    catalog through the driver's sample over successive rounds. The
+    ordering is self-maintaining: it re-reads the CORRECTNESS_r*.json
+    files the driver writes, so each round's sample starts where the
+    previous one left off. Falls back to plain alphabetical when no
+    driver output exists (fresh checkout).
+    """
+    names = sorted(CATALOG)
+    seen = _driver_checked()
+    if not seen:
+        return names
+    first = [n for n in _REVERIFY_FIRST if n in CATALOG]
+    in_first = set(first)
+    never = [n for n in names if n not in seen and n not in in_first]
+    rest = [n for n in names if n in seen and n not in in_first]
+    return first + never + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.spark for name, qd in sorted(CATALOG.items())}
+    return {name: CATALOG[name].spark for name in _catalog_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (same column names/types)."""
     return {
-        name: qd.oracle for name, qd in sorted(CATALOG.items()) if qd.oracle
+        name: CATALOG[name].oracle
+        for name in _catalog_order()
+        if CATALOG[name].oracle
     }
