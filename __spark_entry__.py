@@ -29,11 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["q_curation_funnel"].spark(spark, SF_SMOKE_DIR)
 
 
-# Queries whose code or output contract changed this round and therefore
-# need a fresh driver row regardless of earlier green history (the two
-# r4 non-green rows, the five sketch certificates that replaced the old
-# rows-only outputs, and the queries touched by the r5 LSH-skew /
-# negative-zero / integer-argmax fixes).
+# Queries whose code or output contract changed in round _REVERIFY_SINCE
+# and therefore need a fresh driver row regardless of earlier green
+# history (the two r4 non-green rows, the five sketch certificates that
+# replaced the old rows-only outputs, and the queries touched by the r5
+# LSH-skew / negative-zero / integer-argmax fixes). An entry retires
+# from the head automatically once it has a green row in a round >=
+# _REVERIFY_SINCE, so it stops consuming sample slots the moment the
+# driver has re-confirmed it.
+_REVERIFY_SINCE = 5
 _REVERIFY_FIRST = [
     "q_decimal_exact_totals",
     "q_approx_distinct_orders",
@@ -49,21 +53,43 @@ _REVERIFY_FIRST = [
 ]
 
 
-def _driver_checked() -> set[str]:
-    """Names that already have a driver CORRECTNESS row (any round)."""
+def _driver_rows() -> tuple[set[str], set[str]]:
+    """(names with any driver CORRECTNESS row, names re-confirmed since
+    round ``_REVERIFY_SINCE``).
+
+    Re-confirmed means a row from round >= _REVERIFY_SINCE whose check
+    succeeded at the strongest level the query offers: hash_match for
+    oracle-backed queries, a non-null rows count for declared rows-only
+    ones (err == "no_oracle" is the driver's maximum signal there).
+    """
     import glob
     import json
     import os
+    import re
 
     seen: set[str] = set()
+    confirmed: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path, encoding="utf-8") as fh:
-                seen.update(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        seen.update(rows)
+        if rnd < _REVERIFY_SINCE:
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                confirmed.add(name)
+    return seen, confirmed
 
 
 def _catalog_order() -> list[str]:
@@ -82,10 +108,12 @@ def _catalog_order() -> list[str]:
     driver output exists (fresh checkout).
     """
     names = sorted(CATALOG)
-    seen = _driver_checked()
+    seen, confirmed = _driver_rows()
     if not seen:
         return names
-    first = [n for n in _REVERIFY_FIRST if n in CATALOG]
+    first = [
+        n for n in _REVERIFY_FIRST if n in CATALOG and n not in confirmed
+    ]
     in_first = set(first)
     never = [n for n in names if n not in seen and n not in in_first]
     rest = [n for n in names if n in seen and n not in in_first]

@@ -28,6 +28,17 @@ def _driver_rows() -> set[str]:
     return seen
 
 
+def _active_reverify() -> list[str]:
+    """The re-verify names that have not yet retired (no green row in a
+    round >= _REVERIFY_SINCE) — mirrors ``_catalog_order``'s head."""
+    _, confirmed = entry_mod._driver_rows()
+    return [
+        n
+        for n in entry_mod._REVERIFY_FIRST
+        if n in set(entry_mod.queries()) and n not in confirmed
+    ]
+
+
 def test_queries_and_oracles_share_names_and_order():
     q = list(entry_mod.queries())
     o = list(entry_mod.oracle_sql())
@@ -51,7 +62,7 @@ def test_reverify_first_queries_lead_when_driver_rows_exist():
         assert q == sorted(q)
         return
     q = list(entry_mod.queries())
-    expected_head = [n for n in entry_mod._REVERIFY_FIRST if n in set(q)]
+    expected_head = _active_reverify()
     assert q[: len(expected_head)] == expected_head
 
 
@@ -60,7 +71,7 @@ def test_never_driver_checked_queries_precede_verified_remainder():
     if not seen:
         return
     q = list(entry_mod.queries())
-    tail = q[len([n for n in entry_mod._REVERIFY_FIRST if n in set(q)]) :]
+    tail = q[len(_active_reverify()) :]
     # tail = [never-checked block][already-verified block], each sorted
     flags = [n in seen for n in tail]
     assert flags == sorted(flags)  # False(never) before True(verified)
@@ -68,6 +79,46 @@ def test_never_driver_checked_queries_precede_verified_remainder():
     rest = [n for n in tail if n in seen]
     assert never == sorted(never)
     assert rest == sorted(rest)
+
+
+def test_reverify_entries_retire_once_reconfirmed(monkeypatch):
+    """A green row in a round >= _REVERIFY_SINCE drops the name from the
+    head so it stops consuming driver sample slots in later rounds."""
+    q = set(entry_mod.queries())
+    target = next(n for n in entry_mod._REVERIFY_FIRST if n in q)
+
+    # simulate: every catalog name seen, `target` re-confirmed since r5
+    monkeypatch.setattr(
+        entry_mod, "_driver_rows", lambda: (set(q), {target})
+    )
+    order = entry_mod._catalog_order()
+    head = [n for n in entry_mod._REVERIFY_FIRST if n in q and n != target]
+    assert order[: len(head)] == head
+    assert target not in order[: len(head)]
+    assert target in order  # still in the catalog, just not floated
+
+    # not yet re-confirmed -> still floated
+    monkeypatch.setattr(entry_mod, "_driver_rows", lambda: (set(q), set()))
+    order = entry_mod._catalog_order()
+    full_head = [n for n in entry_mod._REVERIFY_FIRST if n in q]
+    assert order[: len(full_head)] == full_head
+
+
+def test_driver_rows_counts_rows_only_success_as_confirmed(tmp_path, monkeypatch):
+    """err == "no_oracle" with a non-null rows count is the strongest
+    signal a rows-only query can get; it must retire the float too,
+    while a red hash row must NOT."""
+    payload = {
+        "q_rows_only": {"hash_match": None, "err": "no_oracle", "spark_rows": 3},
+        "q_red": {"hash_match": False, "err": None, "spark_rows": 3},
+        "q_green": {"hash_match": True, "err": None, "spark_rows": 3},
+    }
+    rnd = entry_mod._REVERIFY_SINCE
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(payload))
+    monkeypatch.setattr(entry_mod, "__file__", str(tmp_path / "e.py"))
+    seen, confirmed = entry_mod._driver_rows()
+    assert seen == {"q_rows_only", "q_red", "q_green"}
+    assert confirmed == {"q_rows_only", "q_green"}
 
 
 def test_reverify_list_names_exist_in_catalog():
