@@ -50,6 +50,10 @@ _REVERIFY_FIRST = [
     "q_mix_diversity",
     "q_revenue_gini",
     "q_text_naive_bayes",
+    # VERDICT r4 #8: the event-time streaming fold's first driver row
+    "q_stream_flight_sessions",
+    # r4-green but its oracle changed this round (-0.0 normalization)
+    "q_curriculum_phases",
 ]
 
 
