@@ -86,9 +86,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+        # driver testdata ships single parquet files; Spark-written stars
+        # (tools/upscale_testdata.py) are part-file directories
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
