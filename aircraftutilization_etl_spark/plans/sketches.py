@@ -194,7 +194,7 @@ def q_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-audience OVERLAP between event types from HLL algebra,
     made hash-checkable (VERDICT r4): |A ∩ B| ≈ |A| + |B| − |A ∪ B|,
-    the union estimated by ``hll_union_agg`` over the two per-type
+    the union estimated by the scalar ``hll_union`` of the two per-type
     sketches — inclusion–exclusion entirely in sketch space — reported
     as the exact intersection plus an ``overlap_within_tol``
     certificate that the sketch-space estimate lands within
@@ -218,20 +218,47 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    out = None
-    for a, b in pairs:
-        two = sketches.filter(F.col("event_type").isin([a, b]))
-        est = two.agg(
-            F.lit(a).alias("type_a"),
-            F.lit(b).alias("type_b"),
-            F.sum("nd").cast("bigint").alias("sum_exact_distinct"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_union"),
+    # One broadcast join per side, INNER like the oracle's JOIN nd — a
+    # pair whose type is absent from the data yields no row on either
+    # engine (the sketch table is type-cardinality-sized, so both joins
+    # broadcast; no per-pair jobs).
+    out = (
+        spark.createDataFrame(pairs, "type_a string, type_b string")
+        .join(
+            F.broadcast(
+                sketches.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("sk").alias("sk_a"),
+                    F.col("nd").alias("nd_a"),
+                )
+            ),
+            "type_a",
         )
-        row = est.withColumn(
-            "approx_intersection",
-            (F.col("sum_exact_distinct") - F.col("approx_union")).cast("bigint"),
+        .join(
+            F.broadcast(
+                sketches.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("sk").alias("sk_b"),
+                    F.col("nd").alias("nd_b"),
+                )
+            ),
+            "type_b",
         )
-        out = row if out is None else out.unionByName(row)
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("nd_a") + F.col("nd_b"))
+            .cast("bigint")
+            .alias("sum_exact_distinct"),
+            (
+                F.col("nd_a")
+                + F.col("nd_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+            )
+            .cast("bigint")
+            .alias("approx_intersection"),
+        )
+    )
     exact = (
         e.select("event_type", "user_id")
         .distinct()
@@ -245,17 +272,22 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.event_type").alias("type_a"), "type_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
     )
+    # Left + coalesce-to-0: a pair with NO shared users has no row in
+    # the inner-join-derived exact table, but the oracle's scalar
+    # INTERSECT subquery still returns 0 — both engines must emit 0.
     result = (
         out.join(exact, ["type_a", "type_b"], "left")
         .select(
             "type_a",
             "type_b",
             "sum_exact_distinct",
-            "exact_intersection",
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
             (
                 F.abs(
                     F.col("approx_intersection")
-                    - F.col("exact_intersection")
+                    - F.coalesce(F.col("exact_intersection"), F.lit(0))
                 )
                 <= 0.05 * F.col("sum_exact_distinct") + 10
             ).alias("overlap_within_tol"),
