@@ -5,6 +5,13 @@ implemented operator from SURVEY.md §2 (plus the scale surface: dedup,
 similarity, text analysis, sessionization, as-of); ``oracle_sql`` gives
 the DuckDB-equivalent SQL for each (queries with no SQL-expressible
 oracle are omitted there and get the driver's rows-only check).
+
+Iteration order is ADVISORY verification priority, not part of the
+result contract — the driver matches queries to oracles by name. The
+order depends on runtime artifacts (``CORRECTNESS_r*.json``,
+``QUERY_HASHES.json``) in the repo root and is computed once per
+process (cached), so it is stable within a run but may differ across
+checkouts; see ``_catalog_order``.
 """
 
 from __future__ import annotations
@@ -29,52 +36,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["q_curation_funnel"].spark(spark, SF_SMOKE_DIR)
 
 
-# Queries whose code or output contract changed in round _REVERIFY_SINCE
-# and therefore need a fresh driver row regardless of earlier green
-# history (the two r4 non-green rows, the five sketch certificates that
-# replaced the old rows-only outputs, and the queries touched by the r5
-# LSH-skew / negative-zero / integer-argmax fixes). An entry retires
-# from the head automatically once it has a green row in a round >=
-# _REVERIFY_SINCE, so it stops consuming sample slots the moment the
-# driver has re-confirmed it.
-_REVERIFY_SINCE = 5
-_REVERIFY_FIRST = [
-    "q_decimal_exact_totals",
-    "q_approx_distinct_orders",
-    "q_percentiles_approx",
-    "q_profile_lineitem_approx",
-    "q_sketch_reaggregation",
-    "q_sketch_overlap",
-    "q_dedup_minhash_lsh",
-    "q_dedup_minhash_estimate",
-    "q_mix_diversity",
-    "q_revenue_gini",
-    "q_text_naive_bayes",
-    # VERDICT r4 #8: the event-time streaming fold's first driver row
-    "q_stream_flight_sessions",
-    # r4-green but its oracle changed this round (-0.0 normalization)
-    "q_curriculum_phases",
-]
+def _content_hash(name: str) -> str:
+    """Verification identity of a catalog query: sha256 over the plan
+    function's source plus its oracle SQL. A changed hash means the
+    driver's last green row no longer vouches for the current code, so
+    ``_catalog_order`` floats the query for re-verification.
 
-
-def _driver_rows() -> tuple[set[str], set[str]]:
-    """(names with any driver CORRECTNESS row, names re-confirmed since
-    round ``_REVERIFY_SINCE``).
-
-    Re-confirmed means a row from round >= _REVERIFY_SINCE whose check
-    succeeded at the strongest level the query offers: hash_match for
-    oracle-backed queries, a non-null rows count for declared rows-only
-    ones (err == "no_oracle" is the driver's maximum signal there).
+    The hash sees the plan function body (``functools.wraps`` exposes
+    the original via ``__wrapped__``) and the oracle string — NOT the
+    operators/ module a plan delegates to. Convention for operator-level
+    behavior changes: note the change in the plan docstring (docstrings
+    are part of the source, so the hash moves and the query floats).
     """
+    import hashlib
+    import inspect
+
+    qd = CATALOG[name]
+    try:
+        src = inspect.getsource(qd.spark)
+    except (OSError, TypeError):  # pragma: no cover - source always on disk
+        src = f"{qd.spark.__module__}.{qd.spark.__qualname__}"
+    payload = src + "\x00" + (qd.oracle or "")
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+def _repo_dir() -> str:
+    import os
+
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _latest_rows() -> dict[str, tuple[int, dict]]:
+    """name -> (round, row) for each query's LATEST driver CORRECTNESS
+    row. Non-dict payloads/rows (corrupt or foreign files) are skipped
+    rather than crashing the entry module (ADVICE r5)."""
     import glob
     import json
     import os
     import re
 
-    seen: set[str] = set()
-    confirmed: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    latest: dict[str, tuple[int, dict]] = {}
+    pattern = os.path.join(_repo_dir(), "CORRECTNESS_r*.json")
+    for path in sorted(glob.glob(pattern)):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
@@ -82,18 +85,78 @@ def _driver_rows() -> tuple[set[str], set[str]]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        seen.update(rows)
-        if rnd < _REVERIFY_SINCE:
+        if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-            ):
-                confirmed.add(name)
-    return seen, confirmed
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, row)
+    return latest
+
+
+def _snapshot_hashes() -> dict[int, dict[str, str]] | None:
+    """Per-round content hashes recorded at snapshot time
+    (``QUERY_HASHES.json``, written by tools/snapshot_query_hashes.py as
+    part of the pre-snapshot gate). None when absent (fresh checkout
+    without the artifact) — the hash-staleness check is then skipped
+    rather than floating the whole catalog."""
+    import json
+    import os
+
+    path = os.path.join(_repo_dir(), "QUERY_HASHES.json")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            payload = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    rounds = payload.get("rounds") if isinstance(payload, dict) else None
+    if not isinstance(rounds, dict):
+        return None
+    out: dict[int, dict[str, str]] = {}
+    for key, hashes in rounds.items():
+        try:
+            rnd = int(key)
+        except (TypeError, ValueError):
+            continue
+        if isinstance(hashes, dict):
+            out[rnd] = hashes
+    return out or None
+
+
+def _green_at_level(name: str, row: dict) -> bool:
+    """Did this driver row succeed at the strongest level the query
+    CURRENTLY offers? hash_match for oracle-backed queries; a non-null
+    rows count for declared rows-only ones. A rows-only row for a query
+    that has since GAINED an oracle is not green — the hash check has
+    never run, so the query must float."""
+    if row.get("hash_match") is True:
+        return True
+    return (
+        CATALOG[name].oracle is None
+        and row.get("err") == "no_oracle"
+        and row.get("spark_rows") is not None
+    )
+
+
+def _hash_current_at(name: str, rnd: int) -> bool:
+    """Does the current content hash match what was snapshot for the
+    earliest recorded round >= ``rnd`` (the code the driver actually ran
+    when it produced the row)? Missing snapshot data -> True (trust the
+    green row rather than floating the whole catalog)."""
+    snaps = _snapshot_hashes()
+    if snaps is None:
+        return True
+    eligible = sorted(r for r in snaps if r >= rnd)
+    if not eligible:
+        return False  # green row newer than any snapshot: can't vouch
+    recorded = snaps[eligible[0]].get(name)
+    if recorded is None:
+        return False  # query didn't exist at snapshot time: re-verify
+    return recorded == _content_hash(name)
+
+
+_ORDER_CACHE: list[str] | None = None
 
 
 def _catalog_order() -> list[str]:
@@ -102,26 +165,44 @@ def _catalog_order() -> list[str]:
     The driver checks a bounded sample of ``queries()`` per round, taken
     from the front; with a flat alphabetical order the same prefix is
     re-checked every round and queries past it never receive the hard
-    cross-engine signal. Ordering by verification need — changed queries
-    first, then queries with no CORRECTNESS row yet (alphabetical), then
-    the already-verified remainder (alphabetical) — rotates the whole
-    catalog through the driver's sample over successive rounds. The
-    ordering is self-maintaining: it re-reads the CORRECTNESS_r*.json
-    files the driver writes, so each round's sample starts where the
-    previous one left off. Falls back to plain alphabetical when no
-    driver output exists (fresh checkout).
+    cross-engine signal. Three tiers, each alphabetical:
+
+    1. STALE — queries with a driver row whose latest row is not green
+       at the query's current level (red/errored rows, rows-only rows
+       for queries that have since gained an oracle), or whose content
+       hash (plan source + oracle) differs from the snapshot hash at
+       the round of that latest row — i.e. the code changed since the
+       driver last vouched for it.
+    2. NEVER — queries with no driver CORRECTNESS row yet.
+    3. VERIFIED — the remainder (latest row green, hash unchanged).
+
+    Self-maintaining: tier 1 drains as the driver re-confirms entries
+    (a green row at round R retires once QUERY_HASHES.json records
+    round >= R matching the current hash — the end-of-round snapshot
+    step); tier 2 drains as rows accumulate. Falls back to plain
+    alphabetical when no driver output exists (fresh checkout). Cached
+    per process so queries()/oracle_sql() agree within a run.
     """
+    global _ORDER_CACHE
+    if _ORDER_CACHE is not None:
+        return _ORDER_CACHE
     names = sorted(CATALOG)
-    seen, confirmed = _driver_rows()
-    if not seen:
-        return names
-    first = [
-        n for n in _REVERIFY_FIRST if n in CATALOG and n not in confirmed
-    ]
-    in_first = set(first)
-    never = [n for n in names if n not in seen and n not in in_first]
-    rest = [n for n in names if n in seen and n not in in_first]
-    return first + never + rest
+    latest = _latest_rows()
+    if not latest:
+        _ORDER_CACHE = names
+        return _ORDER_CACHE
+    stale, never, rest = [], [], []
+    for n in names:
+        if n not in latest:
+            never.append(n)
+            continue
+        rnd, row = latest[n]
+        if _green_at_level(n, row) and _hash_current_at(n, rnd):
+            rest.append(n)
+        else:
+            stale.append(n)
+    _ORDER_CACHE = stale + never + rest
+    return _ORDER_CACHE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

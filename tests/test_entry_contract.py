@@ -1,26 +1,39 @@
 """Driver-contract invariants for ``__spark_entry__``.
 
 The driver checks a bounded prefix of ``queries()`` per round, so the
-iteration order is part of the verification strategy: changed queries
-first, never-driver-checked next, already-verified last (see
-``__spark_entry__._catalog_order``). These tests pin that contract
-without running Spark.
+iteration order is part of the verification strategy: stale (changed or
+latest-row-non-green) queries first, never-driver-checked next,
+already-verified last (see ``__spark_entry__._catalog_order``). These
+tests pin that contract without running Spark.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import glob
 import json
 import os
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from aircraftutilization_etl_spark.plans import CATALOG  # noqa: E402
 
 
-def _driver_rows() -> set[str]:
+@pytest.fixture(autouse=True)
+def _fresh_order_cache(monkeypatch):
+    """The order is cached per process for within-run stability; tests
+    that monkeypatch the inputs need a cold cache each time."""
+    monkeypatch.setattr(entry_mod, "_ORDER_CACHE", None)
+    yield
+    entry_mod._ORDER_CACHE = None
+
+
+def _driver_seen() -> set[str]:
     seen: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         with open(path, encoding="utf-8") as fh:
@@ -28,15 +41,19 @@ def _driver_rows() -> set[str]:
     return seen
 
 
-def _active_reverify() -> list[str]:
-    """The re-verify names that have not yet retired (no green row in a
-    round >= _REVERIFY_SINCE) — mirrors ``_catalog_order``'s head."""
-    _, confirmed = entry_mod._driver_rows()
-    return [
-        n
-        for n in entry_mod._REVERIFY_FIRST
-        if n in set(entry_mod.queries()) and n not in confirmed
-    ]
+def _tiers(order):
+    latest = entry_mod._latest_rows()
+    stale, never, rest = [], [], []
+    for n in order:
+        if n not in latest:
+            never.append(n)
+        elif entry_mod._green_at_level(n, latest[n][1]) and entry_mod._hash_current_at(
+            n, latest[n][0]
+        ):
+            rest.append(n)
+        else:
+            stale.append(n)
+    return stale, never, rest
 
 
 def test_queries_and_oracles_share_names_and_order():
@@ -55,73 +72,155 @@ def test_catalog_order_is_a_permutation_of_the_catalog():
     assert set(q) == set(entry_mod._catalog_order())
 
 
-def test_reverify_first_queries_lead_when_driver_rows_exist():
-    if not _driver_rows():
-        # fresh checkout: plain alphabetical fallback
-        q = list(entry_mod.queries())
-        assert q == sorted(q)
+def test_order_is_stale_then_never_then_verified():
+    order = entry_mod._catalog_order()
+    if not entry_mod._latest_rows():
+        assert order == sorted(order)
         return
-    q = list(entry_mod.queries())
-    expected_head = _active_reverify()
-    assert q[: len(expected_head)] == expected_head
-
-
-def test_never_driver_checked_queries_precede_verified_remainder():
-    seen = _driver_rows()
-    if not seen:
-        return
-    q = list(entry_mod.queries())
-    tail = q[len(_active_reverify()) :]
-    # tail = [never-checked block][already-verified block], each sorted
-    flags = [n in seen for n in tail]
-    assert flags == sorted(flags)  # False(never) before True(verified)
-    never = [n for n in tail if n not in seen]
-    rest = [n for n in tail if n in seen]
+    stale, never, rest = _tiers(order)
+    assert order == stale + never + rest
+    assert stale == sorted(stale)
     assert never == sorted(never)
     assert rest == sorted(rest)
 
 
-def test_reverify_entries_retire_once_reconfirmed(monkeypatch):
-    """A green row in a round >= _REVERIFY_SINCE drops the name from the
-    head so it stops consuming driver sample slots in later rounds."""
-    q = set(entry_mod.queries())
-    target = next(n for n in entry_mod._REVERIFY_FIRST if n in q)
+def test_latest_red_and_pre_oracle_rows_float_to_head():
+    """The two r5 stale rows (VERDICT r5 §wrong #1): a red error row and
+    a rows-only row for a query that has since gained an oracle must
+    lead the order, ahead of never-checked queries."""
+    latest = entry_mod._latest_rows()
+    if not latest:
+        pytest.skip("fresh checkout: no driver rows")
+    order = entry_mod._catalog_order()
+    stale, never, _ = _tiers(order)
+    for name in ("q_events_asof_last_click", "q_media_feature_extract"):
+        if name not in latest:
+            continue  # retired: the driver re-confirmed and rows moved on
+        rnd, row = latest[name]
+        if not entry_mod._green_at_level(name, row):
+            assert name in stale
+            assert order.index(name) < len(stale)
 
-    # simulate: every catalog name seen, `target` re-confirmed since r5
+
+def test_changed_oracle_floats_query(monkeypatch):
+    """Mutating a query's oracle changes its content hash, so even a
+    hash-green latest row stops vouching for it and it floats."""
+    latest = entry_mod._latest_rows()
+    greens = [
+        n
+        for n, (rnd, row) in sorted(latest.items())
+        if entry_mod._green_at_level(n, row)
+        and entry_mod._hash_current_at(n, rnd)
+        and CATALOG[n].oracle
+    ]
+    if not greens:
+        pytest.skip("no verified hash-green query to mutate")
+    target = greens[0]
+    mutated = dataclasses.replace(
+        CATALOG[target], oracle=CATALOG[target].oracle + " -- edited"
+    )
+    monkeypatch.setitem(CATALOG, target, mutated)
+    order = entry_mod._catalog_order()
+    stale, _, rest = _tiers(order)
+    assert target in stale
+    assert target not in rest
+    # floats ahead of the never-checked tier
+    never_start = len(stale)
+    assert order.index(target) < never_start
+
+
+def test_green_row_with_matching_snapshot_hash_retires(monkeypatch):
+    """A hash-green latest row whose round maps to a snapshot recording
+    the current content hash lands in the verified tail — the float
+    retires without any hand-maintained list."""
+    names = sorted(CATALOG)
+    target = names[0]
+    row = {"hash_match": True, "err": None, "spark_rows": 1}
     monkeypatch.setattr(
-        entry_mod, "_driver_rows", lambda: (set(q), {target})
+        entry_mod, "_latest_rows", lambda: {n: (7, dict(row)) for n in names}
+    )
+    cur = entry_mod._content_hash(target)
+    snaps = {7: {n: entry_mod._content_hash(n) for n in names}}
+    monkeypatch.setattr(entry_mod, "_snapshot_hashes", lambda: snaps)
+    order = entry_mod._catalog_order()
+    assert order == names  # everything verified -> plain alphabetical
+
+    # now pretend the snapshot recorded a different hash for target
+    entry_mod._ORDER_CACHE = None
+    snaps2 = {7: dict(snaps[7], **{target: "deadbeef" + cur[8:]})}
+    monkeypatch.setattr(entry_mod, "_snapshot_hashes", lambda: snaps2)
+    order = entry_mod._catalog_order()
+    assert order[0] == target
+
+
+def test_green_row_newer_than_any_snapshot_floats(monkeypatch):
+    """A green row from a round later than every recorded snapshot can't
+    be tied to the code the driver ran, so it floats (safe direction)."""
+    names = sorted(CATALOG)
+    target = names[0]
+    monkeypatch.setattr(
+        entry_mod,
+        "_latest_rows",
+        lambda: {target: (99, {"hash_match": True, "spark_rows": 1})},
+    )
+    monkeypatch.setattr(
+        entry_mod,
+        "_snapshot_hashes",
+        lambda: {5: {n: entry_mod._content_hash(n) for n in names}},
     )
     order = entry_mod._catalog_order()
-    head = [n for n in entry_mod._REVERIFY_FIRST if n in q and n != target]
-    assert order[: len(head)] == head
-    assert target not in order[: len(head)]
-    assert target in order  # still in the catalog, just not floated
-
-    # not yet re-confirmed -> still floated
-    monkeypatch.setattr(entry_mod, "_driver_rows", lambda: (set(q), set()))
-    order = entry_mod._catalog_order()
-    full_head = [n for n in entry_mod._REVERIFY_FIRST if n in q]
-    assert order[: len(full_head)] == full_head
+    assert order[0] == target
 
 
-def test_driver_rows_counts_rows_only_success_as_confirmed(tmp_path, monkeypatch):
-    """err == "no_oracle" with a non-null rows count is the strongest
-    signal a rows-only query can get; it must retire the float too,
-    while a red hash row must NOT."""
-    payload = {
-        "q_rows_only": {"hash_match": None, "err": "no_oracle", "spark_rows": 3},
-        "q_red": {"hash_match": False, "err": None, "spark_rows": 3},
-        "q_green": {"hash_match": True, "err": None, "spark_rows": 3},
-    }
-    rnd = entry_mod._REVERIFY_SINCE
-    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(payload))
-    monkeypatch.setattr(entry_mod, "__file__", str(tmp_path / "e.py"))
-    seen, confirmed = entry_mod._driver_rows()
-    assert seen == {"q_rows_only", "q_red", "q_green"}
-    assert confirmed == {"q_rows_only", "q_green"}
+def test_missing_snapshot_file_trusts_green_rows(monkeypatch):
+    """Without QUERY_HASHES.json (fresh checkout), the hash check is
+    skipped — green rows are trusted rather than floating the catalog."""
+    names = sorted(CATALOG)
+    monkeypatch.setattr(entry_mod, "_snapshot_hashes", lambda: None)
+    monkeypatch.setattr(
+        entry_mod,
+        "_latest_rows",
+        lambda: {n: (5, {"hash_match": True, "spark_rows": 1}) for n in names},
+    )
+    assert entry_mod._catalog_order() == names
 
 
-def test_reverify_list_names_exist_in_catalog():
-    q = set(entry_mod.queries())
-    missing = [n for n in entry_mod._REVERIFY_FIRST if n not in q]
-    assert not missing, missing
+def test_rows_only_green_requires_no_current_oracle():
+    """err == "no_oracle" with a rows count is green ONLY while the query
+    still has no oracle; once an oracle exists the row is stale."""
+    rows_only = {"hash_match": None, "err": "no_oracle", "spark_rows": 3}
+    with_oracle = next(n for n in sorted(CATALOG) if CATALOG[n].oracle)
+    no_oracle = [n for n in sorted(CATALOG) if not CATALOG[n].oracle]
+    assert not entry_mod._green_at_level(with_oracle, rows_only)
+    for n in no_oracle:
+        assert entry_mod._green_at_level(n, rows_only)
+    red = {"hash_match": False, "err": None, "spark_rows": 3}
+    assert not entry_mod._green_at_level(with_oracle, red)
+
+
+def test_latest_rows_skips_non_dict_payloads(tmp_path, monkeypatch):
+    """ADVICE r5: a corrupt/foreign CORRECTNESS file (top-level list,
+    non-dict rows) must be skipped, not crash the entry module."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps([1, 2]))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_a": {"hash_match": True}, "q_bad": "oops"})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")
+    monkeypatch.setattr(entry_mod, "_repo_dir", lambda: str(tmp_path))
+    latest = entry_mod._latest_rows()
+    assert latest == {"q_a": (2, {"hash_match": True})}
+
+
+def test_order_cached_within_process(monkeypatch):
+    """queries()/oracle_sql() must agree within a run even if the driver
+    writes a new CORRECTNESS file mid-process (ADVICE r5)."""
+    first = entry_mod._catalog_order()
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        raise AssertionError("must not recompute")
+
+    monkeypatch.setattr(entry_mod, "_latest_rows", boom)
+    assert entry_mod._catalog_order() is first
+    assert calls["n"] == 0
