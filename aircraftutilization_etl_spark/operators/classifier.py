@@ -12,14 +12,22 @@ textbook distributed-GD split:
   map-side combine: rows score against the broadcast weights
   (σ(w·x) − y residuals), explode their features, and the per-bucket
   gradient sums shuffle ≤ 2^hash_bits rows total;
-- features are L1-normalized hashed unigram counts (the hashing trick
-  — vocabulary-free, fixed dimensionality, engine-portable md5).
+- features are hashed unigram counts kept as EXACT INTEGERS (count c,
+  doc total t; x = c/t is the L1-normalized value) — the hashing trick,
+  vocabulary-free, fixed dimensionality, engine-portable md5.
 
-Floating-point note: gradients sum in partition order, so training is
-deterministic only up to float addition order — the catalog exposes the
-model's OUTPUTS as a rows-only entry, and tests pin behavior against a
-numpy replay within tolerance plus exact learning-dynamics invariants
-(loss decrease, separable-data accuracy).
+Determinism (the r5→r6 integerization): weights and bias live in
+integer MICRO-units, every per-example quantity is floored to integers
+before any sum (residual micros, gradient contribution in nano-units,
+loss micros), and every division in the recurrence is a FLOOR over
+exactly-representable integer-valued doubles — so gradient sums are
+BIGINT sums (partition-order-free) and the whole 6-round training run
+is replayed exactly by a DuckDB oracle (plans/classifier.py), like the
+k-means/PageRank/BPE integerizations before it. The single remaining
+cross-engine float primitive is exp() inside the sigmoid; its ≤1-ulp
+engine variance flips a floor-to-micros only when σ(m) lands within
+~1e-16 of a 1e-6 boundary (~1e-10 odds per doc-round — the same
+accepted hazard class as the Naive-Bayes per-term ln flooring).
 """
 
 from __future__ import annotations
@@ -33,14 +41,17 @@ from .text import words_expr
 
 HASH_BITS = 12
 N_BUCKETS = 1 << HASH_BITS
+MICRO = 1_000_000
 
 
 def hashed_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, bucket, x): L1-normalized hashed-unigram features, one row
-    per distinct bucket per doc. Pure projection + one (id, bucket)
-    count — the feature extraction is corpus-parallel and vocab-free."""
+    """(id, bucket, c, t, x): hashed-unigram features, one row per
+    distinct bucket per doc — c the bucket count, t the doc token
+    total (both BIGINT, the exact integers the integerized trainer
+    consumes), x = c/t the L1-normalized value. Pure projection + one
+    (id, bucket) count — corpus-parallel and vocab-free."""
     words = df.select(
         F.col(id_col),
         F.explode(
@@ -55,40 +66,56 @@ def hashed_features(
         ).alias("bucket"),
     )
     counts = bucketed.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("__c")
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    totals = counts.groupBy(id_col).agg(F.sum("__c").alias("__t"))
+    totals = counts.groupBy(id_col).agg(F.sum("c").alias("t"))
     return counts.join(totals, id_col).select(
-        id_col, "bucket", (F.col("__c") / F.col("__t")).alias("x")
+        id_col, "bucket", "c", "t", (F.col("c") / F.col("t")).alias("x")
     )
 
 
-def _weights_df(spark, weights: list[float]):
-    """Model as a broadcastable (bucket, w) frame. A 2^hash_bits literal
-    array would be semantically equivalent but costs a giant expression
-    tree EVERY round (analysis time grows with the model, measured ~2x
-    the whole round at 4096 weights); a tiny broadcast join ships the
-    same bytes through the stable join path instead."""
+def _weights_df(spark, w_micros: list[int]):
+    """Model as a broadcastable (bucket, __wm) frame. A 2^hash_bits
+    literal array would be semantically equivalent but costs a giant
+    expression tree EVERY round (analysis time grows with the model,
+    measured ~2x the whole round at 4096 weights); a tiny broadcast
+    join ships the same bytes through the stable join path instead."""
     return spark.createDataFrame(
-        [(i, wv) for i, wv in enumerate(weights) if wv != 0.0],
-        "bucket long, __wv double",
+        [(i, wm) for i, wm in enumerate(w_micros) if wm != 0],
+        "bucket long, __wm long",
     )
 
 
-def _margins(feats: DataFrame, weights: list[float], bias: float, id_col: str):
-    """(id, margin): w·x + b per doc via the broadcast model join —
-    absent buckets carry weight 0, so the sparse model frame is exact."""
-    wdf = _weights_df(feats.sparkSession, weights)
+def _margins(
+    feats: DataFrame, w_micros: list[int], b_micros: int, id_col: str
+):
+    """(id, __m): the per-doc margin (w·x + b) via the broadcast model
+    join. Exact-integer numerator Σ w_micros·c + b_micros·t (absent
+    buckets carry weight 0, so the sparse model frame is exact), ONE
+    double division by t·1e6 — both engines round that division
+    identically, so the margin double is bit-stable cross-engine."""
+    wdf = _weights_df(feats.sparkSession, w_micros)
     return (
         feats.join(F.broadcast(wdf), "bucket", "left")
         .groupBy(id_col)
         .agg(
             (
-                F.sum(F.coalesce(F.col("__wv"), F.lit(0.0)) * F.col("x"))
-                + F.lit(bias)
+                (
+                    F.sum(F.coalesce(F.col("__wm"), F.lit(0)) * F.col("c"))
+                    + F.lit(int(b_micros)) * F.max("t")
+                ).cast("double")
+                / (F.max("t") * F.lit(1000000.0))
             ).alias("__m")
         )
     )
+
+
+def _p_micros(m):
+    """floor(σ(m)·1e6) — the quantized prediction both engines agree on
+    (exp() ulp variance aside; see module docstring)."""
+    return F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-m))) * F.lit(1000000.0)
+    ).cast("long")
 
 
 def train_logreg_hashed(
@@ -98,89 +125,120 @@ def train_logreg_hashed(
     label_col: str = "label",
     iterations: int = 20,
     lr: float = 2.0,
-) -> tuple[list[float], float, list[float]]:
-    """Full-batch gradient descent for L2-free logistic regression:
-    returns (weights, bias, per-iteration mean log-loss).
+) -> tuple[list[int], int, list[float]]:
+    """Full-batch gradient descent for L2-free logistic regression in
+    integer micro-units: returns (w_micros, b_micros, per-iteration
+    mean log-loss as floats for diagnostics).
 
-    Per round: one scoring pass (broadcast weights → per-doc margin σ),
-    one gradient aggregation (explode features against per-doc
-    residuals → bucket-keyed sum, ≤ N_BUCKETS result rows), one small
-    collect. Lineage stays O(1) per round because each round's plan
-    reads the persisted features, not the previous round's plan.
+    Per round: one scoring pass (broadcast integer weights → per-doc
+    margin → floored σ micros), one gradient aggregation (explode
+    features against integer residuals → bucket-keyed BIGINT sum,
+    ≤ N_BUCKETS result rows), one small collect. The exact recurrence
+    (replayed verbatim by the SQL oracle in plans/classifier.py):
+
+        r       = floor(σ(m)·1e6) − y·1e6            per doc
+        G[b]    = Σ_docs floor((c·r·1e3) / t)        BIGINT sum
+        w[b]   −= floor((lr·G[b]) / (1e3·n))         in micros
+        bias   −= floor((lr·Σr) / n)                 in micros
+
+    Lineage stays O(1) per round because each round's plan reads the
+    persisted features, not the previous round's plan.
     """
     feats = features.persist()
-    lab = labels.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+    lab = labels.select(
+        F.col(id_col),
+        (F.col(label_col).cast("long") * F.lit(MICRO)).alias("__ym"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
     n = lab.count()
-    w = [0.0] * N_BUCKETS
-    b = 0.0
+    w = [0] * N_BUCKETS
+    b = 0
     losses: list[float] = []
     for _ in range(iterations):
-        margins = (
+        scored = (
             _margins(feats, w, b, id_col)
             .join(lab, id_col)
             .select(
                 id_col,
                 "__y",
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))).alias("__p"),
+                "__ym",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))).alias(
+                    "__p"
+                ),
+                _p_micros(F.col("__m")).alias("__pm"),
             )
         )
-        resid = margins.select(
+        resid = scored.select(
             id_col,
-            (F.col("__p") - F.col("__y")).alias("__r"),
-            # clamped log-loss: engine-side ln(eps) guard mirrors the
-            # numpy replay in tests
-            (
+            (F.col("__pm") - F.col("__ym")).alias("__r"),
+            # clamped log-loss, floored to micros so even the diagnostic
+            # sums as exact integers (partition-order-free)
+            F.floor(
                 -(
-                    F.col("__y") * F.log(F.greatest(F.col("__p"), F.lit(1e-12)))
+                    F.col("__y")
+                    * F.log(F.greatest(F.col("__p"), F.lit(1e-12)))
                     + (1 - F.col("__y"))
                     * F.log(F.greatest(1 - F.col("__p"), F.lit(1e-12)))
                 )
-            ).alias("__l"),
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("__lm"),
         )
         # ONE aggregation job per round: the bias gradient and the loss
         # ride as sentinel buckets (-1, -2) unioned with the weight-
-        # gradient contributions into a single bucket-keyed sum
+        # gradient contributions into a single bucket-keyed BIGINT sum
         contribs = (
             feats.join(resid, id_col)
-            .select("bucket", (F.col("x") * F.col("__r")).alias("__c"))
+            .select(
+                "bucket",
+                F.floor(
+                    (F.col("c") * F.col("__r") * F.lit(1000.0)) / F.col("t")
+                )
+                .cast("long")
+                .alias("__g"),
+            )
             .unionByName(
                 resid.select(
                     F.lit(-1).cast("long").alias("bucket"),
-                    F.col("__r").alias("__c"),
+                    F.col("__r").alias("__g"),
                 )
             )
             .unionByName(
                 resid.select(
                     F.lit(-2).cast("long").alias("bucket"),
-                    F.col("__l").alias("__c"),
+                    F.col("__lm").alias("__g"),
                 )
             )
         )
         rows = (
-            contribs.groupBy("bucket").agg(F.sum("__c").alias("__g")).collect()
+            contribs.groupBy("bucket").agg(F.sum("__g").alias("__G")).collect()
         )
         for row in rows:
+            g = int(row["__G"])
             if row["bucket"] == -2:
-                losses.append(row["__g"] / n)
+                losses.append(g / MICRO / n)
             elif row["bucket"] == -1:
-                b -= lr * row["__g"] / n
+                b -= math.floor((lr * g) / float(n))
             else:
-                w[row["bucket"]] -= lr * row["__g"] / n
+                w[row["bucket"]] -= math.floor((lr * g) / (1000.0 * n))
     feats.unpersist()
     return w, b, losses
 
 
 def predict(
     features: DataFrame,
-    weights: list[float],
-    bias: float,
+    w_micros: list[int],
+    b_micros: int,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, prob): σ(w·x + b) per document from the broadcast model —
-    a pure scoring pass, the shape inference takes at any corpus size."""
-    return _margins(features, weights, bias, id_col).select(
+    """(id, p_micros, prob): floor(σ(w·x + b)·1e6) per document (and
+    its float rendering) from the broadcast integer model — a pure
+    scoring pass, the shape inference takes at any corpus size."""
+    return _margins(features, w_micros, b_micros, id_col).select(
         id_col,
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))).alias("prob"),
+        _p_micros(F.col("__m")).alias("p_micros"),
+        (_p_micros(F.col("__m")) / F.lit(1000000.0)).alias("prob"),
     )
 
 

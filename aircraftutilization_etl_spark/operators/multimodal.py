@@ -66,6 +66,11 @@ FEATURES_SCHEMA = StructType(
         StructField("asset_id", LongType()),
         StructField("media_type", StringType()),
         StructField("features", ArrayType(DoubleType())),
+        # which codec path produced the signal ('pillow' | 'byteview'):
+        # makes environment-dependent decode output DETECTABLE rather
+        # than silent when real media meets an environment without the
+        # optional codec (ADVICE r5)
+        StructField("decode_path", StringType()),
     ]
 )
 
@@ -139,9 +144,11 @@ def _real_image_decode(payload: bytes) -> np.ndarray | None:
         return None
 
 
-def _decode_payload(payload: bytes) -> np.ndarray:
+def _decode_payload_with_path(payload: bytes) -> tuple[np.ndarray, str]:
     """Codec step: real image decode where the payload is a real image
     AND Pillow is installed; deterministic byte-view fake otherwise.
+    Returns (signal, path) with path 'pillow' or 'byteview' so callers
+    can surface WHICH environment-dependent branch ran.
 
     The uint8 flat-ndarray contract is identical on both paths, so every
     downstream kernel (histogram features, resize, frame slice, pHash)
@@ -151,8 +158,12 @@ def _decode_payload(payload: bytes) -> np.ndarray:
     if _looks_like_image(payload):
         decoded = _real_image_decode(payload)
         if decoded is not None:
-            return decoded
-    return np.frombuffer(payload, dtype=np.uint8)
+            return decoded, "pillow"
+    return np.frombuffer(payload, dtype=np.uint8), "byteview"
+
+
+def _decode_payload(payload: bytes) -> np.ndarray:
+    return _decode_payload_with_path(payload)[0]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -164,9 +175,10 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, paths = [], []
             for payload in pdf["payload"]:
-                signal = _decode_payload(bytes(payload))
+                signal, path = _decode_payload_with_path(bytes(payload))
+                paths.append(path)
                 if signal.size == 0:
                     feats.append([0.0] * FEATURE_DIM)
                     continue
@@ -177,6 +189,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
                     "features": feats,
+                    "decode_path": paths,
                 }
             )
 

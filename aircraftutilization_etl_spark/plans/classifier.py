@@ -1,8 +1,12 @@
 """Learned quality-filter queries (operators/classifier.py).
 
-Rows-only driver check: gradient sums commute only up to float addition
-order, so no cross-engine value oracle exists; learning dynamics and a
-numpy replay are pinned by tests/test_classifier.py.
+The r6 integerization made the gradient-descent trainer hash-checkable:
+weights/bias live in integer micro-units and every division in the
+recurrence is a FLOOR over exactly-representable integers, so the
+oracle below replays ALL training rounds (margins → floored sigmoid
+micros → integer residuals → BIGINT gradient sums → floored weight
+updates) as an unrolled CTE chain, the same pattern as the k-means
+Lloyd replay (plans/clustering.py) and the BPE merge replay.
 """
 
 from __future__ import annotations
@@ -13,30 +17,137 @@ from pyspark.sql import functions as F
 from .catalog import query, table
 
 CLF_ITERATIONS = 6
+CLF_LR = 2.0
 LOW_SOURCES = tuple(f"src{i}" for i in range(10))
 
 
-@query("q_quality_classifier", None)
+def _logreg_ctes(iterations: int, lr: float) -> tuple[str, str]:
+    """(CTE chain, final-margin name) replaying the integerized GD
+    recurrence of operators/classifier.train_logreg_hashed — iterations
+    unrolled like the k-means Lloyd replay. ``marg{k}`` with the
+    post-training weights is the scoring pass the SELECT consumes."""
+    srcs = ", ".join(f"'{s}'" for s in LOW_SOURCES)
+    parts = [
+        f"""
+    docs AS (
+        SELECT doc_id, source,
+               CASE WHEN source IN ({srcs}) THEN 1 ELSE 0 END AS y
+        FROM documents
+    )""",
+        r"""
+    words AS (
+        SELECT doc_id, lower(t.w) AS w
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents) d,
+             UNNEST(ws) AS t(w)
+    )""",
+        """
+    feats AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 4096
+                    AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM words GROUP BY 1, 2
+    )""",
+        """
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t
+            FROM feats GROUP BY 1)""",
+        """
+    nn AS (SELECT COUNT(*) AS n FROM documents)""",
+        """
+    w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wm FROM feats)""",
+        """
+    b0 AS (SELECT CAST(0 AS BIGINT) AS bm)""",
+    ]
+    # per round: margin (exact-integer numerator, ONE double division),
+    # residual micros, bucket-keyed BIGINT gradient, floored update
+    for i in range(1, iterations + 2):
+        parts.append(f"""
+    marg{i} AS (
+        SELECT f.doc_id,
+               CAST(SUM(w.wm * f.c) + b.bm * tt.t AS DOUBLE)
+                   / (tt.t * 1000000.0) AS m
+        FROM feats f
+          JOIN w{i - 1} w USING (bucket)
+          JOIN tot tt ON tt.doc_id = f.doc_id
+          CROSS JOIN b{i - 1} b
+        GROUP BY f.doc_id, tt.t, b.bm
+    )""")
+        if i == iterations + 1:
+            break  # final scoring pass only; no further update
+        parts.append(f"""
+    resid{i} AS (
+        SELECT d.doc_id,
+               CAST(FLOOR((1.0 / (1.0 + exp(-m.m))) * 1000000.0) AS BIGINT)
+                   - d.y * 1000000 AS r
+        FROM docs d JOIN marg{i} m USING (doc_id)
+    )""")
+        parts.append(f"""
+    grad{i} AS (
+        SELECT f.bucket,
+               CAST(SUM(CAST(FLOOR((f.c * r.r * 1000.0) / tt.t) AS BIGINT))
+                    AS BIGINT) AS g
+        FROM feats f
+          JOIN resid{i} r USING (doc_id)
+          JOIN tot tt USING (doc_id)
+        GROUP BY 1
+    )""")
+        parts.append(f"""
+    w{i} AS (
+        SELECT w.bucket,
+               w.wm - CAST(FLOOR(({lr!r} * g.g) / (1000.0 * nn.n)) AS BIGINT)
+                   AS wm
+        FROM w{i - 1} w JOIN grad{i} g USING (bucket) CROSS JOIN nn
+    )""")
+        parts.append(f"""
+    b{i} AS (
+        SELECT b.bm - CAST(FLOOR(({lr!r} * rs.s) / CAST(nn.n AS DOUBLE))
+                           AS BIGINT) AS bm
+        FROM b{i - 1} b
+          CROSS JOIN (SELECT CAST(SUM(r) AS BIGINT) AS s FROM resid{i}) rs
+          CROSS JOIN nn
+    )""")
+    return ",".join(parts), f"marg{iterations + 1}"
+
+
+_LOGREG_CTES, _FINAL_MARG = _logreg_ctes(CLF_ITERATIONS, CLF_LR)
+
+
+@query(
+    "q_quality_classifier",
+    f"""
+    WITH {_LOGREG_CTES}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(d.y) AS INT) AS label,
+           CAST(FLOOR(CAST(SUM(
+                    CAST(FLOOR((1.0 / (1.0 + exp(-m.m))) * 1000000.0)
+                         AS BIGINT)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mean_pred_micros
+    FROM docs d JOIN {_FINAL_MARG} m USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a fastText-style hashed-unigram logistic regression ON the
-    engine (6 full-batch GD rounds) against a weak source-group label,
-    then report per-source calibration: docs, labeled share, and the
-    model's mean predicted probability — the learned-filter workflow
-    (CCNet/LLaMA-style quality models) as one Spark job chain.
+    engine (6 full-batch GD rounds, integer micro-unit weights) against
+    a weak source-group label, then report per-source calibration:
+    docs, labeled share, and the model's mean predicted probability in
+    micros — the learned-filter workflow (CCNet/LLaMA-style quality
+    models) as one Spark job chain.
 
-    Rows-only BY NECESSITY (the one remaining oracle=None entry):
-    gradient sums commute only up to float addition order, and on this
-    corpus the weak label is near-inseparable (mean_pred ≈ 0.5 ± 1e-4
-    at every SF), so NO margin-based boolean certificate exists that
-    partition-order noise could not flip — unlike the sketch queries,
-    whose estimates are deterministic functions of the key set.
-    Learning dynamics (loss decrease, separable-data accuracy, numpy
-    replay within tolerance) are pinned by tests/test_classifier.py.
+    Hash-checkable since r6 (previously the last rows-only entry): the
+    trainer accumulates gradients as BIGINT sums of per-example floored
+    contributions, so training is partition-order-exact and the oracle
+    replays every round verbatim (see operators/classifier.py for the
+    recurrence and the lone exp()-ulp hazard, ~1e-10 per doc-round).
 
-    Scale: the model (2^12 weights) broadcasts as a literal; each round
-    is one scoring pass + one feature-keyed gradient aggregation with
-    map-side combine (≤ 4096 result rows) — data never moves to the
-    driver, gradients do.
+    Scale: the model (2^12 integer weights) broadcasts each round; each
+    round is one scoring pass + one feature-keyed gradient aggregation
+    with map-side combine (≤ 4096 result rows) — data never moves to
+    the driver, gradients do.
     """
     from ..operators.classifier import (
         hashed_features,
@@ -52,7 +163,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = hashed_features(d)
     w, b, _losses = train_logreg_hashed(
-        feats, labels, iterations=CLF_ITERATIONS
+        feats, labels, iterations=CLF_ITERATIONS, lr=CLF_LR
     )
     preds = predict(feats, w, b)
     return (
@@ -61,7 +172,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.max("label").cast("int").alias("label"),
-            F.round(F.avg("prob"), 4).alias("mean_pred"),
+            F.floor(F.sum("p_micros").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_pred_micros"),
         )
         .orderBy("source")
     )

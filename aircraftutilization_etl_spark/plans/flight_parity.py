@@ -29,7 +29,8 @@ _SOURCE_LIKE_SQL = """
     SELECT event_id,
            CAST(user_id AS VARCHAR) AS icao24,
            CASE WHEN event_type = 'view' THEN 0
-                ELSE epoch_us(ts) // 1000000 END AS last_contact,
+                ELSE CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT)
+                END AS last_contact,
            CASE WHEN event_type = 'error' THEN NULL ELSE value END AS velocity,
            CASE WHEN event_type = 'signup' THEN NULL
                 ELSE ROUND(value - 100, 2) + 0.0 END AS vertical_rate,
@@ -47,7 +48,16 @@ def _source_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("user_id").cast("string").alias("icao24"),
         F.when(F.col("event_type") == "view", F.lit(0))
-        .otherwise(F.expr("unix_micros(ts) div 1000000"))
+        .otherwise(
+            # FLOOR of the double quotient on BOTH sides: `div` truncates
+            # toward zero while DuckDB `//` floors, which diverges for
+            # pre-1970 timestamps (ADVICE r5). Exact-integer micros make
+            # the double division deterministic, and FLOOR-of-identical-
+            # double is engine-free.
+            F.floor(F.expr("unix_micros(ts)") / F.lit(1000000.0)).cast(
+                "long"
+            )
+        )
         .alias("last_contact"),
         F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
             F.col("value")
@@ -156,7 +166,7 @@ def q_flight_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DYNAMICS_SQL = """
     SELECT CAST(user_id AS VARCHAR) AS icao24,
            event_id,
-           epoch_us(ts) // 1000000 AS lc,
+           CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT) AS lc,
            CASE event_type WHEN 'purchase' THEN 5.0
                            WHEN 'error' THEN 0.0
                            ELSE 80.0 END AS vel,
@@ -247,7 +257,11 @@ def q_stream_flight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = e.select(
         F.col("user_id").cast("string").alias("icao24"),
         "event_id",
-        F.expr("unix_micros(ts) div 1000000").alias("last_contact"),
+        # FLOOR of the double quotient, matching the oracle exactly even
+        # for pre-1970 timestamps (div truncates, // floors — ADVICE r5)
+        F.floor(F.expr("unix_micros(ts)") / F.lit(1000000.0))
+        .cast("long")
+        .alias("last_contact"),
         F.when(F.col("event_type") == "purchase", 5.0)
         .when(F.col("event_type") == "error", 0.0)
         .otherwise(80.0)

@@ -136,6 +136,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals AS (SELECT asset_id, COUNT(*) AS total FROM chars GROUP BY asset_id)
     SELECT d.doc_id AS asset_id,
            {_MEDIA_TYPE} AS media_type,
+           'byteview' AS decode_path,
            CAST(b.bin AS INT) AS bin,
            ROUND(COALESCE(c.n, 0) * 1.0 / t.total, 6) AS weight
     FROM documents d
@@ -153,16 +154,24 @@ def q_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram. Weights are a single double division rounded at the edge,
     so engines agree exactly. (The corpus is ASCII, so SQL's per-char
     ord equals the kernel's per-byte view; a real codec would be
-    stubbed-rows-only like the pre-upgrade version of this query.)"""
+    stubbed-rows-only like the pre-upgrade version of this query.)
+
+    ``decode_path`` (r6, ADVICE r5) reports which codec branch ran per
+    asset — the fixture's text payloads can never match an image magic,
+    so the oracle pins the literal 'byteview'; if real media ever enters
+    the corpus, an environment missing the optional Pillow codec shows
+    up as a hash mismatch here instead of silently divergent features."""
     media = attach_fake_media(table(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select(
         "asset_id",
         "media_type",
+        "decode_path",
         F.posexplode("features").alias("bin", "__w"),
     ).select(
         "asset_id",
         "media_type",
+        "decode_path",
         F.col("bin").cast("int").alias("bin"),
         F.round("__w", 6).alias("weight"),
     )

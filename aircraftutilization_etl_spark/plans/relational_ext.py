@@ -103,42 +103,72 @@ def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles per group — the 100 TB path — made
-    hash-checkable (VERDICT r4) via RANK-BAND certificates: each
-    ``approx_percentile(p, accuracy=10000)`` estimate must lie between
-    the EXACT percentiles at p∓0.001. The sketch guarantees rank error
-    ≤ 1/accuracy = 1e-4 < 1e-3 REGARDLESS of partition/merge order, and
-    the value-at-rank function is monotone, so the boolean is TRUE by
-    mathematical guarantee even though the raw estimate itself is
-    implementation/merge-order defined (which is why the raw value must
-    not be hashed). DuckDB replays the row as counts + TRUE.
+    hash-checkable (VERDICT r4) via RANK-COUNT certificates: for each
+    ``approx_percentile(p, accuracy=10000)`` estimate v, the number of
+    group values strictly below / at-or-below v must bracket the target
+    rank p·n within the sketch's guaranteed rank error (m = ⌈n/10⁴⌉+1
+    ranks, the +1 absorbing the continuous-vs-discrete target-rank
+    off-by-one). The sketch guarantees rank error ≤ n/accuracy
+    REGARDLESS of partition/merge order, and the check is pure integer
+    arithmetic — unlike the earlier interpolated p±0.001 VALUE band,
+    which could flip on small groups where interpolation ate the margin
+    (ADVICE r5). The raw estimate itself is merge-order defined and is
+    never hashed; DuckDB replays the row as counts + TRUE.
 
     Scale: approx_percentile builds a mergeable quantile sketch
     map-side (partial aggregation) — no task ever buffers a group's
     full value list, the memory hazard that makes exact percentiles a
-    scale-killer. The exact band edges here are the audit side, run at
-    validation time (q_percentiles_quantity is the exact, value-hashed
-    twin).
+    scale-killer. The certificate adds one more scan-shaped aggregate
+    over a broadcast of the 3-row estimate table
+    (q_percentiles_quantity is the exact, value-hashed twin).
     """
     li = table(spark, sf_dir, "lineitem")
     acc = F.lit(10000)
-
-    def band(col, p):
-        est = F.approx_percentile(col, F.lit(p), acc)
-        lo = F.percentile(col, F.lit(max(p - 0.001, 0.0)))
-        hi = F.percentile(col, F.lit(min(p + 0.001, 1.0)))
-        return (est >= lo) & (est <= hi)
-
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            band("l_quantity", 0.25).alias("q25_in_band"),
-            band("l_quantity", 0.5).alias("med_in_band"),
-            band("l_quantity", 0.75).alias("q75_in_band"),
-            band("l_extendedprice", 0.9).alias("p90_in_band"),
-        )
-        .orderBy("l_returnflag")
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.25), acc).alias("__e25"),
+        F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("__e50"),
+        F.approx_percentile("l_quantity", F.lit(0.75), acc).alias("__e75"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), acc).alias(
+            "__e90"
+        ),
     )
+
+    def _counts(col, edge):
+        lt = F.sum((F.col(col) < F.col(edge)).cast("long"))
+        le = F.sum((F.col(col) <= F.col(edge)).cast("long"))
+        return lt, le
+
+    joined = li.join(F.broadcast(est), "l_returnflag")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for key, col, num, den in (
+        ("25", "l_quantity", 1, 4),
+        ("50", "l_quantity", 1, 2),
+        ("75", "l_quantity", 3, 4),
+        ("90", "l_extendedprice", 9, 10),
+    ):
+        lt, le = _counts(col, f"__e{key}")
+        aggs += [lt.alias(f"__lt{key}"), le.alias(f"__le{key}")]
+    counted = joined.groupBy("l_returnflag").agg(*aggs)
+
+    # guaranteed rank-error margin: ceil(n/accuracy) + 1
+    m = F.floor((F.col("n_rows") + 9999) / 10000).cast("long") + 1
+
+    def band(key, num, den):
+        # target rank p·n as exact integer floor/ceil: (num·n) div den
+        lo_target = F.ceil(F.col("n_rows") * num / den).cast("long")
+        hi_target = F.floor(F.col("n_rows") * num / den).cast("long")
+        return (F.col(f"__le{key}") >= lo_target - m) & (
+            F.col(f"__lt{key}") <= hi_target + m
+        )
+
+    return counted.select(
+        "l_returnflag",
+        "n_rows",
+        band("25", 1, 4).alias("q25_in_band"),
+        band("50", 1, 2).alias("med_in_band"),
+        band("75", 3, 4).alias("q75_in_band"),
+        band("90", 9, 10).alias("p90_in_band"),
+    ).orderBy("l_returnflag")
 
 
 @query(

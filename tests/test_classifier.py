@@ -42,12 +42,17 @@ class TestHashedFeatures:
         df = spark.createDataFrame(
             [(1, "cat cat dog")], "doc_id long, text string"
         )
-        got = {r.bucket: r.x for r in hashed_features(df).collect()}
+        rows = hashed_features(df).collect()
+        got = {r.bucket: r.x for r in rows}
         cat = int(hashlib.md5(b"cat").hexdigest()[:8], 16) % N_BUCKETS
         dog = int(hashlib.md5(b"dog").hexdigest()[:8], 16) % N_BUCKETS
         assert got[cat] == pytest.approx(2 / 3)
         assert got[dog] == pytest.approx(1 / 3)
         assert sum(got.values()) == pytest.approx(1.0)
+        # exact integer counts the integerized trainer consumes
+        counts = {r.bucket: (r.c, r.t) for r in rows}
+        assert counts[cat] == (2, 3)
+        assert counts[dog] == (1, 3)
 
 
 class TestTraining:
@@ -61,41 +66,56 @@ class TestTraining:
         acc = sum((preds[i] >= 0.5) == (y == 1) for i, _, y in rows) / len(rows)
         assert acc == 1.0
 
-    def test_matches_numpy_replay(self, spark):
-        import numpy as np
-
+    def test_matches_exact_integer_replay(self, spark):
+        """The integerized recurrence is partition-order-exact, so a
+        scalar Python replay must reproduce weights, bias and floored
+        losses EXACTLY — the local twin of the DuckDB oracle that
+        replays all rounds for q_quality_classifier."""
         docs, labels, _ = _corpus(spark, n_per_class=15)
         feats = hashed_features(docs)
-        w, b, losses = train_logreg_hashed(feats, labels, iterations=5)
+        iters, lr = 5, 2.0
+        w, b, losses = train_logreg_hashed(
+            feats, labels, iterations=iters, lr=lr
+        )
 
         frows = feats.collect()
         lrows = {r.doc_id: r.label for r in labels.collect()}
-        ids = sorted({r.doc_id for r in frows})
-        idx = {d: i for i, d in enumerate(ids)}
-        X = np.zeros((len(ids), N_BUCKETS))
+        per_doc = {}  # doc_id -> (t, [(bucket, c), ...])
         for r in frows:
-            X[idx[r.doc_id], r.bucket] = r.x
-        y = np.array([lrows[d] for d in ids], dtype=float)
-        wn = np.zeros(N_BUCKETS)
-        bn = 0.0
-        lr, n = 2.0, len(ids)
-        replay_losses = []
-        for _ in range(5):
-            p = 1 / (1 + np.exp(-(X @ wn + bn)))
-            replay_losses.append(
-                float(
-                    -(
-                        y * np.log(np.maximum(p, 1e-12))
-                        + (1 - y) * np.log(np.maximum(1 - p, 1e-12))
-                    ).mean()
-                )
+            per_doc.setdefault(r.doc_id, (r.t, []))[1].append(
+                (r.bucket, r.c)
             )
-            g = X.T @ (p - y)
-            wn -= lr * g / n
-            bn -= lr * (p - y).sum() / n
-        assert losses == pytest.approx(replay_losses, rel=1e-9)
-        assert b == pytest.approx(bn, rel=1e-9)
-        assert np.abs(np.array(w) - wn).max() < 1e-9
+        n = len(per_doc)
+        wn = [0] * N_BUCKETS
+        bn = 0
+        replay_losses = []
+        for _ in range(iters):
+            grads = [0] * N_BUCKETS
+            rsum = 0
+            lsum = 0
+            for doc_id, (t, buckets) in per_doc.items():
+                num = sum(wn[bk] * c for bk, c in buckets) + bn * t
+                m = float(num) / (t * 1000000.0)
+                p = 1.0 / (1.0 + math.exp(-m))
+                pm = math.floor(p * 1000000.0)
+                r = pm - lrows[doc_id] * 1000000
+                rsum += r
+                y = float(lrows[doc_id])
+                loss = -(
+                    y * math.log(max(p, 1e-12))
+                    + (1 - y) * math.log(max(1 - p, 1e-12))
+                )
+                lsum += math.floor(loss * 1000000.0)
+                for bk, c in buckets:
+                    grads[bk] += math.floor((c * r * 1000.0) / t)
+            replay_losses.append(lsum / 1000000 / n)
+            for bk in range(N_BUCKETS):
+                if grads[bk]:
+                    wn[bk] -= math.floor((lr * grads[bk]) / (1000.0 * n))
+            bn -= math.floor((lr * rsum) / float(n))
+        assert losses == replay_losses
+        assert b == bn
+        assert w == wn
 
 
 class TestNaiveBayes:

@@ -237,3 +237,32 @@ class TestCodecDispatch:
         payload = buf.getvalue()
         out = _decode_payload(payload)
         assert out.tolist() == px.ravel().tolist()
+
+    def test_decode_path_reports_which_branch_ran(self):
+        """ADVICE r5: the decode path must be visible, not silent —
+        'byteview' for non-image payloads in every environment, and
+        'pillow' exactly when the optional codec decoded a real image."""
+        from aircraftutilization_etl_spark.operators.multimodal import (
+            _decode_payload_with_path,
+        )
+
+        _, path = _decode_payload_with_path(b"plain document text")
+        assert path == "byteview"
+        # PNG magic + corrupt body: falls back in every environment
+        _, path = _decode_payload_with_path(
+            b"\x89PNG\r\n\x1a\n" + b"garbage"
+        )
+        assert path == "byteview"
+        try:
+            import io
+
+            import numpy as np
+            from PIL import Image
+        except ImportError:
+            return
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.zeros((2, 2), dtype=np.uint8), mode="L"
+        ).save(buf, format="PNG")
+        _, path = _decode_payload_with_path(buf.getvalue())
+        assert path == "pillow"
