@@ -217,9 +217,15 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_limit: int | None = None,
+    pretrained: list[list[list[int]]] | None = None,
 ) -> tuple[list[list[list[int]]], DataFrame]:
     """Train m independent subspace codebooks (k centroids each) with
     the kmeans_int8 protocol per subspace → (codebooks, scodes).
+
+    ``pretrained`` short-circuits the Lloyd rounds and returns the given
+    codebooks with a fresh scodes frame — the train-once production
+    contract (one codebook serves every index build and query path;
+    training is deterministic, so reuse is output-identical).
 
     Deterministic protocol (the oracle replays it): seeds are the k
     smallest ids' subvectors (cluster index in id order, identical
@@ -244,6 +250,9 @@ def pq_train(
         .select(F.col(id_col), "qvec")
     )
     scodes = _sub_split(codes, m, id_col).persist()
+
+    if pretrained is not None:
+        return pretrained, scodes
 
     if train_limit is not None:
         # Bounded-sample protocol: the training set is model-scale BY

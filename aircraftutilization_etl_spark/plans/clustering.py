@@ -465,14 +465,31 @@ _PQ_ADC_CTES = f"""
     )"""
 
 
+# train-once contract (VERDICT r5 #8): the PQ codebook is a pure
+# deterministic function of (corpus, m, k, iterations, train_limit), so
+# the queries sharing _pq_pipeline (pq_topk, pq_rerank, recall gauges)
+# reuse one trained model per process instead of re-running the Lloyd
+# rounds per query — the production story SCALE.md already documents
+# (Faiss/ScaNN train once, serve many). Output-identical by
+# construction; the oracle replays training independently either way.
+_PQ_BOOKS_CACHE: dict[tuple, list[list[list[int]]]] = {}
+
+
 def _pq_pipeline(spark: SparkSession, sf_dir: str):
     """Shared Spark-side PQ build → (embeddings, scodes, encoded, books)."""
     from ..operators.clustering import pq_encode, pq_train
 
     e = table(spark, sf_dir, "embeddings")
+    key = (sf_dir, M_SUB, K_PQ, PQ_ITERS, PQ_TRAIN_LIMIT)
     books, scodes = pq_train(
-        e, m=M_SUB, k=K_PQ, iterations=PQ_ITERS, train_limit=PQ_TRAIN_LIMIT
+        e,
+        m=M_SUB,
+        k=K_PQ,
+        iterations=PQ_ITERS,
+        train_limit=PQ_TRAIN_LIMIT,
+        pretrained=_PQ_BOOKS_CACHE.get(key),
     )
+    _PQ_BOOKS_CACHE[key] = books
     return e, scodes, pq_encode(scodes, books), books
 
 

@@ -1,12 +1,23 @@
 """Randomized batch↔stream equivalence.
 
 The single golden scenario in test_streaming.py proves one trajectory;
-this test replays SEEDED-RANDOM micro-batch sequences through the real
+these tests replay SEEDED-RANDOM micro-batch sequences through the real
 Spark batch pipeline (merge_states + classify_and_split, driven exactly
-like FlightPipeline drives them) and through the streaming fold kernel,
+like FlightPipeline drives them) and through the streaming side,
 asserting identical emitted flights. Catches divergence in the subtle
 interactions: takeoff re-stamping, landings without takeoff, aircraft
 reappearing after landing, missing-from-batch cycles, null measures.
+
+Two layers:
+- the FOLD test drives the shared ``fold_events`` kernel directly
+  (fast, no streaming engine);
+- the THREE-BACKEND test (VERDICT r5 #7) runs the same sequences
+  through the real Structured Streaming engine under each state
+  backend — applyInPandasWithState (processing-time), the event-time
+  watermark kernel, and transformWithStateInPandas — one parameterized
+  test proving all three equivalent to the batch pipeline on the same
+  sequences (the TWS leg skips where protobuf is absent, the same
+  gate-if-unavailable policy as test_tws_stream.py).
 
 TTL eviction is intentionally out of scope here (processing-time in the
 stream vs event-time in batch — the documented realization difference);
@@ -15,8 +26,11 @@ batch timestamps stay inside the 20-minute gap.
 
 from __future__ import annotations
 
+import importlib.util
+import os
 import random
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -30,7 +44,12 @@ from aircraftutilization_etl_spark.schemas import (
     STATES_SCHEMA,
     empty_df,
 )
-from aircraftutilization_etl_spark.streaming.flight_stream import fold_events
+from aircraftutilization_etl_spark.streaming.flight_stream import (
+    completed_flights_stream,
+    completed_flights_stream_event_time,
+    completed_flights_stream_tws,
+    fold_events,
+)
 
 T0 = 1712338215
 STEP = 300  # 5-minute cadence, well inside the 20-min TTL
@@ -116,3 +135,108 @@ def test_random_sequences_equivalent(spark, seed):
     got_batch = _run_batch(spark, batches)
     got_fold = _run_fold(spark, batches)
     assert got_batch == got_fold
+
+
+# --- three-backend equivalence (VERDICT r5 #7) ---------------------------
+
+TTL_S = 20 * 60
+_HAS_PROTOBUF = (
+    importlib.util.find_spec("google") is not None
+    and importlib.util.find_spec("google.protobuf") is not None
+)
+
+KERNELS = {
+    "apply_in_pandas": completed_flights_stream,
+    "event_time": lambda s: completed_flights_stream_event_time(
+        s, lateness="10 minutes"
+    ),
+    "tws": completed_flights_stream_tws,
+}
+
+
+def _run_stream(spark, tmp_path, batches, kernel_name):
+    """The same batch sequence through the real streaming engine, one
+    micro-batch per file. Two far-future watermark-flush batches on a
+    dummy key let the event-time kernel seal and drain every real
+    packet (first flush advances the watermark past last_event + TTL,
+    second fires the event-time timers); the flush key never takes off
+    so it can't emit, and it is harmless to the other two backends —
+    every backend consumes the IDENTICAL input."""
+    input_dir = tmp_path / "stream_in"
+    input_dir.mkdir(parents=True)
+    last_t = max(t for t, _ in batches)
+    flush0 = last_t + TTL_S + 1200
+    feed = [b for _, b in batches] + [
+        [("zz", flush0, 100.0, 0.0)],
+        [("zz", flush0 + 60, 100.0, 0.0)],
+    ]
+    for i, batch in enumerate(feed):
+        pdf = pd.DataFrame(
+            batch,
+            columns=["icao24", "last_contact", "velocity", "vertical_rate"],
+        )
+        pdf["velocity"] = pdf["velocity"].astype("float64")
+        pdf["vertical_rate"] = pdf["vertical_rate"].astype("float64")
+        path = input_dir / f"batch_{i:04d}.parquet"
+        pdf.to_parquet(path)
+        os.utime(path, (T0 + i, T0 + i))  # stable discovery order
+    states_stream = (
+        spark.readStream.schema(
+            "icao24 string, last_contact long, velocity double, "
+            "vertical_rate double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(input_dir))
+    )
+    completed = KERNELS[kernel_name](states_stream)
+    out = tmp_path / "out"
+    query = (
+        completed.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = (
+        spark.read.schema(
+            "icao24 string, flight_duration_minutes int, landed_at timestamp"
+        )
+        .parquet(str(out))
+        .filter(F.col("icao24") != "zz")
+        .collect()
+    )
+    return sorted(tuple(r) for r in got)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kernel_name", sorted(KERNELS))
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_three_stream_backends_match_batch(spark, tmp_path, seed, kernel_name):
+    if kernel_name == "tws" and not _HAS_PROTOBUF:
+        pytest.skip("transformWithState needs protobuf (not installed)")
+    rng = random.Random(seed)
+    batches = _random_batches(rng, n_batches=8)
+    got_batch = _run_batch(spark, batches)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if kernel_name == "tws":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        got_stream = _run_stream(spark, tmp_path, batches, kernel_name)
+    finally:
+        if kernel_name == "tws":
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+    assert got_stream == got_batch
