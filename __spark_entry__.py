@@ -95,12 +95,19 @@ def _latest_rows() -> dict[str, tuple[int, dict]]:
     return latest
 
 
+_SNAPSHOT_CACHE: list | None = None  # [parsed] memo (None payload valid)
+
+
 def _snapshot_hashes() -> dict[int, dict[str, str]] | None:
     """Per-round content hashes recorded at snapshot time
     (``QUERY_HASHES.json``, written by tools/snapshot_query_hashes.py as
     part of the pre-snapshot gate). None when absent (fresh checkout
     without the artifact) — the hash-staleness check is then skipped
-    rather than floating the whole catalog."""
+    rather than floating the whole catalog. Parsed once per process
+    (it is consulted for every catalog query and grows every round)."""
+    global _SNAPSHOT_CACHE
+    if _SNAPSHOT_CACHE is not None:
+        return _SNAPSHOT_CACHE[0]
     import json
     import os
 
@@ -109,9 +116,11 @@ def _snapshot_hashes() -> dict[int, dict[str, str]] | None:
         with open(path, encoding="utf-8") as fh:
             payload = json.load(fh)
     except (OSError, ValueError):
+        _SNAPSHOT_CACHE = [None]
         return None
     rounds = payload.get("rounds") if isinstance(payload, dict) else None
     if not isinstance(rounds, dict):
+        _SNAPSHOT_CACHE = [None]
         return None
     out: dict[int, dict[str, str]] = {}
     for key, hashes in rounds.items():
@@ -121,7 +130,8 @@ def _snapshot_hashes() -> dict[int, dict[str, str]] | None:
             continue
         if isinstance(hashes, dict):
             out[rnd] = hashes
-    return out or None
+    _SNAPSHOT_CACHE = [out or None]
+    return _SNAPSHOT_CACHE[0]
 
 
 def _green_at_level(name: str, row: dict) -> bool:
@@ -140,19 +150,20 @@ def _green_at_level(name: str, row: dict) -> bool:
 
 
 def _hash_current_at(name: str, rnd: int) -> bool:
-    """Does the current content hash match what was snapshot for the
-    earliest recorded round >= ``rnd`` (the code the driver actually ran
-    when it produced the row)? Missing snapshot data -> True (trust the
-    green row rather than floating the whole catalog)."""
+    """Does the current content hash match the snapshot recorded for
+    EXACTLY round ``rnd`` — the code the driver actually ran when it
+    produced the row? An earlier-or-later round's snapshot cannot vouch
+    (a later snapshot records CURRENT code, which would silently verify
+    a query edited after its green row), so a missing round floats the
+    query — over-verification, the safe direction. Missing snapshot
+    FILE -> True (fresh checkout: trust green rows rather than float
+    the whole catalog)."""
     snaps = _snapshot_hashes()
     if snaps is None:
         return True
-    eligible = sorted(r for r in snaps if r >= rnd)
-    if not eligible:
-        return False  # green row newer than any snapshot: can't vouch
-    recorded = snaps[eligible[0]].get(name)
+    recorded = snaps.get(rnd, {}).get(name)
     if recorded is None:
-        return False  # query didn't exist at snapshot time: re-verify
+        return False  # no snapshot for that round / query: re-verify
     return recorded == _content_hash(name)
 
 

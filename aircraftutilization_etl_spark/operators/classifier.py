@@ -234,11 +234,16 @@ def predict(
 ) -> DataFrame:
     """(id, p_micros, prob): floor(σ(w·x + b)·1e6) per document (and
     its float rendering) from the broadcast integer model — a pure
-    scoring pass, the shape inference takes at any corpus size."""
-    return _margins(features, w_micros, b_micros, id_col).select(
-        id_col,
-        _p_micros(F.col("__m")).alias("p_micros"),
-        (_p_micros(F.col("__m")) / F.lit(1000000.0)).alias("prob"),
+    scoring pass, the shape inference takes at any corpus size. The
+    sigmoid is evaluated once; prob derives from the quantized column."""
+    return (
+        _margins(features, w_micros, b_micros, id_col)
+        .select(id_col, _p_micros(F.col("__m")).alias("p_micros"))
+        .select(
+            id_col,
+            "p_micros",
+            (F.col("p_micros") / F.lit(1000000.0)).alias("prob"),
+        )
     )
 
 

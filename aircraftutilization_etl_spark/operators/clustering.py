@@ -209,6 +209,23 @@ def _pq_assign(scodes: DataFrame, codebooks: list[list[list[int]]]) -> DataFrame
     )
 
 
+def pq_scodes(
+    df: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) → persisted (id, sub, svec) subvector codes — the
+    quantize+split prefix every PQ path (training, encoding, LUT
+    scoring) consumes. Split out of :func:`pq_train` so a caller holding
+    an already-trained codebook (the train-once production contract)
+    can build the encoding input without re-running Lloyd rounds."""
+    codes = quantize_embeddings(df, id_col, vec_col).select(
+        F.col(id_col), "qvec"
+    )
+    return _sub_split(codes, m, id_col).persist()
+
+
 def pq_train(
     df: DataFrame,
     m: int = 4,
@@ -217,15 +234,9 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_limit: int | None = None,
-    pretrained: list[list[list[int]]] | None = None,
 ) -> tuple[list[list[list[int]]], DataFrame]:
     """Train m independent subspace codebooks (k centroids each) with
     the kmeans_int8 protocol per subspace → (codebooks, scodes).
-
-    ``pretrained`` short-circuits the Lloyd rounds and returns the given
-    codebooks with a fresh scodes frame — the train-once production
-    contract (one codebook serves every index build and query path;
-    training is deterministic, so reuse is output-identical).
 
     Deterministic protocol (the oracle replays it): seeds are the k
     smallest ids' subvectors (cluster index in id order, identical
@@ -245,14 +256,7 @@ def pq_train(
     oracle-replayable because the sample is an id-prefix, not a random
     draw. Encoding still covers the full corpus.
     """
-    codes = (
-        quantize_embeddings(df, id_col, vec_col)
-        .select(F.col(id_col), "qvec")
-    )
-    scodes = _sub_split(codes, m, id_col).persist()
-
-    if pretrained is not None:
-        return pretrained, scodes
+    scodes = pq_scodes(df, m, id_col, vec_col)
 
     if train_limit is not None:
         # Bounded-sample protocol: the training set is model-scale BY
@@ -273,6 +277,9 @@ def pq_train(
             return books, scodes
 
     # full-corpus (or thin-sample fallback) distributed protocol
+    codes = quantize_embeddings(df, id_col, vec_col).select(
+        F.col(id_col), "qvec"
+    )
     seed_rows = codes.orderBy(id_col).limit(k).collect()
     sd = len(seed_rows[0]["qvec"]) // m
     codebooks = [

@@ -29,13 +29,13 @@ def _logreg_ctes(iterations: int, lr: float) -> tuple[str, str]:
     srcs = ", ".join(f"'{s}'" for s in LOW_SOURCES)
     parts = [
         f"""
-    docs AS (
+    docs AS MATERIALIZED (
         SELECT doc_id, source,
                CASE WHEN source IN ({srcs}) THEN 1 ELSE 0 END AS y
         FROM documents
     )""",
         r"""
-    words AS (
+    words AS MATERIALIZED (
         SELECT doc_id, lower(t.w) AS w
         FROM (SELECT doc_id,
                      regexp_split_to_array(trim(text), '\s+') AS ws
@@ -43,7 +43,7 @@ def _logreg_ctes(iterations: int, lr: float) -> tuple[str, str]:
              UNNEST(ws) AS t(w)
     )""",
         """
-    feats AS (
+    feats AS MATERIALIZED (
         SELECT doc_id,
                CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 4096
                     AS BIGINT) AS bucket,
@@ -51,20 +51,20 @@ def _logreg_ctes(iterations: int, lr: float) -> tuple[str, str]:
         FROM words GROUP BY 1, 2
     )""",
         """
-    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t
+    tot AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t
             FROM feats GROUP BY 1)""",
         """
-    nn AS (SELECT COUNT(*) AS n FROM documents)""",
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents)""",
         """
-    w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wm FROM feats)""",
+    w0 AS MATERIALIZED (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wm FROM feats)""",
         """
-    b0 AS (SELECT CAST(0 AS BIGINT) AS bm)""",
+    b0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS bm)""",
     ]
     # per round: margin (exact-integer numerator, ONE double division),
     # residual micros, bucket-keyed BIGINT gradient, floored update
     for i in range(1, iterations + 2):
         parts.append(f"""
-    marg{i} AS (
+    marg{i} AS MATERIALIZED (
         SELECT f.doc_id,
                CAST(SUM(w.wm * f.c) + b.bm * tt.t AS DOUBLE)
                    / (tt.t * 1000000.0) AS m
@@ -77,14 +77,14 @@ def _logreg_ctes(iterations: int, lr: float) -> tuple[str, str]:
         if i == iterations + 1:
             break  # final scoring pass only; no further update
         parts.append(f"""
-    resid{i} AS (
+    resid{i} AS MATERIALIZED (
         SELECT d.doc_id,
                CAST(FLOOR((1.0 / (1.0 + exp(-m.m))) * 1000000.0) AS BIGINT)
                    - d.y * 1000000 AS r
         FROM docs d JOIN marg{i} m USING (doc_id)
     )""")
         parts.append(f"""
-    grad{i} AS (
+    grad{i} AS MATERIALIZED (
         SELECT f.bucket,
                CAST(SUM(CAST(FLOOR((f.c * r.r * 1000.0) / tt.t) AS BIGINT))
                     AS BIGINT) AS g
@@ -94,14 +94,14 @@ def _logreg_ctes(iterations: int, lr: float) -> tuple[str, str]:
         GROUP BY 1
     )""")
         parts.append(f"""
-    w{i} AS (
+    w{i} AS MATERIALIZED (
         SELECT w.bucket,
                w.wm - CAST(FLOOR(({lr!r} * g.g) / (1000.0 * nn.n)) AS BIGINT)
                    AS wm
         FROM w{i - 1} w JOIN grad{i} g USING (bucket) CROSS JOIN nn
     )""")
         parts.append(f"""
-    b{i} AS (
+    b{i} AS MATERIALIZED (
         SELECT b.bm - CAST(FLOOR(({lr!r} * rs.s) / CAST(nn.n AS DOUBLE))
                            AS BIGINT) AS bm
         FROM b{i - 1} b

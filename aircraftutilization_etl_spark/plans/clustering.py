@@ -477,19 +477,19 @@ _PQ_BOOKS_CACHE: dict[tuple, list[list[list[int]]]] = {}
 
 def _pq_pipeline(spark: SparkSession, sf_dir: str):
     """Shared Spark-side PQ build → (embeddings, scodes, encoded, books)."""
-    from ..operators.clustering import pq_encode, pq_train
+    from ..operators.clustering import pq_encode, pq_scodes, pq_train
 
     e = table(spark, sf_dir, "embeddings")
     key = (sf_dir, M_SUB, K_PQ, PQ_ITERS, PQ_TRAIN_LIMIT)
-    books, scodes = pq_train(
-        e,
-        m=M_SUB,
-        k=K_PQ,
-        iterations=PQ_ITERS,
-        train_limit=PQ_TRAIN_LIMIT,
-        pretrained=_PQ_BOOKS_CACHE.get(key),
-    )
-    _PQ_BOOKS_CACHE[key] = books
+    books = _PQ_BOOKS_CACHE.get(key)
+    if books is None:
+        books, scodes = pq_train(
+            e, m=M_SUB, k=K_PQ, iterations=PQ_ITERS,
+            train_limit=PQ_TRAIN_LIMIT,
+        )
+        _PQ_BOOKS_CACHE[key] = books
+    else:
+        scodes = pq_scodes(e, m=M_SUB)
     return e, scodes, pq_encode(scodes, books), books
 
 

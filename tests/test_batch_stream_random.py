@@ -198,7 +198,7 @@ def _run_stream(spark, tmp_path, batches, kernel_name):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(180)
+    assert query.awaitTermination(300), "streaming query timed out"
     got = (
         spark.read.schema(
             "icao24 string, flight_duration_minutes int, landed_at timestamp"

@@ -172,6 +172,27 @@ def test_green_row_newer_than_any_snapshot_floats(monkeypatch):
     assert order[0] == target
 
 
+def test_later_snapshot_cannot_vouch_for_earlier_green_row(monkeypatch):
+    """A snapshot from a LATER round records current code — if it could
+    vouch for an older green row, a query edited after its green row
+    would be silently tiered as verified (code-review r6). Only the
+    row's exact round vouches."""
+    names = sorted(CATALOG)
+    target = names[0]
+    monkeypatch.setattr(
+        entry_mod,
+        "_latest_rows",
+        lambda: {target: (2, {"hash_match": True, "spark_rows": 1})},
+    )
+    # snapshot exists only for round 5 and matches the CURRENT hash
+    monkeypatch.setattr(
+        entry_mod,
+        "_snapshot_hashes",
+        lambda: {5: {n: entry_mod._content_hash(n) for n in names}},
+    )
+    assert entry_mod._catalog_order()[0] == target  # floats anyway
+
+
 def test_missing_snapshot_file_trusts_green_rows(monkeypatch):
     """Without QUERY_HASHES.json (fresh checkout), the hash check is
     skipped — green rows are trusted rather than floating the catalog."""

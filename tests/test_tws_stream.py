@@ -72,7 +72,7 @@ def _run(spark, tmp_path, kernel, out_name):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(300), "streaming query timed out"
     return sorted(
         tuple(r)
         for r in spark.read.parquet(str(tmp_path / out_name)).collect()
