@@ -85,6 +85,9 @@ HEADLINE = [
     "q_scd2_apply",  # incremental SCD2: delta-sized window, history untouched
     "q_revenue_gini",  # global cumsum + rank in one two-phase pass
     "q_stream_flight_sessions",  # per-key Arrow fold = one stream micro-batch
+    # r6: the on-engine training loop — 6 integer-GD rounds, each one
+    # broadcast-scoring pass + one bucket-keyed BIGINT gradient shuffle
+    "q_quality_classifier",
 ]
 
 
