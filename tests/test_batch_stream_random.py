@@ -29,6 +29,7 @@ from __future__ import annotations
 import importlib.util
 import os
 import random
+import time
 
 import pandas as pd
 import pytest
@@ -154,14 +155,23 @@ KERNELS = {
 }
 
 
-def _run_stream(spark, tmp_path, batches, kernel_name):
+def _run_stream(spark, tmp_path, batches, kernel_name, expected_rows):
     """The same batch sequence through the real streaming engine, one
     micro-batch per file. Two far-future watermark-flush batches on a
     dummy key let the event-time kernel seal and drain every real
     packet (first flush advances the watermark past last_event + TTL,
     second fires the event-time timers); the flush key never takes off
     so it can't emit, and it is harmless to the other two backends —
-    every backend consumes the IDENTICAL input."""
+    every backend consumes the IDENTICAL input.
+
+    Termination: keys with live sessions hold ProcessingTimeTimeout /
+    event-time timers, and a stateful availableNow query keeps running
+    no-data batches while timers are pending — it self-terminates only
+    when the 20-min TTL fires, far beyond test scale (and
+    processAllAvailable blocks just as long). So the test POLLS the
+    sink until ``expected_rows`` committed rows appear (deadline 240 s)
+    and then stops the query; a genuine divergence surfaces as the
+    final equality diff after the deadline."""
     input_dir = tmp_path / "stream_in"
     input_dir.mkdir(parents=True)
     last_t = max(t for t, _ in batches)
@@ -198,16 +208,31 @@ def _run_stream(spark, tmp_path, batches, kernel_name):
         .trigger(availableNow=True)
         .start()
     )
-    assert query.awaitTermination(300), "streaming query timed out"
-    got = (
-        spark.read.schema(
-            "icao24 string, flight_duration_minutes int, landed_at timestamp"
-        )
-        .parquet(str(out))
-        .filter(F.col("icao24") != "zz")
-        .collect()
-    )
-    return sorted(tuple(r) for r in got)
+    schema = "icao24 string, flight_duration_minutes int, landed_at timestamp"
+
+    def _read():
+        try:
+            return (
+                spark.read.schema(schema)
+                .parquet(str(out))
+                .filter(F.col("icao24") != "zz")
+                .collect()
+            )
+        except Exception:  # sink dir not created yet
+            return []
+
+    deadline = time.time() + 240
+    rows = []
+    while time.time() < deadline:
+        if query.exception() is not None:
+            raise query.exception()
+        rows = _read()
+        if len(rows) >= expected_rows:
+            break
+        time.sleep(2)
+    query.stop()
+    query.awaitTermination(60)
+    return sorted(tuple(r) for r in _read())
 
 
 @pytest.mark.slow
@@ -228,7 +253,9 @@ def test_three_stream_backends_match_batch(spark, tmp_path, seed, kernel_name):
             "RocksDBStateStoreProvider",
         )
     try:
-        got_stream = _run_stream(spark, tmp_path, batches, kernel_name)
+        got_stream = _run_stream(
+            spark, tmp_path, batches, kernel_name, len(got_batch)
+        )
     finally:
         if kernel_name == "tws":
             if prev is None:

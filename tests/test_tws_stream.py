@@ -72,11 +72,35 @@ def _run(spark, tmp_path, kernel, out_name):
         .trigger(availableNow=True)
         .start()
     )
-    assert query.awaitTermination(300), "streaming query timed out"
-    return sorted(
-        tuple(r)
-        for r in spark.read.parquet(str(tmp_path / out_name)).collect()
-    )
+    # NOT awaitTermination/processAllAvailable: b2 never lands, so its
+    # pending ProcessingTimeTimeout keeps the availableNow query
+    # running no-data batches until the 20-min TTL — it never
+    # self-terminates at test scale. Poll the sink for the expected
+    # single flight, then stop.
+    import time
+
+    schema = "icao24 string, flight_duration_minutes int, landed_at timestamp"
+
+    def _read():
+        try:
+            return (
+                spark.read.schema(schema)
+                .parquet(str(tmp_path / out_name))
+                .collect()
+            )
+        except Exception:
+            return []
+
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if query.exception() is not None:
+            raise query.exception()
+        if len(_read()) >= 1:
+            break
+        time.sleep(2)
+    query.stop()
+    query.awaitTermination(60)
+    return sorted(tuple(r) for r in _read())
 
 
 @pytest.mark.slow
