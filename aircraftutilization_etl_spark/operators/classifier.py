@@ -51,7 +51,12 @@ def hashed_features(
     distinct bucket per doc — c the bucket count, t the doc token
     total (both BIGINT, the exact integers the integerized trainer
     consumes), x = c/t the L1-normalized value. Pure projection + one
-    (id, bucket) count — corpus-parallel and vocab-free."""
+    (id, bucket) count — corpus-parallel and vocab-free. The doc total
+    is a window over the count output (hash(id, bucket) partitioning
+    clusters each doc's rows already), not an aggregate-and-join-back —
+    one exchange fewer for identical rows."""
+    from pyspark.sql.window import Window
+
     words = df.select(
         F.col(id_col),
         F.explode(
@@ -68,10 +73,12 @@ def hashed_features(
     counts = bucketed.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    totals = counts.groupBy(id_col).agg(F.sum("c").alias("t"))
-    return counts.join(totals, id_col).select(
-        id_col, "bucket", "c", "t", (F.col("c") / F.col("t")).alias("x")
-    )
+    return counts.select(
+        id_col,
+        "bucket",
+        "c",
+        F.sum("c").over(Window.partitionBy(id_col)).alias("t"),
+    ).withColumn("x", F.col("c") / F.col("t"))
 
 
 def _weights_df(spark, w_micros: list[int]):
@@ -143,77 +150,104 @@ def train_logreg_hashed(
 
     Lineage stays O(1) per round because each round's plan reads the
     persisted features, not the previous round's plan.
+
+    Shuffle shape (the r6 perf fix — 11.4 s → ~4.5 s for 6 rounds at
+    sf0.1, model bit-identical): the persisted training frame is labels
+    pre-joined into the features and hash-partitioned by document ONCE
+    (explicit partition count so AQE cannot coalesce the cached
+    partitioning away), and each round is ONE single-pass job — the
+    per-doc margin comes from a WINDOW over the doc partitioning (no
+    aggregate-then-join-back, which a UNION would recompute per
+    branch), the bias/loss sums ride as sentinel buckets -1/-2 emitted
+    by an explode on exactly one row per doc (the MIN-bucket row), and
+    the only exchange is the bucket-keyed gradient sum, whose map-side
+    combine leaves ≤ N_BUCKETS+2 rows per task. Remaining per-round
+    floor is ~0.65 s of fixed cost (weights-broadcast job + two stage
+    launches + 4 KB collect), independent of corpus size.
     """
-    feats = features.persist()
+    spark = features.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     lab = labels.select(
         F.col(id_col),
         (F.col(label_col).cast("long") * F.lit(MICRO)).alias("__ym"),
         F.col(label_col).cast("double").alias("__y"),
     )
+    # n counts LABELED docs (matching the oracle's COUNT(*) over the
+    # label source), not docs-with-features — a doc with no feature
+    # rows still dilutes the mean gradient, exactly as before the
+    # co-partitioning rewrite.
     n = lab.count()
+    # Size-aware partition count: ~600 docs (≈15k feature rows) per
+    # partition, capped at the configured shuffle width. At bench SFs
+    # this collapses the per-round stages to a few short tasks (the
+    # 3-partition/2k-doc sizing measured ~15% slower per round at
+    # sf0.1); at cluster scale the cap keeps the full configured
+    # parallelism. Partition COUNT never changes the BIGINT sums, so
+    # the model is unaffected.
+    nparts_eff = max(1, min(nparts, -(-n // 600)))
+    base = (
+        features.join(lab, id_col)
+        .repartition(nparts_eff, id_col)
+        .persist()
+    )
+    base.count()
+    base.createOrReplaceTempView("__clf_base")
+    # The whole round is ONE SQL statement built once (rebuilding the
+    # equivalent DataFrame plan in Python cost ~0.35 s of py4j
+    # round-trips per round; parsing this string costs ~0.09 s), and
+    # ONE job: layer 1 joins the broadcast weights and computes the
+    # margin + the doc's MIN bucket as windows over the cached doc
+    # partitioning (no exchange), layer 2 derives the integer residual
+    # and loss micros, layer 3 explodes each row into its gradient
+    # contribution — plus, on the one MIN-bucket row per doc, the
+    # sentinel bias (-1) and loss (-2) rows — and layer 4 is the
+    # bucket-keyed BIGINT sum. Expressions mirror the DuckDB oracle in
+    # plans/classifier.py term for term (f.t is per-doc constant, so
+    # the window SUM + bias·t numerator equals the oracle's
+    # SUM(w·c) + b·MAX(t) exactly).
+    round_sql = f"""
+    SELECT kv.b AS bucket, SUM(kv.g) AS __G
+    FROM (
+      SELECT explode(CASE WHEN bucket = __minb THEN array(
+                 named_struct('b', bucket,
+                              'g', CAST(FLOOR((c * __r * 1000.0) / t)
+                                        AS BIGINT)),
+                 named_struct('b', CAST(-1 AS BIGINT), 'g', __r),
+                 named_struct('b', CAST(-2 AS BIGINT), 'g', __lm))
+             ELSE array(
+                 named_struct('b', bucket,
+                              'g', CAST(FLOOR((c * __r * 1000.0) / t)
+                                        AS BIGINT)))
+             END) AS kv
+      FROM (
+        SELECT {id_col}, bucket, c, t, __minb,
+               CAST(FLOOR((1.0 / (1.0 + EXP(-__m))) * 1000000.0) AS BIGINT)
+                   - __ym AS __r,
+               -- clamped log-loss floored to micros: even the
+               -- diagnostic sums as exact integers
+               CAST(FLOOR(-(
+                   __y * LN(GREATEST(1.0 / (1.0 + EXP(-__m)), 1e-12))
+                   + (1 - __y)
+                     * LN(GREATEST(1 - 1.0 / (1.0 + EXP(-__m)), 1e-12))
+               ) * 1000000.0) AS BIGINT) AS __lm
+        FROM (
+          SELECT f.{id_col}, f.bucket, f.c, f.t, f.__ym, f.__y,
+                 CAST(SUM(COALESCE(w.__wm, 0) * f.c)
+                          OVER (PARTITION BY f.{id_col})
+                      + CAST({{bias}} AS BIGINT) * f.t AS DOUBLE)
+                     / (f.t * 1000000.0) AS __m,
+                 MIN(f.bucket) OVER (PARTITION BY f.{id_col}) AS __minb
+          FROM __clf_base f LEFT JOIN __clf_w w USING (bucket)
+        )
+      )
+    ) GROUP BY kv.b
+    """
     w = [0] * N_BUCKETS
     b = 0
     losses: list[float] = []
     for _ in range(iterations):
-        scored = (
-            _margins(feats, w, b, id_col)
-            .join(lab, id_col)
-            .select(
-                id_col,
-                "__y",
-                "__ym",
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))).alias(
-                    "__p"
-                ),
-                _p_micros(F.col("__m")).alias("__pm"),
-            )
-        )
-        resid = scored.select(
-            id_col,
-            (F.col("__pm") - F.col("__ym")).alias("__r"),
-            # clamped log-loss, floored to micros so even the diagnostic
-            # sums as exact integers (partition-order-free)
-            F.floor(
-                -(
-                    F.col("__y")
-                    * F.log(F.greatest(F.col("__p"), F.lit(1e-12)))
-                    + (1 - F.col("__y"))
-                    * F.log(F.greatest(1 - F.col("__p"), F.lit(1e-12)))
-                )
-                * F.lit(1000000.0)
-            )
-            .cast("long")
-            .alias("__lm"),
-        )
-        # ONE aggregation job per round: the bias gradient and the loss
-        # ride as sentinel buckets (-1, -2) unioned with the weight-
-        # gradient contributions into a single bucket-keyed BIGINT sum
-        contribs = (
-            feats.join(resid, id_col)
-            .select(
-                "bucket",
-                F.floor(
-                    (F.col("c") * F.col("__r") * F.lit(1000.0)) / F.col("t")
-                )
-                .cast("long")
-                .alias("__g"),
-            )
-            .unionByName(
-                resid.select(
-                    F.lit(-1).cast("long").alias("bucket"),
-                    F.col("__r").alias("__g"),
-                )
-            )
-            .unionByName(
-                resid.select(
-                    F.lit(-2).cast("long").alias("bucket"),
-                    F.col("__lm").alias("__g"),
-                )
-            )
-        )
-        rows = (
-            contribs.groupBy("bucket").agg(F.sum("__g").alias("__G")).collect()
-        )
+        _weights_df(spark, w).createOrReplaceTempView("__clf_w")
+        rows = spark.sql(round_sql.format(bias=int(b))).collect()
         for row in rows:
             g = int(row["__G"])
             if row["bucket"] == -2:
@@ -222,7 +256,9 @@ def train_logreg_hashed(
                 b -= math.floor((lr * g) / float(n))
             else:
                 w[row["bucket"]] -= math.floor((lr * g) / (1000.0 * n))
-    feats.unpersist()
+    spark.catalog.dropTempView("__clf_w")
+    spark.catalog.dropTempView("__clf_base")
+    base.unpersist()
     return w, b, losses
 
 

@@ -161,12 +161,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
         F.col("source").isin(list(LOW_SOURCES)).cast("int").alias("label"),
     )
-    feats = hashed_features(d)
+    # Persist the feature frame: the trainer consumes it once to build
+    # its co-partitioned training cache and the scoring pass reads it
+    # again — without this the explode/hash/aggregate feature build
+    # runs twice per query (measured ~3 s each at sf0.1).
+    feats = hashed_features(d).persist()
     w, b, _losses = train_logreg_hashed(
         feats, labels, iterations=CLF_ITERATIONS, lr=CLF_LR
     )
     preds = predict(feats, w, b)
-    return (
+    out = (
         labels.join(preds, "doc_id")
         .groupBy("source")
         .agg(
@@ -177,7 +181,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_pred_micros"),
         )
         .orderBy("source")
+        # materialize the per-source summary (a handful of rows) so the
+        # feature cache can be released before returning — the same
+        # checkpoint-then-unpersist contract as the PQ/kmeans plans
+        .localCheckpoint(eager=True)
     )
+    feats.unpersist()
+    return out
 
 
 @query(
@@ -245,9 +255,9 @@ def q_text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine (add-1 smoothing, document-count priors) over the 80% md5
     train split, evaluated as a confusion matrix on the held-out 20% —
     the supervised-classification primitive whose closed-form training
-    (counting) lets the SQL oracle replay train AND predict exactly,
-    which the gradient-descent classifier (q_quality_classifier,
-    rows-only) cannot.
+    (counting) lets the SQL oracle replay train AND predict exactly
+    with no unrolled recurrence — the gradient-descent classifier
+    (q_quality_classifier) needs the round-by-round CTE replay above.
 
     Scale (operators/classifier.naive_bayes_confusion): two map-side-
     combined count aggregates train the model; scoring is held-out
