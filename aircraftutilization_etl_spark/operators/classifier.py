@@ -43,6 +43,9 @@ HASH_BITS = 12
 N_BUCKETS = 1 << HASH_BITS
 MICRO = 1_000_000
 
+# monotone per-process counter suffixing the trainer's temp-view names
+_TRAIN_SEQ = 0
+
 
 def hashed_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -165,7 +168,13 @@ def train_logreg_hashed(
     floor is ~0.65 s of fixed cost (weights-broadcast job + two stage
     launches + 4 KB collect), independent of corpus size.
     """
+    global _TRAIN_SEQ
     spark = features.sparkSession
+    # per-call temp-view suffix so two trainers in one session (e.g. a
+    # notebook comparing label sets) never clobber each other's views
+    _TRAIN_SEQ += 1
+    base_view = f"__clf_base_{_TRAIN_SEQ}"
+    w_view = f"__clf_w_{_TRAIN_SEQ}"
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     lab = labels.select(
         F.col(id_col),
@@ -191,7 +200,7 @@ def train_logreg_hashed(
         .persist()
     )
     base.count()
-    base.createOrReplaceTempView("__clf_base")
+    base.createOrReplaceTempView(base_view)
     # The whole round is ONE SQL statement built once (rebuilding the
     # equivalent DataFrame plan in Python cost ~0.35 s of py4j
     # round-trips per round; parsing this string costs ~0.09 s), and
@@ -237,7 +246,7 @@ def train_logreg_hashed(
                       + CAST({{bias}} AS BIGINT) * f.t AS DOUBLE)
                      / (f.t * 1000000.0) AS __m,
                  MIN(f.bucket) OVER (PARTITION BY f.{id_col}) AS __minb
-          FROM __clf_base f LEFT JOIN __clf_w w USING (bucket)
+          FROM {base_view} f LEFT JOIN {w_view} w USING (bucket)
         )
       )
     ) GROUP BY kv.b
@@ -246,7 +255,7 @@ def train_logreg_hashed(
     b = 0
     losses: list[float] = []
     for _ in range(iterations):
-        _weights_df(spark, w).createOrReplaceTempView("__clf_w")
+        _weights_df(spark, w).createOrReplaceTempView(w_view)
         rows = spark.sql(round_sql.format(bias=int(b))).collect()
         for row in rows:
             g = int(row["__G"])
@@ -256,8 +265,8 @@ def train_logreg_hashed(
                 b -= math.floor((lr * g) / float(n))
             else:
                 w[row["bucket"]] -= math.floor((lr * g) / (1000.0 * n))
-    spark.catalog.dropTempView("__clf_w")
-    spark.catalog.dropTempView("__clf_base")
+    spark.catalog.dropTempView(w_view)
+    spark.catalog.dropTempView(base_view)
     base.unpersist()
     return w, b, losses
 
