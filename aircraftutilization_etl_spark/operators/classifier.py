@@ -43,8 +43,12 @@ HASH_BITS = 12
 N_BUCKETS = 1 << HASH_BITS
 MICRO = 1_000_000
 
-# monotone per-process counter suffixing the trainer's temp-view names
-_TRAIN_SEQ = 0
+# monotone per-process counter suffixing the trainer's temp-view names;
+# itertools.count is a single C-level next() per draw, so concurrent
+# trainers in one session cannot observe the same value
+import itertools as _itertools
+
+_TRAIN_SEQ = _itertools.count(1)
 
 
 def hashed_features(
@@ -55,9 +59,11 @@ def hashed_features(
     total (both BIGINT, the exact integers the integerized trainer
     consumes), x = c/t the L1-normalized value. Pure projection + one
     (id, bucket) count — corpus-parallel and vocab-free. The doc total
-    is a window over the count output (hash(id, bucket) partitioning
-    clusters each doc's rows already), not an aggregate-and-join-back —
-    one exchange fewer for identical rows."""
+    is a window over the count output, not an aggregate-and-join-back:
+    the window costs one exchange by id (hash(id, bucket) does NOT
+    satisfy clustering by id alone) but replaces the join shape's two
+    (totals aggregation + counts re-exchange for the join) — net one
+    exchange fewer for identical rows."""
     from pyspark.sql.window import Window
 
     words = df.select(
@@ -168,14 +174,16 @@ def train_logreg_hashed(
     floor is ~0.65 s of fixed cost (weights-broadcast job + two stage
     launches + 4 KB collect), independent of corpus size.
     """
-    global _TRAIN_SEQ
     spark = features.sparkSession
     # per-call temp-view suffix so two trainers in one session (e.g. a
     # notebook comparing label sets) never clobber each other's views
-    _TRAIN_SEQ += 1
-    base_view = f"__clf_base_{_TRAIN_SEQ}"
-    w_view = f"__clf_w_{_TRAIN_SEQ}"
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    seq = next(_TRAIN_SEQ)
+    base_view = f"__clf_base_{seq}"
+    w_view = f"__clf_w_{seq}"
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" on AQE-managed deployments
+        nparts = spark.sparkContext.defaultParallelism
     lab = labels.select(
         F.col(id_col),
         (F.col(label_col).cast("long") * F.lit(MICRO)).alias("__ym"),
@@ -194,8 +202,12 @@ def train_logreg_hashed(
     # parallelism. Partition COUNT never changes the BIGINT sums, so
     # the model is unaffected.
     nparts_eff = max(1, min(nparts, -(-n // 600)))
+    # project to exactly the columns the round SQL reads — x (= c/t)
+    # and any extra caller columns would otherwise ride the cache and
+    # be re-scanned every round
     base = (
-        features.join(lab, id_col)
+        features.select(id_col, "bucket", "c", "t")
+        .join(lab, id_col)
         .repartition(nparts_eff, id_col)
         .persist()
     )
@@ -240,7 +252,8 @@ def train_logreg_hashed(
                      * LN(GREATEST(1 - 1.0 / (1.0 + EXP(-__m)), 1e-12))
                ) * 1000000.0) AS BIGINT) AS __lm
         FROM (
-          SELECT f.{id_col}, f.bucket, f.c, f.t, f.__ym, f.__y,
+          SELECT /*+ BROADCAST(w) */
+                 f.{id_col}, f.bucket, f.c, f.t, f.__ym, f.__y,
                  CAST(SUM(COALESCE(w.__wm, 0) * f.c)
                           OVER (PARTITION BY f.{id_col})
                       + CAST({{bias}} AS BIGINT) * f.t AS DOUBLE)
@@ -254,20 +267,26 @@ def train_logreg_hashed(
     w = [0] * N_BUCKETS
     b = 0
     losses: list[float] = []
-    for _ in range(iterations):
-        _weights_df(spark, w).createOrReplaceTempView(w_view)
-        rows = spark.sql(round_sql.format(bias=int(b))).collect()
-        for row in rows:
-            g = int(row["__G"])
-            if row["bucket"] == -2:
-                losses.append(g / MICRO / n)
-            elif row["bucket"] == -1:
-                b -= math.floor((lr * g) / float(n))
-            else:
-                w[row["bucket"]] -= math.floor((lr * g) / (1000.0 * n))
-    spark.catalog.dropTempView(w_view)
-    spark.catalog.dropTempView(base_view)
-    base.unpersist()
+    try:
+        for _ in range(iterations):
+            _weights_df(spark, w).createOrReplaceTempView(w_view)
+            rows = spark.sql(round_sql.format(bias=int(b))).collect()
+            for row in rows:
+                g = int(row["__G"])
+                if row["bucket"] == -2:
+                    losses.append(g / MICRO / n)
+                elif row["bucket"] == -1:
+                    b -= math.floor((lr * g) / float(n))
+                else:
+                    w[row["bucket"]] -= math.floor(
+                        (lr * g) / (1000.0 * n)
+                    )
+    finally:
+        # a failed round must not leak the views or pin the training
+        # cache in executor storage for the life of the session
+        spark.catalog.dropTempView(w_view)
+        spark.catalog.dropTempView(base_view)
+        base.unpersist()
     return w, b, losses
 
 
