@@ -117,6 +117,36 @@ class TestTraining:
         assert b == bn
         assert w == wn
 
+    def test_concurrent_trainers_do_not_clobber_each_other(self, spark):
+        """Two trainers sharing one SparkSession draw distinct temp-view
+        suffixes, so parallel training runs return exactly the models
+        their inputs dictate (pins the itertools.count draw — an
+        unguarded counter let both threads observe one value and read
+        each other's weights views)."""
+        import threading
+
+        docs_a, labels_a, _ = _corpus(spark, n_per_class=8, seed=4)
+        docs_b, labels_b, _ = _corpus(spark, n_per_class=8, seed=9)
+        feats_a, feats_b = hashed_features(docs_a), hashed_features(docs_b)
+        expect_a = train_logreg_hashed(feats_a, labels_a, iterations=3)
+        expect_b = train_logreg_hashed(feats_b, labels_b, iterations=3)
+        assert expect_a != expect_b  # distinct corpora → distinct models
+        got = {}
+
+        def run(key, feats, labels):
+            got[key] = train_logreg_hashed(feats, labels, iterations=3)
+
+        ts = [
+            threading.Thread(target=run, args=("a", feats_a, labels_a)),
+            threading.Thread(target=run, args=("b", feats_b, labels_b)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert got["a"] == expect_a
+        assert got["b"] == expect_b
+
 
 class TestNaiveBayes:
     def test_separable_corpus_perfect_diagonal(self, spark):
