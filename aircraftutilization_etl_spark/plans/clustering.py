@@ -514,6 +514,11 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the index is 4 bytes/vector (1:64 at d=64); scoring streams
     the corpus map-side against the broadcast query LUTs — the IVF-PQ
     memory/bandwidth profile that makes billion-vector ANN feasible.
+
+    r6 execution-path change (hash-float note): codebooks come from the
+    per-process train-once cache in _pq_pipeline — first caller trains,
+    later callers reuse via the split-out pq_scodes builder; training
+    is deterministic so the output is unchanged by construction.
     """
     from ..operators.clustering import pq_adc_topk
 
@@ -765,6 +770,10 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cells co-partition the code table; the LUT frame (now
     carrying the query's cell) broadcasts into an equi-join ON the
     cell, so pruning is the join equality itself, not a post-filter.
+
+    r6 execution-path change (hash-float note): PQ codebooks come from
+    the train-once cache in _pq_pipeline; deterministic training keeps
+    the output identical.
     """
     return _ivfpq_spark(spark, sf_dir)
 
@@ -1086,6 +1095,10 @@ def q_emb_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference basis: SURVEY.md §8 (ANN surface); two-stage ADC+rerank
     per Jégou et al. 2011 §V.
+
+    r6 execution-path change (hash-float note): PQ codebooks come from
+    the train-once cache in _pq_pipeline; deterministic training keeps
+    the output identical.
     """
     ranked, scodes = _pq_rerank_topk(spark, sf_dir)
     out = (
@@ -1322,7 +1335,9 @@ def q_emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline in SQL — so a hash match certifies all eight retrieval
     paths at once. Consolidated from eight per-query gauges in r5 so
     the driver's sampled correctness window covers the whole table in
-    one row-set.
+    one row-set. r6 execution-path change (hash-float note): the PQ
+    legs read the train-once codebook cache in _pq_pipeline;
+    deterministic training keeps every leg's output identical.
 
     Scale: ground truth is the corpus-streaming GEMM (the audit cost,
     run on a sample at production scale); every approximate leg is
