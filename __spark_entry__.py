@@ -188,9 +188,12 @@ def _catalog_order() -> list[str]:
     3. VERIFIED — the remainder (latest row green, hash unchanged).
 
     Self-maintaining: tier 1 drains as the driver re-confirms entries
-    (a green row at round R retires once QUERY_HASHES.json records
-    round >= R matching the current hash — the end-of-round snapshot
-    step); tier 2 drains as rows accumulate. Falls back to plain
+    (a green row at round R retires only when QUERY_HASHES.json has a
+    snapshot AT EXACTLY round R whose hash matches the current one —
+    the end-of-round snapshot step writes it; a later round's snapshot
+    cannot vouch for an earlier row, see
+    test_later_snapshot_cannot_vouch_for_earlier_green_row); tier 2
+    drains as rows accumulate. Falls back to plain
     alphabetical when no driver output exists (fresh checkout). Cached
     per process so queries()/oracle_sql() agree within a run.
     """

@@ -211,8 +211,6 @@ def train_logreg_hashed(
         .repartition(nparts_eff, id_col)
         .persist()
     )
-    base.count()
-    base.createOrReplaceTempView(base_view)
     # The whole round is ONE SQL statement built once (rebuilding the
     # equivalent DataFrame plan in Python cost ~0.35 s of py4j
     # round-trips per round; parsing this string costs ~0.09 s), and
@@ -268,6 +266,11 @@ def train_logreg_hashed(
     b = 0
     losses: list[float] = []
     try:
+        # materialize the cache INSIDE the guard: a failure during the
+        # cache build (corrupt input partition, OOM) must release the
+        # partially-persisted blocks too, not only failures mid-round
+        base.count()
+        base.createOrReplaceTempView(base_view)
         for _ in range(iterations):
             _weights_df(spark, w).createOrReplaceTempView(w_view)
             rows = spark.sql(round_sql.format(bias=int(b))).collect()

@@ -472,7 +472,35 @@ _PQ_ADC_CTES = f"""
 # rounds per query — the production story SCALE.md already documents
 # (Faiss/ScaNN train once, serve many). Output-identical by
 # construction; the oracle replays training independently either way.
+# The key carries a filesystem fingerprint of the embeddings parquet,
+# not just its path: a long-lived process that regenerates the data
+# under the same directory (e.g. refreshing a derived bench star) must
+# retrain, not serve codebooks from the old corpus.
 _PQ_BOOKS_CACHE: dict[tuple, list[list[list[int]]]] = {}
+
+
+def _parquet_fingerprint(sf_dir: str, name: str) -> tuple:
+    """(path, size, mtime_ns) per data file under the table's parquet
+    path (which may be a single file or a part-file directory) — a
+    cheap content proxy that changes whenever the table is rewritten."""
+    import os
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    out = []
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(
+            os.path.join(root, p)
+            for p in os.listdir(root)
+            if not p.startswith((".", "_"))
+        )
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
 
 
 def _pq_pipeline(spark: SparkSession, sf_dir: str):
@@ -480,7 +508,14 @@ def _pq_pipeline(spark: SparkSession, sf_dir: str):
     from ..operators.clustering import pq_encode, pq_scodes, pq_train
 
     e = table(spark, sf_dir, "embeddings")
-    key = (sf_dir, M_SUB, K_PQ, PQ_ITERS, PQ_TRAIN_LIMIT)
+    key = (
+        sf_dir,
+        _parquet_fingerprint(sf_dir, "embeddings"),
+        M_SUB,
+        K_PQ,
+        PQ_ITERS,
+        PQ_TRAIN_LIMIT,
+    )
     books = _PQ_BOOKS_CACHE.get(key)
     if books is None:
         books, scodes = pq_train(

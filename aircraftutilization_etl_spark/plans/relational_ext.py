@@ -123,7 +123,11 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_percentiles_quantity is the exact, value-hashed twin).
     """
     li = table(spark, sf_dir, "lineitem")
-    acc = F.lit(10000)
+    # ONE accuracy constant feeds both the sketch and the rank-error
+    # margin below — editing them out of lockstep would silently weaken
+    # or falsely tighten the certificate
+    accuracy = 10000
+    acc = F.lit(accuracy)
     est = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_quantity", F.lit(0.25), acc).alias("__e25"),
         F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("__e50"),
@@ -151,7 +155,10 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = joined.groupBy("l_returnflag").agg(*aggs)
 
     # guaranteed rank-error margin: ceil(n/accuracy) + 1
-    m = F.floor((F.col("n_rows") + 9999) / 10000).cast("long") + 1
+    m = (
+        F.floor((F.col("n_rows") + (accuracy - 1)) / accuracy).cast("long")
+        + 1
+    )
 
     def band(key, num, den):
         # target rank p·n as exact integer floor/ceil: (num·n) div den

@@ -201,3 +201,42 @@ class TestProductQuantization:
             )
             assert r["adc_dist"] == expected
         scodes.unpersist()
+
+
+class TestPQBooksCache:
+    def test_fingerprint_invalidates_on_rewrite(self, tmp_path):
+        """The train-once codebook cache keys on a filesystem
+        fingerprint of the embeddings parquet, so rewriting the data
+        under the SAME directory must produce a different cache key
+        (pins the path-only-key hazard: stale codebooks served against
+        a regenerated corpus)."""
+        import os
+        import time
+
+        from aircraftutilization_etl_spark.plans.clustering import (
+            _parquet_fingerprint,
+        )
+
+        p = tmp_path / "embeddings.parquet"
+        p.write_bytes(b"v1-bytes")
+        fp1 = _parquet_fingerprint(str(tmp_path), "embeddings")
+        # same content, untouched -> same fingerprint
+        assert _parquet_fingerprint(str(tmp_path), "embeddings") == fp1
+        time.sleep(0.01)
+        p.write_bytes(b"v2-bytes-longer")
+        fp2 = _parquet_fingerprint(str(tmp_path), "embeddings")
+        assert fp2 != fp1
+        # part-file directory layout: adding a part changes the print
+        d = tmp_path / "dir_case" / "embeddings.parquet"
+        os.makedirs(d)
+        (d / "part-0.parquet").write_bytes(b"a")
+        fpd1 = _parquet_fingerprint(str(tmp_path / "dir_case"), "embeddings")
+        (d / "part-1.parquet").write_bytes(b"b")
+        fpd2 = _parquet_fingerprint(str(tmp_path / "dir_case"), "embeddings")
+        assert fpd2 != fpd1
+        # hidden/_SUCCESS markers are ignored
+        (d / "_SUCCESS").write_bytes(b"")
+        assert (
+            _parquet_fingerprint(str(tmp_path / "dir_case"), "embeddings")
+            == fpd2
+        )
