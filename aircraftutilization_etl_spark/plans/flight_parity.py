@@ -163,28 +163,57 @@ def q_flight_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # traps): signup/view climb (vr>0 → session-first events stamp takeoff),
 # click descends (sticky), purchase is a slow level packet (lands after
 # a descend: vel 5 < 10), error is a stopped packet (lands via vel=0).
+# The synthetic feed-cadence clock (see the plan docstring) replays the
+# Spark side's window arithmetic verbatim: 5-minute steps inside an
+# 8-packet episode, a 25-minute (>= TTL) synthetic silence between
+# episodes.
 _DYNAMICS_SQL = """
-    SELECT CAST(user_id AS VARCHAR) AS icao24,
-           event_id,
-           CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT) AS lc,
-           CASE event_type WHEN 'purchase' THEN 5.0
-                           WHEN 'error' THEN 0.0
-                           ELSE 80.0 END AS vel,
-           CASE event_type WHEN 'signup' THEN 9.0
-                           WHEN 'view' THEN 1.0
-                           WHEN 'click' THEN -5.0
-                           ELSE 0.0 END AS vr
-    FROM events
-    WHERE user_id % 5 = 0
+    SELECT icao24, event_id,
+           1712338215 + SUM(step) OVER (PARTITION BY icao24
+                                        ORDER BY rn
+                                        ROWS UNBOUNDED PRECEDING) AS lc,
+           vel, vr
+    FROM (
+        SELECT icao24, event_id, rn,
+               CASE WHEN rn = 1 THEN 0
+                    WHEN (rn - 1) % 8 = 0 THEN 1500
+                    ELSE 300 END AS step,
+               vel, vr
+        FROM (
+            SELECT CAST(user_id AS VARCHAR) AS icao24,
+                   event_id,
+                   ROW_NUMBER()
+                       OVER (PARTITION BY user_id
+                             ORDER BY CAST(FLOOR(epoch_us(ts) / 1000000.0)
+                                           AS BIGINT),
+                                      event_id) AS rn,
+                   CASE event_type WHEN 'purchase' THEN 5.0
+                                   WHEN 'error' THEN 0.0
+                                   ELSE 80.0 END AS vel,
+                   CASE event_type WHEN 'signup' THEN 9.0
+                                   WHEN 'view' THEN 1.0
+                                   WHEN 'click' THEN -5.0
+                                   ELSE 0.0 END AS vr
+            FROM events
+            WHERE user_id % 5 = 0
+        )
+    )
 """
 
 # transition expressions over (f = prior fold state, s = next event) —
-# shared strings so the branches can never drift apart within the oracle
-_TRAJ0 = "CASE WHEN f.sess THEN f.traj ELSE 'other' END"
-_TAKEOFF0 = "CASE WHEN f.sess THEN f.takeoff_at ELSE 0 END"
-_FLC0 = "CASE WHEN f.sess THEN f.flc ELSE 0 END"
+# shared strings so the branches can never drift apart within the oracle.
+# F1 in event time (r6): a session whose next timestamped packet arrives
+# >= 20 event-minutes after its flight_last_contact is evicted BEFORE
+# the packet folds, exactly like fold_events' gap rule / the batch
+# pipeline's remove_inactive — so _SESS0 (the session the packet sees)
+# is "exists AND not out-gapped".
+_TTL_SECONDS = 20 * 60
+_SESS0 = f"(f.sess AND NOT (s.lc <> 0 AND s.lc - f.flc >= {_TTL_SECONDS}))"
+_TRAJ0 = f"CASE WHEN {_SESS0} THEN f.traj ELSE 'other' END"
+_TAKEOFF0 = f"CASE WHEN {_SESS0} THEN f.takeoff_at ELSE 0 END"
+_FLC0 = f"CASE WHEN {_SESS0} THEN f.flc ELSE 0 END"
 _FLC1 = f"CASE WHEN s.lc <> 0 THEN s.lc ELSE {_FLC0} END"
-_IS_TAKEOFF = "(NOT f.sess AND s.vr > 0)"
+_IS_TAKEOFF = f"(NOT {_SESS0} AND s.vr > 0)"
 _IS_LANDING = (
     f"(s.lc <> 0 AND s.vr = 0 AND (({_TRAJ0} = 'descend' AND s.vel < 10)"
     " OR s.vel = 0))"
@@ -247,21 +276,56 @@ def q_stream_flight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     U2 sticky descend, C4 takeoff stamping and F2's
     no-takeoff-no-emission guard across thousands of transitions.
 
+    r6: fold_events gained F1 in EVENT time (a session out-gapped by
+    >= 20 minutes is evicted before the next packet folds — the rule
+    that makes historical replay agree with the batch pipeline, caught
+    by the seeded three-backend equivalence test); the oracle replays
+    the same eviction via _SESS0, so this query's results changed in
+    lockstep on both engines.
+
     Scale: one hash exchange on icao24 and an Arrow-batched per-key
     fold — the identical shape one micro-batch of the production
     stream pays; the recursion lives only in the oracle.
     """
+    from pyspark.sql.window import Window
+
     from ..streaming.flight_stream import fold_completed_batch
 
     e = table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
-    src = e.select(
+    # order by the FLOORED second, not raw ts: the oracle's cumsum
+    # orders by (sec, event_id), and two packets in the same second
+    # must tie-break identically on both engines
+    w = Window.partitionBy("user_id").orderBy(
+        F.floor(F.expr("unix_micros(ts)") / F.lit(1000000.0)).cast("long"),
+        "event_id",
+    )
+    # Synthetic FEED-CADENCE clock (r6): real user timelines span days,
+    # so after the event-time TTL landed in fold_events nearly every
+    # consecutive pair out-gapped the 20-min TTL and the encoding
+    # degenerated to singleton sessions. Re-clock each user's packets at
+    # the reference's 5-minute poll cadence in 8-packet episodes
+    # separated by a 25-minute (>= TTL) synthetic silence — episodes
+    # fold as rich multi-transition sessions AND every episode boundary
+    # certifies the event-time eviction (a flight still airborne at the
+    # boundary is silently dropped, exactly like remove_inactive). Pure
+    # integer window arithmetic, replayed verbatim by the oracle's
+    # dynamics CTE.
+    rn = F.row_number().over(w)
+    step = (
+        F.when(rn == 1, F.lit(0))
+        .when((rn - 1) % 8 == 0, F.lit(1500))
+        .otherwise(F.lit(300))
+    )
+    src = e.withColumn(
+        "last_contact",
+        F.lit(1712338215)
+        + F.sum(step).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(
         F.col("user_id").cast("string").alias("icao24"),
         "event_id",
-        # FLOOR of the double quotient, matching the oracle exactly even
-        # for pre-1970 timestamps (div truncates, // floors — ADVICE r5)
-        F.floor(F.expr("unix_micros(ts)") / F.lit(1000000.0))
-        .cast("long")
-        .alias("last_contact"),
+        "last_contact",
         F.when(F.col("event_type") == "purchase", 5.0)
         .when(F.col("event_type") == "error", 0.0)
         .otherwise(80.0)

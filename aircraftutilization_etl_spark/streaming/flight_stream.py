@@ -30,9 +30,12 @@ through both:
 - F2: landing rows leave the session state unconditionally, but only
   those with an observed takeoff (takeoff_at != 0) are emitted.
 - F1 TTL: state evicted silently after 20 idle minutes (no emission),
-  matching ``remove_inactive``. The batch path measures idleness in
-  event time (flight_last_contact vs now); the stream uses
-  processing-time timeout, the standard Spark realization.
+  matching ``remove_inactive``. Realized TWICE: the fold kernel evicts
+  in EVENT time whenever a key's next timestamped packet arrives >= TTL
+  after its flight_last_contact (so historical replay/backfill agrees
+  with the batch pipeline, which measures idleness against each cycle's
+  now), and the wrapper's processing-/event-time timeout handles keys
+  that never return (the fold can't see an absence with no next packet).
 """
 
 from __future__ import annotations
@@ -59,7 +62,8 @@ from pyspark.sql.types import (
 
 from ..operators.flight import INACTIVITY_MAX_MINUTES
 
-TTL_MS = INACTIVITY_MAX_MINUTES * 60 * 1000
+TTL_S = INACTIVITY_MAX_MINUTES * 60
+TTL_MS = TTL_S * 1000
 
 # Per-aircraft session state carried between micro-batches — the
 # streaming realization of the reference's source.parquet row
@@ -109,12 +113,30 @@ def fold_events(
 
     Returns (emissions, new_session); new_session None means the session
     ended (landing) or never started.
+
+    F1 is replayed in EVENT time here, not only via the wrapper's
+    timeout: the batch pipeline evicts prior state whose
+    flight_last_contact sits >= 20 minutes behind the cycle's now
+    BEFORE merging (operators/flight.py remove_inactive), so a key
+    returning after a >= TTL silence starts a FRESH session — takeoff
+    detection re-armed. The fold applies the same rule between
+    consecutive timestamped packets, which makes replaying historical
+    data (backfill) through any streaming wrapper agree with the batch
+    pipeline even though ProcessingTimeTimeout never fires in
+    accelerated replay. (Residual asymmetry: a packet with
+    last_contact=0 carries no event time, so it folds into a stale
+    session that batch would have evicted — un-timestamped packets
+    cannot land (U1 requires lc != 0) and a takeoff they stamp carries
+    takeoff_at=0 which F2 discards, so no emission can differ, only the
+    sticky trajectory until the next timestamped packet.)
     """
     emissions: list[tuple[int, int]] = []
     for last_contact, velocity, vertical_rate in events:
         lc = int(last_contact)
         vel = _num(velocity)
         vr = _num(vertical_rate)
+        if session is not None and lc != 0 and lc - session[1] >= TTL_S:
+            session = None  # F1 in event time — see docstring
         if session is None:
             takeoff_at, flc, trajectory, first_done = 0, 0, "other", False
         else:
@@ -236,13 +258,21 @@ _EMPTY_SESSION = (0, 0, "other", False)
 
 
 def _emissions_pdf(key: str, emissions: list[tuple[int, int]]) -> pd.DataFrame:
+    # explicit dtypes: an EMPTY frame would otherwise default landed_at
+    # to float64, which Arrow cannot cast to timestamp — keys that fold
+    # to zero emissions (possible since the event-time gap eviction)
+    # must still serialize under COMPLETED_SCHEMA
     return pd.DataFrame(
         {
-            "icao24": [key] * len(emissions),
-            "flight_duration_minutes": [
-                math.ceil((lc - t) / 60) for t, lc in emissions  # U3
-            ],
-            "landed_at": [pd.Timestamp(lc, unit="s") for _, lc in emissions],
+            "icao24": pd.Series([key] * len(emissions), dtype="object"),
+            "flight_duration_minutes": pd.Series(
+                [math.ceil((lc - t) / 60) for t, lc in emissions],  # U3
+                dtype="int64",
+            ),
+            "landed_at": pd.Series(
+                [pd.Timestamp(lc, unit="s") for _, lc in emissions],
+                dtype="datetime64[ns]",
+            ),
         }
     )
 

@@ -34,6 +34,7 @@ import time
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
+from stream_poll import poll_stream_sink
 
 from aircraftutilization_etl_spark.operators.flight import (
     classify_and_split,
@@ -60,9 +61,9 @@ VELOCITIES = [0.0, 5.0, 9.5, 80.0, 250.0, None]
 RATES = [0.0, 3.5, -4.0, None]
 
 
-def _random_batches(rng, n_batches):
+def _random_batches(rng, n_batches, start=0):
     batches = []
-    for i in range(n_batches):
+    for i in range(start, start + n_batches):
         t = T0 + i * STEP
         batch = []
         for icao in AIRCRAFT:
@@ -134,6 +135,15 @@ def test_random_sequences_equivalent(spark, seed):
     rng = random.Random(seed)
     batches = _random_batches(rng, n_batches=8)
     got_batch = _run_batch(spark, batches)
+    # extend the SAME seeded sequence until the batch leg emits —
+    # a no-flight roll would make the equality vacuous (seed 1234's
+    # first 8 cycles emit nothing)
+    tries = 0
+    while not got_batch and tries < 5:
+        batches += _random_batches(rng, n_batches=8, start=len(batches))
+        got_batch = _run_batch(spark, batches)
+        tries += 1
+    assert got_batch, "seeded corpus produced no completed flights"
     got_fold = _run_fold(spark, batches)
     assert got_batch == got_fold
 
@@ -221,18 +231,7 @@ def _run_stream(spark, tmp_path, batches, kernel_name, expected_rows):
         except Exception:  # sink dir not created yet
             return []
 
-    deadline = time.time() + 240
-    rows = []
-    while time.time() < deadline:
-        if query.exception() is not None:
-            raise query.exception()
-        rows = _read()
-        if len(rows) >= expected_rows:
-            break
-        time.sleep(2)
-    query.stop()
-    query.awaitTermination(60)
-    return sorted(tuple(r) for r in _read())
+    return poll_stream_sink(query, _read, expected_rows)
 
 
 @pytest.mark.slow
@@ -244,6 +243,16 @@ def test_three_stream_backends_match_batch(spark, tmp_path, seed, kernel_name):
     rng = random.Random(seed)
     batches = _random_batches(rng, n_batches=8)
     got_batch = _run_batch(spark, batches)
+    # a seed may roll a sequence with no completed flight in 8 cycles
+    # (seed 1234 does), which would make the stream-vs-batch equality
+    # vacuous — extend the SAME seeded sequence until the batch leg
+    # emits something, so every parametrization tests real output
+    tries = 0
+    while not got_batch and tries < 5:
+        batches += _random_batches(rng, n_batches=8, start=len(batches))
+        got_batch = _run_batch(spark, batches)
+        tries += 1
+    assert got_batch, "seeded corpus produced no completed flights"
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     if kernel_name == "tws":

@@ -91,6 +91,42 @@ class TestFoldEvents:
         emissions, _ = fold_events(events, None)
         assert emissions == [(T0, T0 + 600), (T0 + 1200, T0 + 1800)]
 
+    def test_event_time_gap_evicts_session(self):
+        # F1 in event time: a key silent >= 20 min returns to a FRESH
+        # session (batch remove_inactive parity) — takeoff re-armed, so
+        # the post-gap climb stamps a takeoff and the landing emits a
+        # flight measured from the RETURN, not the stale session
+        events = [
+            (T0, 120.0, 0.0),          # first contact, level: no takeoff
+            (T0 + 1200, 110.0, 6.0),   # gap == TTL exactly -> fresh, takeoff
+            (T0 + 1500, 0.0, 0.0),     # landing
+        ]
+        emissions, _ = fold_events(events, None)
+        assert emissions == [(T0 + 1200, T0 + 1500)]
+
+    def test_gap_below_ttl_keeps_session(self):
+        # one second inside the TTL: session survives, takeoff was never
+        # stamped (first contact was level), so the landing emits nothing
+        events = [
+            (T0, 120.0, 0.0),
+            (T0 + 1199, 110.0, 6.0),   # climb but NOT first -> no takeoff
+            (T0 + 1400, 0.0, 0.0),     # landing, takeoff_at == 0 -> silent
+        ]
+        emissions, _ = fold_events(events, None)
+        assert emissions == []
+
+    def test_untimestamped_packet_skips_gap_check(self):
+        # lc == 0 carries no event time: it folds into the stale session
+        # (documented residual asymmetry) and cannot land or emit
+        events = [
+            (T0, 120.0, 8.0),          # takeoff
+            (0, 100.0, 0.0),           # null-timestamp packet mid-gap
+            (T0 + 1200, 0.0, 0.0),     # gap >= TTL vs flc=T0 -> fresh, lands silently
+        ]
+        emissions, session = fold_events(events, None)
+        assert emissions == []
+        assert session is None
+
 
 class FakeGroupState:
     def __init__(self, value=None, timed_out=False):

@@ -75,9 +75,10 @@ def _run(spark, tmp_path, kernel, out_name):
     # NOT awaitTermination/processAllAvailable: b2 never lands, so its
     # pending ProcessingTimeTimeout keeps the availableNow query
     # running no-data batches until the 20-min TTL — it never
-    # self-terminates at test scale. Poll the sink for the expected
-    # single flight, then stop.
-    import time
+    # self-terminates at test scale. The shared protocol polls the sink
+    # for the expected single flight, holds an over-emission grace
+    # window, then stops.
+    from stream_poll import poll_stream_sink
 
     schema = "icao24 string, flight_duration_minutes int, landed_at timestamp"
 
@@ -91,16 +92,7 @@ def _run(spark, tmp_path, kernel, out_name):
         except Exception:
             return []
 
-    deadline = time.time() + 240
-    while time.time() < deadline:
-        if query.exception() is not None:
-            raise query.exception()
-        if len(_read()) >= 1:
-            break
-        time.sleep(2)
-    query.stop()
-    query.awaitTermination(60)
-    return sorted(tuple(r) for r in _read())
+    return poll_stream_sink(query, _read, expected_rows=1)
 
 
 @pytest.mark.slow
