@@ -292,13 +292,6 @@ def q_stream_flight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.flight_stream import fold_completed_batch
 
     e = table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
-    # order by the FLOORED second, not raw ts: the oracle's cumsum
-    # orders by (sec, event_id), and two packets in the same second
-    # must tie-break identically on both engines
-    w = Window.partitionBy("user_id").orderBy(
-        F.floor(F.expr("unix_micros(ts)") / F.lit(1000000.0)).cast("long"),
-        "event_id",
-    )
     # Synthetic FEED-CADENCE clock (r6): real user timelines span days,
     # so after the event-time TTL landed in fold_events nearly every
     # consecutive pair out-gapped the 20-min TTL and the encoding
@@ -310,22 +303,20 @@ def q_stream_flight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary is silently dropped, exactly like remove_inactive). Pure
     # integer window arithmetic, replayed verbatim by the oracle's
     # dynamics CTE.
-    rn = F.row_number().over(w)
-    step = (
-        F.when(rn == 1, F.lit(0))
-        .when((rn - 1) % 8 == 0, F.lit(1500))
-        .otherwise(F.lit(300))
-    )
-    src = e.withColumn(
-        "last_contact",
-        F.lit(1712338215)
-        + F.sum(step).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).select(
+    #
+    # Plan shape: materialize the STRING key first, then partition BOTH
+    # windows and the fold's groupBy on that one column — a single hash
+    # exchange feeds rn, the cumsum (sorted within partitions, no second
+    # exchange) and the Arrow fold (plan pin:
+    # test_stream_fold_is_one_exchange_arrow_batch). Ordering uses the
+    # FLOORED second, not raw ts: the oracle tie-breaks on
+    # (sec, event_id) and two packets in one second must agree.
+    keyed = e.select(
         F.col("user_id").cast("string").alias("icao24"),
         "event_id",
-        "last_contact",
+        F.floor(F.expr("unix_micros(ts)") / F.lit(1000000.0))
+        .cast("long")
+        .alias("__sec"),
         F.when(F.col("event_type") == "purchase", 5.0)
         .when(F.col("event_type") == "error", 0.0)
         .otherwise(80.0)
@@ -335,5 +326,22 @@ def q_stream_flight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "click", -5.0)
         .otherwise(0.0)
         .alias("vertical_rate"),
+    )
+    w_sec = Window.partitionBy("icao24").orderBy("__sec", "event_id")
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_sec))
+    step = (
+        F.when(F.col("__rn") == 1, F.lit(0))
+        .when((F.col("__rn") - 1) % 8 == 0, F.lit(1500))
+        .otherwise(F.lit(300))
+    )
+    w_rn = (
+        Window.partitionBy("icao24")
+        .orderBy("__rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    src = ranked.withColumn(
+        "last_contact", F.lit(1712338215) + F.sum(step).over(w_rn)
+    ).select(
+        "icao24", "event_id", "last_contact", "velocity", "vertical_rate"
     )
     return fold_completed_batch(src).orderBy("icao24", "landed_at")
