@@ -194,19 +194,11 @@ def _update_session(
             state.remove()
     else:
         state.update(session)
-        state.setTimeoutDuration(INACTIVITY_MAX_MINUTES * 60 * 1000)
+        state.setTimeoutDuration(TTL_MS)
     if emissions:
-        yield pd.DataFrame(
-            {
-                "icao24": [key[0]] * len(emissions),
-                "flight_duration_minutes": [
-                    math.ceil((lc - t) / 60) for t, lc in emissions  # U3
-                ],
-                "landed_at": [
-                    pd.Timestamp(lc, unit="s") for _, lc in emissions  # T2
-                ],
-            }
-        )
+        # the SAME emission formatting the event-time wrapper and the
+        # batch replay use — U3/T2 must never drift between them
+        yield _emissions_pdf(key[0], emissions)
 
 
 def completed_flights_stream(states_stream: DataFrame) -> DataFrame:

@@ -59,6 +59,8 @@ def poll_stream_sink(
     grace_end = time.time() + grace_s
     while time.time() < grace_end:
         _check_failed()
+        if not query.isActive:  # self-terminated: nothing more can commit
+            break
         prog = query.lastProgress or {}
         if prog.get("batchId", -1) >= start_batch + grace_batches:
             break

@@ -19,9 +19,11 @@ Two layers:
   sequences (the TWS leg skips where protobuf is absent, the same
   gate-if-unavailable policy as test_tws_stream.py).
 
-TTL eviction is intentionally out of scope here (processing-time in the
-stream vs event-time in batch — the documented realization difference);
-batch timestamps stay inside the 20-minute gap.
+TTL eviction is IN scope (r6): extended sequences routinely out-gap the
+20-minute TTL, and that is deliberate — seed 1234's >TTL-gap-then-return
+shape is what exposed the batch/stream divergence that fold_events'
+event-time gap eviction now fixes. Do not shrink gaps to make a seed
+pass; a gap failure here means the parity rule regressed.
 """
 
 from __future__ import annotations
@@ -29,7 +31,6 @@ from __future__ import annotations
 import importlib.util
 import os
 import random
-import time
 
 import pandas as pd
 import pytest
@@ -59,6 +60,23 @@ STEP = 300  # 5-minute cadence, well inside the 20-min TTL
 AIRCRAFT = ["a1", "b2", "c3"]
 VELOCITIES = [0.0, 5.0, 9.5, 80.0, 250.0, None]
 RATES = [0.0, 3.5, -4.0, None]
+
+
+def _nonvacuous_batches(spark, rng):
+    """Seeded sequence long enough for the batch leg to emit: a
+    no-flight roll (seed 1234's first 8 cycles) would make every
+    equivalence assert vacuous, so extend the SAME seeded sequence
+    until the reference leg produces output. Returns (batches,
+    got_batch); got_batch is asserted non-empty."""
+    batches = _random_batches(rng, n_batches=8)
+    got_batch = _run_batch(spark, batches)
+    tries = 0
+    while not got_batch and tries < 5:
+        batches += _random_batches(rng, n_batches=8, start=len(batches))
+        got_batch = _run_batch(spark, batches)
+        tries += 1
+    assert got_batch, "seeded corpus produced no completed flights"
+    return batches, got_batch
 
 
 def _random_batches(rng, n_batches, start=0):
@@ -133,17 +151,7 @@ def _run_fold(spark, batches):
 @pytest.mark.parametrize("seed", [7, 42, 1234])
 def test_random_sequences_equivalent(spark, seed):
     rng = random.Random(seed)
-    batches = _random_batches(rng, n_batches=8)
-    got_batch = _run_batch(spark, batches)
-    # extend the SAME seeded sequence until the batch leg emits —
-    # a no-flight roll would make the equality vacuous (seed 1234's
-    # first 8 cycles emit nothing)
-    tries = 0
-    while not got_batch and tries < 5:
-        batches += _random_batches(rng, n_batches=8, start=len(batches))
-        got_batch = _run_batch(spark, batches)
-        tries += 1
-    assert got_batch, "seeded corpus produced no completed flights"
+    batches, got_batch = _nonvacuous_batches(spark, rng)
     got_fold = _run_fold(spark, batches)
     assert got_batch == got_fold
 
@@ -241,18 +249,7 @@ def test_three_stream_backends_match_batch(spark, tmp_path, seed, kernel_name):
     if kernel_name == "tws" and not _HAS_PROTOBUF:
         pytest.skip("transformWithState needs protobuf (not installed)")
     rng = random.Random(seed)
-    batches = _random_batches(rng, n_batches=8)
-    got_batch = _run_batch(spark, batches)
-    # a seed may roll a sequence with no completed flight in 8 cycles
-    # (seed 1234 does), which would make the stream-vs-batch equality
-    # vacuous — extend the SAME seeded sequence until the batch leg
-    # emits something, so every parametrization tests real output
-    tries = 0
-    while not got_batch and tries < 5:
-        batches += _random_batches(rng, n_batches=8, start=len(batches))
-        got_batch = _run_batch(spark, batches)
-        tries += 1
-    assert got_batch, "seeded corpus produced no completed flights"
+    batches, got_batch = _nonvacuous_batches(spark, rng)
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     if kernel_name == "tws":

@@ -72,12 +72,14 @@ def _run(spark, tmp_path, kernel, out_name):
         .trigger(availableNow=True)
         .start()
     )
-    # NOT awaitTermination/processAllAvailable: b2 never lands, so its
-    # pending ProcessingTimeTimeout keeps the availableNow query
-    # running no-data batches until the 20-min TTL — it never
-    # self-terminates at test scale. The shared protocol polls the sink
-    # for the expected single flight, holds an over-emission grace
-    # window, then stops.
+    # NOT awaitTermination/processAllAvailable: a stateful availableNow
+    # query with pending ProcessingTimeTimeout state keeps running
+    # no-data batches until the TTL fires, so it cannot be awaited at
+    # test scale in general (this fixture happens to clear all state —
+    # b2's stop at T0+1200 is a silent landing — but the shared
+    # protocol stays robust either way: it polls the sink for the
+    # expected single flight, holds an over-emission grace window that
+    # exits early when the query self-terminates, then stops).
     from stream_poll import poll_stream_sink
 
     schema = "icao24 string, flight_duration_minutes int, landed_at timestamp"
