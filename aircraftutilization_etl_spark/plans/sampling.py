@@ -508,7 +508,7 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(sqrt_w) AS wtot, SUM(n_tokens) AS ttot FROM w)
     SELECT w.source, CAST(w.n_docs AS BIGINT) AS n_docs,
-           w.n_tokens,
+           CAST(w.n_tokens AS BIGINT) AS n_tokens,
            CAST(w.sqrt_w * 1000000 // t.wtot AS BIGINT) AS target_share_ppm,
            CAST(w.n_tokens * 1000000 // t.ttot AS BIGINT) AS natural_share_ppm,
            CAST(w.sqrt_w * 1000000 // t.wtot AS BIGINT)

@@ -77,13 +77,22 @@ ARROW_EXEMPT = frozenset(
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    """name -> executed-plan string for every catalog query."""
+def built(spark):
+    """name -> (executed-plan string, result schema) for every catalog
+    query — built once, shared by the plan sweeps and the output-edge
+    type gate."""
     out = {}
     for name, qd in CATALOG.items():
         df = qd.spark(spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = (plan, df.schema)
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    """name -> executed-plan string for every catalog query."""
+    return {name: plan for name, (plan, _schema) in built.items()}
 
 
 def test_no_row_at_a_time_python_anywhere(plans):
@@ -232,3 +241,105 @@ def test_round_scanner_handles_deep_nesting():
     assert calls == [("-SUM((a) * ln(b))", False)]
     calls = list(_round_calls("ROUND(-SUM((a) * ln(b)), 6) + 0.0 AS x"))
     assert calls == [("-SUM((a) * ln(b))", True)]
+
+
+# ---------------------------------------------------------------------------
+# Output-edge numeric-type gate (VERDICT r6 #2): the driver's hasher
+# float-izes exotic numeric types that a Python-native fetch converts
+# losslessly, so a digit-identical answer can still hash-red. DuckDB
+# silently widens SUM(BIGINT) to HUGEINT (int128) — r6's only red row
+# (q_mix_manifest.n_tokens) — and Decimals did the same in r4. Every
+# oracle's FINAL projection and every Spark result schema must therefore
+# be free of HUGEINT/UHUGEINT/DECIMAL. Shared logic lives in
+# tools/check_oracles.py so the per-round gate enforces it too.
+# ---------------------------------------------------------------------------
+
+def _edge_helpers():
+    import os
+    import sys
+
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    from check_oracles import (  # noqa: E402
+        TABLES,
+        oracle_edge_type_problems,
+        spark_edge_type_problems,
+    )
+
+    return TABLES, oracle_edge_type_problems, spark_edge_type_problems
+
+
+@pytest.fixture(scope="module")
+def duck_views():
+    import duckdb
+
+    tables, _, _ = _edge_helpers()
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_oracle_output_edges_free_of_exotic_numeric_types(duck_views):
+    """Binding-only sweep (no execution): every oracle planned against
+    the sf0.001 views must emit no HUGEINT/UHUGEINT/DECIMAL column."""
+    _, oracle_problems, _ = _edge_helpers()
+    offenders = []
+    for name, qd in CATALOG.items():
+        if not qd.oracle:
+            continue
+        rel = duck_views.sql(qd.oracle)
+        bad = oracle_problems(rel.columns, rel.types)
+        if bad:
+            offenders.append((name, bad))
+    assert offenders == []
+
+
+def test_spark_output_edges_free_of_decimal(built):
+    """Symmetric Spark-side gate: no DecimalType (top-level or nested)
+    in any catalog query's result schema."""
+    _, _, spark_problems = _edge_helpers()
+    offenders = [
+        (name, spark_problems(schema))
+        for name, (_plan, schema) in built.items()
+        if spark_problems(schema)
+    ]
+    assert offenders == []
+
+
+def test_edge_type_gate_rejects_the_r6_trap_shapes(duck_views):
+    """Regression: the exact shapes that slipped through before the gate
+    existed must now be flagged — a raw SUM(BIGINT) final projection
+    (HUGEINT, r6) and a Decimal at the edge (r4), including nested."""
+    _, oracle_problems, spark_problems = _edge_helpers()
+    rel = duck_views.sql(
+        "SELECT SUM(CAST(r_regionkey AS BIGINT)) AS n_tokens FROM region"
+    )
+    assert oracle_problems(rel.columns, rel.types) == ["n_tokens:HUGEINT"]
+    rel = duck_views.sql(
+        "SELECT CAST(1.5 AS DECIMAL(10,2)) AS d, [CAST(1 AS HUGEINT)] AS l"
+    )
+    assert oracle_problems(rel.columns, rel.types) == [
+        "d:DECIMAL(10,2)",
+        "l:HUGEINT[]",
+    ]
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ok", LongType()),
+            StructField("d", DecimalType(10, 2)),
+            StructField("l", ArrayType(DecimalType(38, 8))),
+        ]
+    )
+    assert spark_problems(schema) == ["d:decimal(10,2)", "l:array<decimal(38,8)>"]

@@ -52,6 +52,37 @@ def canon(v):
     return str(v)
 
 
+# Output-EDGE types the driver's hasher is known to canonicalize
+# differently from a Python-native fetch: DuckDB SUM(BIGINT) silently
+# widens to HUGEINT (int128) and the driver float-izes it (r6's only red
+# row, q_mix_manifest.n_tokens); Decimals did the same in r4. Interior
+# CTEs may use anything — only the final projection is gated.
+BANNED_EDGE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_edge_type_problems(columns, types):
+    """Columns of a DuckDB result whose type the driver's hasher would
+    canonicalize lossily. ``types`` is ``rel.types`` (binding only — the
+    query is planned, not executed). Substring match so nested types
+    (LIST(DECIMAL), STRUCT(... HUGEINT ...)) are caught too."""
+    out = []
+    for col, typ in zip(columns, types):
+        ts = str(typ).upper()
+        if any(b in ts for b in BANNED_EDGE_TYPES):
+            out.append(f"{col}:{ts}")
+    return out
+
+
+def spark_edge_type_problems(schema):
+    """Spark-side twin: DecimalType anywhere in a result field (top-level
+    or nested) — the same driver-hasher float-ization hazard."""
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if "decimal" in f.dataType.simpleString()
+    ]
+
+
 def table_hash(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
@@ -105,6 +136,7 @@ def main():
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
+            sedge = spark_edge_type_problems(sdf.schema)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
@@ -117,12 +149,17 @@ def main():
         try:
             rel = con.sql(oracles[name])
             ocols = [d[0] for d in rel.description]
+            oedge = oracle_edge_type_problems(rel.columns, rel.types)
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
+        if sedge:
+            problems.append(f"spark Decimal at output edge: {sedge}")
+        if oedge:
+            problems.append(f"oracle exotic numeric at output edge: {oedge}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
         if len(srows) != len(orows):
