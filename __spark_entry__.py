@@ -36,28 +36,149 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["q_curation_funnel"].spark(spark, SF_SMOKE_DIR)
 
 
-def _content_hash(name: str) -> str:
-    """Verification identity of a catalog query: sha256 over the plan
-    function's source plus its oracle SQL. A changed hash means the
-    driver's last green row no longer vouches for the current code, so
-    ``_catalog_order`` floats the query for re-verification.
-
-    The hash sees the plan function body (``functools.wraps`` exposes
-    the original via ``__wrapped__``) and the oracle string — NOT the
-    operators/ module a plan delegates to. Convention for operator-level
-    behavior changes: note the change in the plan docstring (docstrings
-    are part of the source, so the hash moves and the query floats).
-    """
-    import hashlib
+def _plan_source(name: str) -> str:
     import inspect
 
     qd = CATALOG[name]
     try:
-        src = inspect.getsource(qd.spark)
+        return inspect.getsource(qd.spark)
     except (OSError, TypeError):  # pragma: no cover - source always on disk
-        src = f"{qd.spark.__module__}.{qd.spark.__qualname__}"
-    payload = src + "\x00" + (qd.oracle or "")
+        return f"{qd.spark.__module__}.{qd.spark.__qualname__}"
+
+
+def _content_hash(name: str) -> str:
+    """LEGACY verification identity of a catalog query: sha256 over the
+    plan function's source plus its oracle SQL. A changed hash means the
+    driver's last green row no longer vouches for the current code, so
+    ``_catalog_order`` floats the query for re-verification.
+
+    This hash sees the plan function body (``functools.wraps`` exposes
+    the original via ``__wrapped__``) and the oracle string — NOT the
+    operators/ module a plan delegates to. Rounds 1-6 recorded only this
+    hash, so green rows from those rounds retire against it; snapshots
+    from round 7 on additionally record :func:`_deep_hash`, which closes
+    the delegation hole (ADVICE r6). Shared SQL fragments defined at
+    plans-module level are already covered by BOTH hashes: they are
+    f-string-expanded into the oracle string before registration.
+    """
+    import hashlib
+
+    payload = _plan_source(name) + "\x00" + (CATALOG[name].oracle or "")
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+_PKG = "aircraftutilization_etl_spark"
+# from <dots><dotted.path> import ... — the only relative/absolute forms
+# used in this package (bare `from . import x` exists only in
+# plans/__init__.py, which is never a dependency).
+_IMPORT_RE = None
+_DEP_CACHE: dict[str, tuple[str, ...]] = {}
+_FILE_SHA_CACHE: dict[str, str | None] = {}
+
+
+def _module_file_sha(modname: str) -> str | None:
+    """sha256 of a package module's file bytes (None if not a real
+    module file — e.g. a name that resolves outside the package)."""
+    if modname in _FILE_SHA_CACHE:
+        return _FILE_SHA_CACHE[modname]
+    import hashlib
+    import os
+
+    rel = modname.replace(".", os.sep)
+    path = os.path.join(_repo_dir(), rel + ".py")
+    if not os.path.isfile(path):
+        path = os.path.join(_repo_dir(), rel, "__init__.py")
+    sha = None
+    if os.path.isfile(path):
+        with open(path, "rb") as fh:
+            sha = hashlib.sha256(fh.read()).hexdigest()
+    _FILE_SHA_CACHE[modname] = sha
+    return sha
+
+
+def _module_imports(modname: str) -> set[str]:
+    """Package-absolute module names imported anywhere in *modname*'s
+    file source (top-level AND inside function bodies — plans import
+    their operators lazily), resolved from relative form."""
+    import os
+    import re
+
+    global _IMPORT_RE
+    if _IMPORT_RE is None:
+        _IMPORT_RE = re.compile(
+            r"^\s*from\s+(\.*)([\w.]*)\s+import", re.MULTILINE
+        )
+    rel = modname.replace(".", os.sep)
+    path = os.path.join(_repo_dir(), rel + ".py")
+    if not os.path.isfile(path):
+        path = os.path.join(_repo_dir(), rel, "__init__.py")
+        if not os.path.isfile(path):
+            return set()
+    with open(path, encoding="utf-8") as fh:
+        src = fh.read()
+    pkg_parts = modname.split(".")[:-1]
+    out: set[str] = set()
+    for dots, dotted in _IMPORT_RE.findall(src):
+        if dots:
+            up = len(dots) - 1
+            if up > len(pkg_parts):
+                continue
+            base = pkg_parts[: len(pkg_parts) - up] if up else pkg_parts
+            target = ".".join(base + ([dotted] if dotted else []))
+        else:
+            target = dotted
+        if target.startswith(_PKG):
+            out.add(target)
+    return out
+
+
+def _plan_dep_modules(name: str) -> tuple[str, ...]:
+    """The non-plans package modules a query's verification identity
+    must cover: every module transitively reachable from its defining
+    plans module via import scanning. plans.* modules are excluded —
+    their query-relevant content (shared SQL fragments) reaches the
+    hash through the expanded oracle string, and including them would
+    float every module-mate on any one query's edit."""
+    qd = CATALOG[name]
+    root = qd.spark.__module__
+    if root in _DEP_CACHE:
+        return _DEP_CACHE[root]
+    plans_prefix = f"{_PKG}.plans"
+    seen: set[str] = set()
+    frontier = [
+        m for m in _module_imports(root) if not m.startswith(plans_prefix)
+    ]
+    while frontier:
+        mod = frontier.pop()
+        if mod in seen:
+            continue
+        seen.add(mod)
+        frontier.extend(
+            m
+            for m in _module_imports(mod)
+            if m not in seen and not m.startswith(plans_prefix)
+        )
+    deps = tuple(sorted(seen))
+    _DEP_CACHE[root] = deps
+    return deps
+
+
+def _deep_hash(name: str) -> str:
+    """DEEP verification identity (snapshots from round 7 on): the
+    legacy payload PLUS the file sha of every non-plans package module
+    transitively reachable from the query's defining plans module — so
+    an operator-only behavior change (e.g. the classifier trainer in
+    operators/classifier.py, ADVICE r6 medium) floats every query that
+    delegates to it, with no docstring-note convention required."""
+    import hashlib
+
+    parts = [_plan_source(name), CATALOG[name].oracle or ""]
+    parts += [
+        f"{m}:{_module_file_sha(m)}"
+        for m in _plan_dep_modules(name)
+        if _module_file_sha(m) is not None
+    ]
+    return hashlib.sha256("\x00".join(parts).encode("utf-8")).hexdigest()
 
 
 def _repo_dir() -> str:
@@ -164,6 +285,12 @@ def _hash_current_at(name: str, rnd: int) -> bool:
     recorded = snaps.get(rnd, {}).get(name)
     if recorded is None:
         return False  # no snapshot for that round / query: re-verify
+    if isinstance(recorded, dict):
+        # round-7+ snapshot: the deep hash (plan + oracle + delegated
+        # module file shas) is the identity; an operator-only change
+        # floats the query with no docstring convention needed
+        return recorded.get("deep") == _deep_hash(name)
+    # rounds 1-6 recorded a bare plan-source+oracle hash
     return recorded == _content_hash(name)
 
 

@@ -91,6 +91,105 @@ HEADLINE = [
 ]
 
 
+# Host-noise sentinels (VERDICT r6 #4): queries whose code has been
+# frozen for several rounds, re-measured every bench run and compared to
+# the PREVIOUS round's BENCH_r*.json so a uniform host slowdown (r5
+# 0.93x, r6 1.26x — both environment, verified by re-running unchanged
+# code) is machine-separable from a code regression. Editing any
+# sentinel's plan invalidates the ratio — swap it out here in the same
+# change.
+SENTINELS = (
+    "q1_pricing_summary",
+    "q_bloom_prune_join",
+    "q_text_quality",
+    "q_dedup_exact",
+    "q_graph_pagerank",
+)
+
+
+def _payload_queries(payload) -> tuple[dict[str, float] | None, object]:
+    """(per-query seconds, sf) from one BENCH payload. Driver-written
+    files wrap bench's JSON line in a ``tail`` string (with progress
+    control chars before it); raw bench output carries ``queries``
+    directly."""
+    if not isinstance(payload, dict):
+        return None, None
+    inner = payload
+    if not isinstance(payload.get("queries"), dict):
+        tail = payload.get("tail")
+        start = tail.rfind('{"metric"') if isinstance(tail, str) else -1
+        if start < 0:
+            return None, None
+        try:
+            inner, _ = json.JSONDecoder().raw_decode(tail[start:])
+        except ValueError:
+            return None, None
+        if not isinstance(inner, dict):
+            return None, None
+    queries = inner.get("queries")
+    if not (isinstance(queries, dict) and queries):
+        return None, None
+    # the wrapper's sf (driver-recorded) wins over the inner line's
+    sf = payload.get("sf", inner.get("sf"))
+    return queries, sf
+
+
+def _prev_bench_queries(
+    bench_dir: str | None = None,
+) -> tuple[str | None, dict[str, float] | None, object]:
+    """(filename, per-query seconds, sf) from the newest readable
+    BENCH_r*.json in *bench_dir* (default: the repo root), or
+    (None, None, None) on a fresh checkout."""
+    import glob
+    import re
+
+    here = bench_dir or os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    for path in reversed(files):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        queries, sf = _payload_queries(payload)
+        if queries:
+            return os.path.basename(path), queries, sf
+    return None, None, None
+
+
+def _sentinel_fields(per_query: dict[str, float], sf: object) -> dict:
+    """The noise-normalization block: current sentinel seconds, the
+    previous round's, and the median ratio. Median (not mean) so one
+    sentinel hitting a transient stall cannot fake a host shift. The
+    ratio is only emitted when the previous bench ran at the SAME scale
+    factor — a cross-sf ratio measures data growth, not the host."""
+    prev_file, prev, prev_sf = _prev_bench_queries()
+    same_sf = prev is not None and prev_sf == sf
+    sentinels = {}
+    ratios = []
+    for name in SENTINELS:
+        cur = per_query.get(name)
+        old = prev.get(name) if prev else None
+        entry = {"sec": cur, "prev_sec": old}
+        if cur and old and same_sf:
+            entry["ratio"] = round(cur / old, 3)
+            ratios.append(cur / old)
+        sentinels[name] = entry
+    ratios.sort()
+    n = len(ratios)
+    median = (
+        round((ratios[(n - 1) // 2] + ratios[n // 2]) / 2, 3) if n else None
+    )
+    return {
+        "sentinels": sentinels,
+        "sentinel_ratio_vs_prev": median,
+        "sentinel_prev_bench": prev_file,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -168,6 +267,7 @@ def main() -> int:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    payload.update(_sentinel_fields(per_query, payload["sf"]))
     if errors:
         # a total over a SUBSET of the headline set is not comparable
         # round-over-round — null the headline metric so an automated

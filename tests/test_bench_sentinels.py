@@ -1,0 +1,103 @@
+"""Bench host-noise sentinels (VERDICT r6 #4) — no Spark needed.
+
+`bench.py` re-measures a frozen sentinel set every run and emits
+`sentinel_ratio_vs_prev` (median current/previous seconds against the
+newest BENCH_r*.json) so a uniform host slowdown is machine-separable
+from a code regression. These tests pin the parsing of both BENCH file
+shapes (raw bench output vs the driver's tail-wrapped capture) and the
+ratio arithmetic.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sentinels_are_headline_queries(bench):
+    """A sentinel must actually be measured every run."""
+    assert set(bench.SENTINELS) <= set(bench.HEADLINE)
+
+
+def test_payload_queries_raw_and_tail_wrapped(bench):
+    raw = {"metric": "x", "queries": {"q1": 0.5}, "sf": 0.1}
+    assert bench._payload_queries(raw) == ({"q1": 0.5}, 0.1)
+    wrapped = {
+        "n": 6,
+        "sf": 0.1,
+        "tail": '   \r{"metric": "headline_queries_total", "value": 1.0, '
+        '"queries": {"q1": 0.5, "q2": 2.0}, "sf": 0.1}\n',
+    }
+    assert bench._payload_queries(wrapped) == ({"q1": 0.5, "q2": 2.0}, 0.1)
+    assert bench._payload_queries({"tail": "garbage"}) == (None, None)
+    assert bench._payload_queries({"queries": {}}) == (None, None)
+    assert bench._payload_queries(None) == (None, None)
+
+
+def test_prev_bench_picks_newest_readable_by_round_number(bench, tmp_path):
+    (tmp_path / "BENCH_r2.json").write_text(
+        json.dumps({"queries": {"q1": 1.0}, "sf": 0.1})
+    )
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"queries": {"q1": 2.0}, "sf": 0.1})
+    )
+    (tmp_path / "BENCH_r11.json").write_text("not json")
+    name, queries, sf = bench._prev_bench_queries(str(tmp_path))
+    assert name == "BENCH_r10.json"  # r11 unreadable, r10 beats r2
+    assert queries == {"q1": 2.0} and sf == 0.1
+    assert bench._prev_bench_queries(str(tmp_path / "empty")) == (
+        None,
+        None,
+        None,
+    )
+
+
+def test_sentinel_ratio_is_median_and_survives_gaps(bench, monkeypatch):
+    prev = {name: 1.0 for name in bench.SENTINELS}
+    monkeypatch.setattr(
+        bench,
+        "_prev_bench_queries",
+        lambda d=None: ("BENCH_r6.json", prev, 0.1),
+    )
+    # uniform 1.25x host shift -> ratio 1.25 even with one stalled outlier
+    cur = {name: 1.25 for name in bench.SENTINELS}
+    cur[bench.SENTINELS[0]] = 9.0
+    out = bench._sentinel_fields(cur, 0.1)
+    assert out["sentinel_ratio_vs_prev"] == 1.25
+    assert out["sentinel_prev_bench"] == "BENCH_r6.json"
+    assert out["sentinels"][bench.SENTINELS[1]] == {
+        "sec": 1.25,
+        "prev_sec": 1.0,
+        "ratio": 1.25,
+    }
+    # a sentinel that errored this run is reported but excluded
+    del cur[bench.SENTINELS[2]]
+    assert bench._sentinel_fields(cur, 0.1)["sentinels"][
+        bench.SENTINELS[2]
+    ] == {"sec": None, "prev_sec": 1.0}
+    # a cross-sf comparison would measure data growth, not the host
+    out = bench._sentinel_fields(cur, 0.001)
+    assert out["sentinel_ratio_vs_prev"] is None
+    assert "ratio" not in out["sentinels"][bench.SENTINELS[1]]
+    # fresh checkout: no previous bench -> null ratio, no crash
+    monkeypatch.setattr(
+        bench, "_prev_bench_queries", lambda d=None: (None, None, None)
+    )
+    out = bench._sentinel_fields(cur, 0.1)
+    assert out["sentinel_ratio_vs_prev"] is None
+    assert out["sentinel_prev_bench"] is None

@@ -232,6 +232,86 @@ def test_latest_rows_skips_non_dict_payloads(tmp_path, monkeypatch):
     assert latest == {"q_a": (2, {"hash_match": True})}
 
 
+def _all_green_at(rnd):
+    return {
+        n: (rnd, {"hash_match": True, "err": None, "spark_rows": 1})
+        for n in sorted(CATALOG)
+    }
+
+
+def _target_with_deps():
+    """A query that actually delegates to an operators/ module."""
+    for n in sorted(CATALOG):
+        deps = entry_mod._plan_dep_modules(n)
+        if any(".operators." in d for d in deps):
+            return n, next(d for d in deps if ".operators." in d)
+    pytest.skip("no query with operator deps")
+
+
+def test_deep_snapshot_floats_on_operator_module_change(monkeypatch):
+    """ADVICE r6 (medium): under a round-7+ dual snapshot, a change to a
+    delegated operators/ module — plan source and oracle untouched —
+    must float every query whose defining plans module reaches it, with
+    no docstring-note convention."""
+    target, dep = _target_with_deps()
+    monkeypatch.setattr(entry_mod, "_latest_rows", lambda: _all_green_at(7))
+    snaps = {
+        7: {
+            n: {
+                "plan": entry_mod._content_hash(n),
+                "deep": entry_mod._deep_hash(n),
+            }
+            for n in sorted(CATALOG)
+        }
+    }
+    monkeypatch.setattr(entry_mod, "_snapshot_hashes", lambda: snaps)
+    assert entry_mod._catalog_order() == sorted(CATALOG)  # all retire
+
+    # simulate an edit to the delegated operator module
+    entry_mod._ORDER_CACHE = None
+    real_sha = entry_mod._module_file_sha
+
+    def edited(mod):
+        sha = real_sha(mod)
+        return "0" * 64 if mod == dep else sha
+
+    monkeypatch.setattr(entry_mod, "_module_file_sha", edited)
+    order = entry_mod._catalog_order()
+    floated, _, rest = _tiers(order)
+    assert target in floated and target not in rest
+    # and a query with no path to that module stays verified
+    unaffected = [
+        n
+        for n in sorted(CATALOG)
+        if dep not in entry_mod._plan_dep_modules(n)
+    ]
+    assert unaffected and all(n in rest for n in unaffected)
+
+
+def test_legacy_string_snapshot_retires_against_plan_hash(monkeypatch):
+    """Rounds 1-6 recorded bare plan-hash strings; green rows from those
+    rounds must keep retiring against the legacy hash (an operator edit
+    does NOT float them — the documented pre-r7 limitation the deep
+    hash exists to close going forward)."""
+    monkeypatch.setattr(entry_mod, "_latest_rows", lambda: _all_green_at(6))
+    snaps = {6: {n: entry_mod._content_hash(n) for n in sorted(CATALOG)}}
+    monkeypatch.setattr(entry_mod, "_snapshot_hashes", lambda: snaps)
+    monkeypatch.setattr(entry_mod, "_module_file_sha", lambda mod: "0" * 64)
+    assert entry_mod._catalog_order() == sorted(CATALOG)
+
+
+def test_deep_hash_covers_plan_source_and_oracle_too(monkeypatch):
+    """The deep hash strictly extends the legacy payload: an oracle edit
+    moves it even with every module sha pinned."""
+    target = next(n for n in sorted(CATALOG) if CATALOG[n].oracle)
+    before = entry_mod._deep_hash(target)
+    mutated = dataclasses.replace(
+        CATALOG[target], oracle=CATALOG[target].oracle + " -- edited"
+    )
+    monkeypatch.setitem(CATALOG, target, mutated)
+    assert entry_mod._deep_hash(target) != before
+
+
 def test_order_cached_within_process(monkeypatch):
     """queries()/oracle_sql() must agree within a run even if the driver
     writes a new CORRECTNESS file mid-process (ADVICE r5)."""

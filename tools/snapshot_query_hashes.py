@@ -3,11 +3,14 @@
 
 Part of the pre-snapshot gate (with check_oracles.py and the plan-
 invariants sweep): writes QUERY_HASHES.json's ``rounds[N]`` map —
-name -> sha256(plan source + oracle SQL) — so that when the driver's
-CORRECTNESS_r{N}.json lands, ``__spark_entry__._catalog_order`` can
-tell whether a green row vouches for the CURRENT code (hash unchanged
-since the snapshot the driver ran) or the query must float for
-re-verification (code/oracle edited since).
+name -> {"plan": sha256(plan source + oracle SQL), "deep": that plus
+the file shas of every delegated non-plans package module} — so that
+when the driver's CORRECTNESS_r{N}.json lands,
+``__spark_entry__._catalog_order`` can tell whether a green row vouches
+for the CURRENT code (deep hash unchanged since the snapshot the driver
+ran) or the query must float for re-verification (plan/oracle/operator
+edited since). Rounds <= 6 recorded bare plan-hash strings and retire
+against those.
 
 Usage: python tools/snapshot_query_hashes.py [--round N]
 Default round = (max round with a CORRECTNESS file) + 1, i.e. the round
@@ -45,7 +48,20 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from aircraftutilization_etl_spark.plans import CATALOG
 
-    hashes = {name: entry_mod._content_hash(name) for name in sorted(CATALOG)}
+    # Dual-form entries from round 7 on: "plan" is the legacy
+    # plan-source+oracle hash (kept for human diffing across rounds);
+    # "deep" — the retirement identity _catalog_order compares — adds
+    # the file shas of every non-plans module the plan's defining
+    # module transitively imports, closing the operator-delegation hole
+    # (ADVICE r6 medium). Rounds <= 6 keep their recorded bare strings
+    # and retire against the legacy hash.
+    hashes = {
+        name: {
+            "plan": entry_mod._content_hash(name),
+            "deep": entry_mod._deep_hash(name),
+        }
+        for name in sorted(CATALOG)
+    }
 
     path = os.path.join(REPO, "QUERY_HASHES.json")
     payload: dict = {"rounds": {}}
