@@ -132,31 +132,39 @@ def _module_imports(modname: str) -> set[str]:
     return out
 
 
+# Registration infrastructure, excluded from deep dependencies: the
+# plans package __init__ imports EVERY plans module (its inclusion would
+# make the whole catalog one identity), and plans.catalog is the @query
+# decorator + table() helper imported by all of them (a change there
+# would float all 224 queries for 4+ driver rounds; it is stable and
+# pinned by the contract/oracle test suites instead).
+_DEP_EXCLUDE = frozenset({f"{_PKG}.plans", f"{_PKG}.plans.catalog"})
+
+
 def _plan_dep_modules(name: str) -> tuple[str, ...]:
-    """The non-plans package modules a query's verification identity
-    must cover: every module transitively reachable from its defining
-    plans module via import scanning. plans.* modules are excluded —
-    their query-relevant content (shared SQL fragments) reaches the
-    hash through the expanded oracle string, and including them would
-    float every module-mate on any one query's edit."""
+    """The package modules a query's verification identity must cover:
+    its own defining plans module (module-level helpers like cache
+    keys/shared builders live there — plan-fn source alone misses them)
+    plus every module transitively reachable from it via import
+    scanning, minus the registration infra above. Floating every
+    module-mate when a shared file changes is deliberate: safe
+    over-verification beats a green row silently vouching for changed
+    code."""
     qd = CATALOG[name]
     root = qd.spark.__module__
     if root in _DEP_CACHE:
         return _DEP_CACHE[root]
-    plans_prefix = f"{_PKG}.plans"
     seen: set[str] = set()
-    frontier = [
-        m for m in _module_imports(root) if not m.startswith(plans_prefix)
-    ]
+    frontier = [root]
     while frontier:
         mod = frontier.pop()
-        if mod in seen:
+        if mod in seen or mod in _DEP_EXCLUDE:
             continue
         seen.add(mod)
         frontier.extend(
             m
             for m in _module_imports(mod)
-            if m not in seen and not m.startswith(plans_prefix)
+            if m not in seen and m not in _DEP_EXCLUDE
         )
     deps = tuple(sorted(seen))
     _DEP_CACHE[root] = deps

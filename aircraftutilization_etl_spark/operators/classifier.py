@@ -110,6 +110,11 @@ def _margins(
     buckets carry weight 0, so the sparse model frame is exact), ONE
     double division by t·1e6 — both engines round that division
     identically, so the margin double is bit-stable cross-engine."""
+    # Exactness precondition (ADVICE r6): the numerator must be exactly
+    # representable in the double it is cast to, i.e.
+    # t·(max|w_micros| + |b_micros|) < 2^53 — train_logreg_hashed
+    # enforces it per round (it knows max t); callers passing external
+    # weights inherit the same bound.
     wdf = _weights_df(feats.sparkSession, w_micros)
     return (
         feats.join(F.broadcast(wdf), "bucket", "left")
@@ -271,7 +276,33 @@ def train_logreg_hashed(
         # partially-persisted blocks too, not only failures mid-round
         base.count()
         base.createOrReplaceTempView(base_view)
+        # Exactness precondition for the bit-stable-margin claim
+        # (ADVICE r6): every BIGINT the round SQL casts to DOUBLE must
+        # be < 2^53 — the margin numerator is bounded by
+        # t·(max|w| + |b|) (Σc = t) and the per-row gradient term by
+        # t·1e6·1000 (|r| ≤ 1e6). Checked per round against the cached
+        # corpus's max t so weight growth under higher lr/iterations
+        # fails LOUDLY here instead of surfacing as an unexplained
+        # oracle hash mismatch. One tiny job on the already-persisted
+        # base; the per-round check is driver-side arithmetic.
+        t_max = int(
+            base.agg(F.max("t").alias("m")).collect()[0]["m"] or 0
+        )
         for _ in range(iterations):
+            peak = t_max * max(
+                max((abs(x) for x in w), default=0) + abs(b),
+                1_000_000_000,
+            )
+            if peak >= 2**53:
+                raise ArithmeticError(
+                    "integer-GD exactness bound violated: max(t)="
+                    f"{t_max} with max|w|+|b|="
+                    f"{max((abs(x) for x in w), default=0) + abs(b)} "
+                    "micros puts a casted numerator at or past 2^53; "
+                    "the floored margin/gradient would no longer be "
+                    "bit-stable cross-engine (lower lr/iterations or "
+                    "cap per-doc feature counts)"
+                )
             _weights_df(spark, w).createOrReplaceTempView(w_view)
             rows = spark.sql(round_sql.format(bias=int(b))).collect()
             for row in rows:

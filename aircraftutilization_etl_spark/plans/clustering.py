@@ -480,9 +480,19 @@ _PQ_BOOKS_CACHE: dict[tuple, list[list[list[int]]]] = {}
 
 
 def _parquet_fingerprint(sf_dir: str, name: str) -> tuple:
-    """(path, size, mtime_ns) per data file under the table's parquet
-    path (which may be a single file or a part-file directory) — a
-    cheap content proxy that changes whenever the table is rewritten."""
+    """(path, size, sha256 of the file's last 64 KiB) per data file
+    under the table's parquet path (single file or part-file dir) — a
+    content fingerprint that changes whenever the table is rewritten.
+    The tail of a parquet file is its footer (row counts, column-chunk
+    offsets, min/max statistics), so ANY data change moves the hash —
+    unlike the earlier (size, mtime_ns) proxy, which a
+    timestamp-preserving rewrite (rsync -t, archive extraction,
+    coarse-mtime object-store mounts) could leave unchanged and silently
+    serve codebooks trained on the old corpus (ADVICE r6). One bounded
+    read per file; an identical re-encode of the same rows may still
+    hit, which is harmless — the codebook is a pure function of the
+    corpus."""
+    import hashlib
     import os
 
     root = os.path.join(sf_dir, f"{name}.parquet")
@@ -496,10 +506,13 @@ def _parquet_fingerprint(sf_dir: str, name: str) -> tuple:
         )
     for p in paths:
         try:
-            st = os.stat(p)
-            out.append((p, st.st_size, st.st_mtime_ns))
+            size = os.stat(p).st_size
+            with open(p, "rb") as fh:
+                fh.seek(max(0, size - 65536))
+                tail = hashlib.sha256(fh.read(65536)).hexdigest()
+            out.append((p, size, tail))
         except OSError:
-            out.append((p, -1, -1))
+            out.append((p, -1, "unreadable"))
     return tuple(out)
 
 

@@ -62,24 +62,31 @@ VELOCITIES = [0.0, 5.0, 9.5, 80.0, 250.0, None]
 RATES = [0.0, 3.5, -4.0, None]
 
 
-def _nonvacuous_batches(spark, rng):
+def _nonvacuous_batches(spark, rng, lc0_prob=0.0):
     """Seeded sequence long enough for the batch leg to emit: a
     no-flight roll (seed 1234's first 8 cycles) would make every
     equivalence assert vacuous, so extend the SAME seeded sequence
     until the reference leg produces output. Returns (batches,
     got_batch); got_batch is asserted non-empty."""
-    batches = _random_batches(rng, n_batches=8)
+    batches = _random_batches(rng, n_batches=8, lc0_prob=lc0_prob)
     got_batch = _run_batch(spark, batches)
     tries = 0
     while not got_batch and tries < 5:
-        batches += _random_batches(rng, n_batches=8, start=len(batches))
+        batches += _random_batches(
+            rng, n_batches=8, start=len(batches), lc0_prob=lc0_prob
+        )
         got_batch = _run_batch(spark, batches)
         tries += 1
     assert got_batch, "seeded corpus produced no completed flights"
     return batches, got_batch
 
 
-def _random_batches(rng, n_batches, start=0):
+def _random_batches(rng, n_batches, start=0, lc0_prob=0.0):
+    """lc0_prob injects un-timestamped packets (last_contact=0, the
+    reference's not-seen sentinel): the one residual batch/fold
+    asymmetry lives there (ADVICE r6 — an lc=0 return packet after a
+    >= TTL silence folds into the stale session batch would have
+    evicted), so seeded coverage must exercise it."""
     batches = []
     for i in range(start, start + n_batches):
         t = T0 + i * STEP
@@ -87,8 +94,9 @@ def _random_batches(rng, n_batches, start=0):
         for icao in AIRCRAFT:
             if rng.random() < 0.35:  # sometimes absent this cycle
                 continue
+            lc = 0 if rng.random() < lc0_prob else t
             batch.append(
-                (icao, t, rng.choice(VELOCITIES), rng.choice(RATES))
+                (icao, lc, rng.choice(VELOCITIES), rng.choice(RATES))
             )
         batches.append((t, batch))
     return batches
@@ -148,12 +156,58 @@ def _run_fold(spark, batches):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", [7, 42, 1234])
-def test_random_sequences_equivalent(spark, seed):
+@pytest.mark.parametrize(
+    ("seed", "lc0_prob"),
+    [(7, 0.0), (42, 0.0), (1234, 0.0), (21, 0.25), (99, 0.25), (1234, 0.25)],
+)
+def test_random_sequences_equivalent(spark, seed, lc0_prob):
     rng = random.Random(seed)
-    batches, got_batch = _nonvacuous_batches(spark, rng)
+    batches, got_batch = _nonvacuous_batches(spark, rng, lc0_prob=lc0_prob)
     got_fold = _run_fold(spark, batches)
     assert got_batch == got_fold
+
+
+def test_untimestamped_return_after_ttl_gap_cannot_change_emissions(spark):
+    """The exact ADVICE r6 shape, pinned deterministically: a key takes
+    off and turns to descend, goes silent past the TTL, then RETURNS
+    with an lc=0 packet (no event time). The fold keeps the stale
+    descend session (its F1 eviction needs a timestamp) while batch
+    remove_inactive evicted it — the documented residual asymmetry —
+    but no emission may differ: lc=0 cannot land (U1 needs lc != 0),
+    and when the landing-shaped values DO arrive timestamped, both
+    sides have evicted and see a fresh 'other' session. The eventual
+    completed flight must belong to the post-gap session only."""
+    t0 = T0
+    gap = TTL_S + 600  # 10 min past the TTL
+    t1 = t0 + STEP
+    tr = t1 + gap  # return cycle, un-timestamped packet
+    t2 = tr + STEP  # timestamped landing-shaped packet (still no flight)
+    # second >= TTL gap so t2's takeoff-less session (is_first consumed
+    # by a non-climbing packet) evicts before the real second flight
+    t3 = t2 + TTL_S + 60  # fresh takeoff
+    t4 = t3 + STEP  # descend
+    t5 = t4 + STEP  # landing -> the one emission
+    batches = [
+        (t0, [("a1", t0, 80.0, 3.5)]),   # takeoff stamped at t0
+        (t1, [("a1", t1, 80.0, -4.0)]),  # trajectory -> descend
+        # >= TTL silence, then the un-timestamped return packet with
+        # landing-shaped values: vel < 10, vr == 0 — the stale fold
+        # session still says 'descend', so ONLY the lc != 0 guard
+        # stands between this packet and a phantom flight
+        (tr, [("a1", 0, 5.0, 0.0)]),
+        (t2, [("a1", t2, 5.0, 0.0)]),    # timestamped, but both fresh now
+        (t3, [("a1", t3, 80.0, 3.5)]),   # second session takeoff
+        (t4, [("a1", t4, 80.0, -4.0)]),
+        (t5, [("a1", t5, 5.0, 0.0)]),    # lands
+    ]
+    got_batch = _run_batch(spark, batches)
+    got_fold = _run_fold(spark, batches)
+    assert got_batch == got_fold
+    # exactly one flight, from the SECOND session (t3 takeoff, t5 land)
+    assert len(got_batch) == 1
+    icao, dur, landed = got_batch[0]
+    assert icao == "a1"
+    assert dur == -(-(t5 - t3) // 60)
 
 
 # --- three-backend equivalence (VERDICT r5 #7) ---------------------------

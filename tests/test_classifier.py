@@ -117,6 +117,20 @@ class TestTraining:
         assert b == bn
         assert w == wn
 
+    def test_exactness_bound_violation_raises_loudly(self, spark):
+        """ADVICE r6: the bit-stable-margin claim requires every BIGINT
+        the round SQL casts to DOUBLE to stay under 2^53 — the per-row
+        gradient term is bounded by t·1e9, so a doc with t ≥ 2^53/1e9
+        (~9.01e6 feature tokens) must fail LOUDLY at train time, not
+        surface as a flaky oracle hash."""
+        feats = spark.createDataFrame(
+            [(1, 7, 10_000_000, 10_000_000, 1.0)],
+            "doc_id long, bucket long, c long, t long, x double",
+        )
+        labels = spark.createDataFrame([(1, 1)], "doc_id long, label int")
+        with pytest.raises(ArithmeticError, match="2\\^53"):
+            train_logreg_hashed(feats, labels, iterations=1)
+
     def test_concurrent_trainers_do_not_clobber_each_other(self, spark):
         """Two trainers sharing one SparkSession draw distinct temp-view
         suffixes, so parallel training runs return exactly the models

@@ -226,6 +226,15 @@ class TestPQBooksCache:
         p.write_bytes(b"v2-bytes-longer")
         fp2 = _parquet_fingerprint(str(tmp_path), "embeddings")
         assert fp2 != fp1
+        # ADVICE r6: a SAME-SIZE rewrite with the mtime restored
+        # (rsync -t, archive extraction, coarse object-store mtime)
+        # must STILL move the fingerprint — content, not stat metadata
+        st = os.stat(p)
+        p.write_bytes(b"v3-bytes-longer")  # same length as v2
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+        fp3 = _parquet_fingerprint(str(tmp_path), "embeddings")
+        assert fp3 != fp2
+        assert os.stat(p).st_mtime_ns == st.st_mtime_ns  # trap is real
         # part-file directory layout: adding a part changes the print
         d = tmp_path / "dir_case" / "embeddings.parquet"
         os.makedirs(d)
