@@ -57,9 +57,15 @@ def _content_hash(name: str) -> str:
     operators/ module a plan delegates to. Rounds 1-6 recorded only this
     hash, so green rows from those rounds retire against it; snapshots
     from round 7 on additionally record :func:`_deep_hash`, which closes
-    the delegation hole (ADVICE r6). Shared SQL fragments defined at
-    plans-module level are already covered by BOTH hashes: they are
-    f-string-expanded into the oracle string before registration.
+    the delegation hole (ADVICE r6). TRANSITION CONVENTION: until a
+    query's latest green row postdates round 6, an operator-level
+    BEHAVIOR change (one that can alter query output) must still be
+    noted in each consuming plan's docstring — that moves this legacy
+    hash and floats the query; once its green rows carry deep-hash
+    snapshots the convention is obsolete for it. Shared SQL fragments
+    defined at plans-module level are already covered by BOTH hashes:
+    they are f-string-expanded into the oracle string before
+    registration.
     """
     import hashlib
 
@@ -68,10 +74,8 @@ def _content_hash(name: str) -> str:
 
 
 _PKG = "aircraftutilization_etl_spark"
-# from <dots><dotted.path> import ... — the only relative/absolute forms
-# used in this package (bare `from . import x` exists only in
-# plans/__init__.py, which is never a dependency).
 _IMPORT_RE = None
+_PLAIN_IMPORT_RE = None
 _DEP_CACHE: dict[str, tuple[str, ...]] = {}
 _FILE_SHA_CACHE: dict[str, str | None] = {}
 
@@ -99,26 +103,43 @@ def _module_file_sha(modname: str) -> str | None:
 def _module_imports(modname: str) -> set[str]:
     """Package-absolute module names imported anywhere in *modname*'s
     file source (top-level AND inside function bodies — plans import
-    their operators lazily), resolved from relative form."""
+    their operators lazily), resolved from relative and plain forms.
+
+    Handled shapes (code-review r7 — the original regex missed the
+    first three): ``from . import similarity as _sim`` (the imported
+    NAMES can be submodules — each name that resolves to a real module
+    file is a dependency), relative imports inside a package
+    ``__init__`` (relative to the package itself, not its parent),
+    plain ``import aircraftutilization_etl_spark.x.y``, and the common
+    ``from ..operators.x import fn`` / ``from .x import fn`` forms,
+    including parenthesized multiline name lists."""
     import os
     import re
 
-    global _IMPORT_RE
+    global _IMPORT_RE, _PLAIN_IMPORT_RE
     if _IMPORT_RE is None:
         _IMPORT_RE = re.compile(
-            r"^\s*from\s+(\.*)([\w.]*)\s+import", re.MULTILINE
+            r"^\s*from\s+(\.*)([\w.]*)\s+import\s+(\([^)]*\)|[^\n]*)",
+            re.MULTILINE,
+        )
+        _PLAIN_IMPORT_RE = re.compile(
+            r"^\s*import\s+([\w.]+(?:\s*,\s*[\w.]+)*)", re.MULTILINE
         )
     rel = modname.replace(".", os.sep)
     path = os.path.join(_repo_dir(), rel + ".py")
+    is_package = False
     if not os.path.isfile(path):
         path = os.path.join(_repo_dir(), rel, "__init__.py")
+        is_package = True
         if not os.path.isfile(path):
             return set()
     with open(path, encoding="utf-8") as fh:
         src = fh.read()
-    pkg_parts = modname.split(".")[:-1]
+    # a package's relative imports resolve against the package itself;
+    # a plain module's against its containing package
+    pkg_parts = modname.split(".") if is_package else modname.split(".")[:-1]
     out: set[str] = set()
-    for dots, dotted in _IMPORT_RE.findall(src):
+    for dots, dotted, names in _IMPORT_RE.findall(src):
         if dots:
             up = len(dots) - 1
             if up > len(pkg_parts):
@@ -127,8 +148,21 @@ def _module_imports(modname: str) -> set[str]:
             target = ".".join(base + ([dotted] if dotted else []))
         else:
             target = dotted
-        if target.startswith(_PKG):
-            out.add(target)
+        if not target.startswith(_PKG):
+            continue
+        out.add(target)
+        # each imported NAME may itself be a submodule of the target
+        for raw in names.strip("()").split(","):
+            ident = raw.split("#", 1)[0].split(" as ", 1)[0].strip()
+            if ident.isidentifier():
+                candidate = f"{target}.{ident}"
+                if _module_file_sha(candidate) is not None:
+                    out.add(candidate)
+    for group in _PLAIN_IMPORT_RE.findall(src):
+        for raw in group.split(","):
+            ident = raw.split(" as ", 1)[0].strip()
+            if ident.startswith(_PKG):
+                out.add(ident)
     return out
 
 

@@ -288,21 +288,21 @@ def train_logreg_hashed(
         t_max = int(
             base.agg(F.max("t").alias("m")).collect()[0]["m"] or 0
         )
-        for _ in range(iterations):
-            peak = t_max * max(
-                max((abs(x) for x in w), default=0) + abs(b),
-                1_000_000_000,
-            )
-            if peak >= 2**53:
+
+        def _check_exactness_bound():
+            wb = max((abs(x) for x in w), default=0) + abs(b)
+            if t_max * max(wb, 1_000_000_000) >= 2**53:
                 raise ArithmeticError(
                     "integer-GD exactness bound violated: max(t)="
-                    f"{t_max} with max|w|+|b|="
-                    f"{max((abs(x) for x in w), default=0) + abs(b)} "
-                    "micros puts a casted numerator at or past 2^53; "
-                    "the floored margin/gradient would no longer be "
-                    "bit-stable cross-engine (lower lr/iterations or "
-                    "cap per-doc feature counts)"
+                    f"{t_max} with max|w|+|b|={wb} micros puts a "
+                    "casted numerator at or past 2^53; the floored "
+                    "margin/gradient would no longer be bit-stable "
+                    "cross-engine (lower lr/iterations or cap per-doc "
+                    "feature counts)"
                 )
+
+        for _ in range(iterations):
+            _check_exactness_bound()
             _weights_df(spark, w).createOrReplaceTempView(w_view)
             rows = spark.sql(round_sql.format(bias=int(b))).collect()
             for row in rows:
@@ -315,6 +315,10 @@ def train_logreg_hashed(
                     w[row["bucket"]] -= math.floor(
                         (lr * g) / (1000.0 * n)
                     )
+        # the final update is what predict()/_margins will cast to
+        # DOUBLE — validate the RETURNED model too, not only each
+        # round's entry weights (code-review r7)
+        _check_exactness_bound()
     finally:
         # a failed round must not leak the views or pin the training
         # cache in executor storage for the life of the session

@@ -480,18 +480,19 @@ _PQ_BOOKS_CACHE: dict[tuple, list[list[list[int]]]] = {}
 
 
 def _parquet_fingerprint(sf_dir: str, name: str) -> tuple:
-    """(path, size, sha256 of the file's last 64 KiB) per data file
-    under the table's parquet path (single file or part-file dir) — a
-    content fingerprint that changes whenever the table is rewritten.
-    The tail of a parquet file is its footer (row counts, column-chunk
-    offsets, min/max statistics), so ANY data change moves the hash —
-    unlike the earlier (size, mtime_ns) proxy, which a
+    """(path, size, mtime_ns, sha256 of the file's last 64 KiB) per
+    data file under the table's parquet path (single file or part-file
+    dir) — a content fingerprint that changes whenever the table is
+    rewritten. The two signals cover each other's blind spot
+    (ADVICE r6 / code-review r7): the tail of a parquet file is its
+    footer (row counts, column-chunk offsets, min/max statistics), so a
     timestamp-preserving rewrite (rsync -t, archive extraction,
-    coarse-mtime object-store mounts) could leave unchanged and silently
-    serve codebooks trained on the old corpus (ADVICE r6). One bounded
-    read per file; an identical re-encode of the same rows may still
-    hit, which is harmless — the codebook is a pure function of the
-    corpus."""
+    coarse-mtime object-store mounts) that changes any data still moves
+    the hash; and mtime_ns catches the residual footer-identical
+    rewrite (same sizes, page data permuted within unchanged chunk
+    stats). One bounded read per file; a false retrain on a touched-
+    but-identical file is harmless — the codebook is a pure function of
+    the corpus."""
     import hashlib
     import os
 
@@ -506,13 +507,13 @@ def _parquet_fingerprint(sf_dir: str, name: str) -> tuple:
         )
     for p in paths:
         try:
-            size = os.stat(p).st_size
+            st = os.stat(p)
             with open(p, "rb") as fh:
-                fh.seek(max(0, size - 65536))
+                fh.seek(max(0, st.st_size - 65536))
                 tail = hashlib.sha256(fh.read(65536)).hexdigest()
-            out.append((p, size, tail))
+            out.append((p, st.st_size, st.st_mtime_ns, tail))
         except OSError:
-            out.append((p, -1, "unreadable"))
+            out.append((p, -1, -1, "unreadable"))
     return tuple(out)
 
 

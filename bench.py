@@ -144,10 +144,15 @@ def _prev_bench_queries(
     import re
 
     here = bench_dir or os.path.dirname(os.path.abspath(__file__))
-    files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
-    )
+    # match-then-sort: a stray 'BENCH_r6_retry.json' satisfies the glob
+    # but not the round pattern — skip it rather than dying on .group()
+    # after the whole multi-minute bench run has already executed
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
+    files = [p for _, p in sorted(numbered)]
     for path in reversed(files):
         try:
             with open(path, encoding="utf-8") as fh:

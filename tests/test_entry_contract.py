@@ -300,6 +300,27 @@ def test_legacy_string_snapshot_retires_against_plan_hash(monkeypatch):
     assert entry_mod._catalog_order() == sorted(CATALOG)
 
 
+def test_import_resolver_handles_all_package_shapes():
+    """code-review r7: the dep scanner must resolve (a) `from . import
+    X as Y` — the imported NAME is the submodule (plans/clustering.py
+    pulls plans.similarity this way), (b) relative imports inside a
+    package __init__ (relative to the package itself, not its parent),
+    and (c) plain `import pkg.mod`; missing any of these silently
+    narrows deep-hash coverage."""
+    pkg = "aircraftutilization_etl_spark"
+    deps = entry_mod._module_imports(f"{pkg}.plans.clustering")
+    assert f"{pkg}.plans.similarity" in deps  # from . import similarity
+    # streaming/__init__.py: from .flight_stream import ... must resolve
+    # against the package itself
+    deps = entry_mod._module_imports(f"{pkg}.streaming")
+    assert f"{pkg}.streaming.flight_stream" in deps
+    assert f"{pkg}.flight_stream" not in deps
+    # and the recall query's identity must reach plans.similarity
+    assert f"{pkg}.plans.similarity" in entry_mod._plan_dep_modules(
+        "q_emb_ann_recall_report"
+    )
+
+
 def test_deep_hash_covers_plan_source_and_oracle_too(monkeypatch):
     """The deep hash strictly extends the legacy payload: an oracle edit
     moves it even with every module sha pinned."""
