@@ -183,9 +183,9 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_nationkey,
            CAST(NTILE(4) OVER w AS INT) AS balance_quartile,
-           CAST((RANK() OVER w - 1) * 1000000
+           CAST(CAST(RANK() OVER w - 1 AS BIGINT) * 1000000
                 // GREATEST(COUNT(*) OVER p - 1, 1) AS BIGINT) AS pct_rank_ppm,
-           CAST((ROW_NUMBER() OVER w) * 1000000
+           CAST(CAST(ROW_NUMBER() OVER w AS BIGINT) * 1000000
                 // (COUNT(*) OVER p) AS BIGINT) AS cume_ppm
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
@@ -205,6 +205,13 @@ def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     last digit. The ordering key includes the unique c_custkey, so
     rank == row_number and the integer forms are exactly the SQL
     functions' semantics.
+
+    r7 scale fix (caught by the first sf1-equivalent ORACLE sweep):
+    Spark's rank()/row_number() are IntegerType, so rank * 1000000
+    overflows INT once a partition exceeds 2147 rows — fine at sf0.1
+    (600 customers/nation), an ANSI ARITHMETIC_OVERFLOW at sf1
+    (6000/nation) and a silent wrap with ANSI off. Rank is cast to
+    BIGINT BEFORE the multiply on both engines.
     """
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
@@ -213,14 +220,14 @@ def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.ntile(4).over(w).cast("int").alias("balance_quartile"),
         F.expr(
-            "CAST((rank() OVER (PARTITION BY c_nationkey"
-            " ORDER BY c_acctbal, c_custkey) - 1) * 1000000"
+            "CAST(CAST(rank() OVER (PARTITION BY c_nationkey"
+            " ORDER BY c_acctbal, c_custkey) - 1 AS BIGINT) * 1000000"
             " div GREATEST(count(*) OVER (PARTITION BY c_nationkey) - 1, 1)"
             " AS BIGINT)"
         ).alias("pct_rank_ppm"),
         F.expr(
-            "CAST(row_number() OVER (PARTITION BY c_nationkey"
-            " ORDER BY c_acctbal, c_custkey) * 1000000"
+            "CAST(CAST(row_number() OVER (PARTITION BY c_nationkey"
+            " ORDER BY c_acctbal, c_custkey) AS BIGINT) * 1000000"
             " div count(*) OVER (PARTITION BY c_nationkey) AS BIGINT)"
         ).alias("cume_ppm"),
     ).orderBy("c_custkey")
