@@ -122,8 +122,13 @@ def _module_imports(modname: str) -> set[str]:
             r"^\s*from\s+(\.*)([\w.]*)\s+import\s+(\([^)]*\)|[^\n]*)",
             re.MULTILINE,
         )
+        # each comma-separated item may carry an 'as' alias; without
+        # the optional alias group the match stops at the first 'as'
+        # and silently drops later items (ADVICE r7)
         _PLAIN_IMPORT_RE = re.compile(
-            r"^\s*import\s+([\w.]+(?:\s*,\s*[\w.]+)*)", re.MULTILINE
+            r"^\s*import\s+([\w.]+(?:\s+as\s+\w+)?"
+            r"(?:\s*,\s*[\w.]+(?:\s+as\s+\w+)?)*)",
+            re.MULTILINE,
         )
     rel = modname.replace(".", os.sep)
     path = os.path.join(_repo_dir(), rel + ".py")
@@ -261,7 +266,7 @@ def _latest_rows() -> dict[str, tuple[int, dict]]:
 _SNAPSHOT_CACHE: list | None = None  # [parsed] memo (None payload valid)
 
 
-def _snapshot_hashes() -> dict[int, dict[str, str]] | None:
+def _snapshot_hashes() -> dict[int, dict[str, str | dict[str, str]]] | None:
     """Per-round content hashes recorded at snapshot time
     (``QUERY_HASHES.json``, written by tools/snapshot_query_hashes.py as
     part of the pre-snapshot gate). None when absent (fresh checkout

@@ -110,24 +110,35 @@ def _margins(
     buckets carry weight 0, so the sparse model frame is exact), ONE
     double division by t·1e6 — both engines round that division
     identically, so the margin double is bit-stable cross-engine."""
-    # Exactness precondition (ADVICE r6): the numerator must be exactly
-    # representable in the double it is cast to, i.e.
-    # t·(max|w_micros| + |b_micros|) < 2^53 — train_logreg_hashed
-    # enforces it per round (it knows max t); callers passing external
-    # weights inherit the same bound.
+    # Exactness precondition (ADVICE r6/r7): the numerator must be
+    # exactly representable in the double it is cast to, i.e.
+    # t·(max|w_micros| + |b_micros|) < 2^53. train_logreg_hashed
+    # enforces it per round against the TRAINING corpus; scoring a
+    # different corpus can have larger per-doc t, so it is ALSO
+    # enforced here, per group, executor-side: the threshold is a
+    # driver-computed literal (integer division, so the comparison
+    # itself cannot overflow a long) and assert_true is folded into
+    # the margin expression so column pruning cannot drop it. Cost:
+    # one long comparison per document.
+    wb = max((abs(int(x)) for x in w_micros), default=0) + abs(int(b_micros))
+    t_threshold = (2**53 - 1) // max(wb, 1_000_000_000)
     wdf = _weights_df(feats.sparkSession, w_micros)
+    margin = (
+        F.sum(F.coalesce(F.col("__wm"), F.lit(0)) * F.col("c"))
+        + F.lit(int(b_micros)) * F.max("t")
+    ).cast("double") / (F.max("t") * F.lit(1000000.0))
+    bound_ok = F.assert_true(
+        F.max("t") <= F.lit(int(t_threshold)),
+        f"integer-GD exactness bound violated at scoring time: a "
+        f"document's token total exceeds {t_threshold} for "
+        f"max|w|+|b|={wb} micros, putting the casted margin numerator "
+        f"at or past 2^53 (the floored margin would no longer be "
+        f"bit-stable cross-engine)",
+    )
     return (
         feats.join(F.broadcast(wdf), "bucket", "left")
         .groupBy(id_col)
-        .agg(
-            (
-                (
-                    F.sum(F.coalesce(F.col("__wm"), F.lit(0)) * F.col("c"))
-                    + F.lit(int(b_micros)) * F.max("t")
-                ).cast("double")
-                / (F.max("t") * F.lit(1000000.0))
-            ).alias("__m")
-        )
+        .agg(F.when(bound_ok.isNull(), margin).alias("__m"))
     )
 
 

@@ -746,10 +746,18 @@ def inverted_index(
     tail is handled by the full postings table, not the hot shape).
 
     Scale: one corpus pass to (doc, term, tf) with map-side combine;
-    the per-term truncated posting array is a per-group top-k (sorted
-    slice of collected structs) — group size bounds memory exactly
-    like any per-key top-k; df filtering prunes the vocabulary tail
-    before collection.
+    df/total_tf are unbounded-frame window aggregates over the term
+    partition and the posting list is truncated by a ``row_number()
+    <= postings_per_term`` filter BEFORE ``collect_list``, so per-term
+    executor state is bounded at k postings even for stopword-
+    frequency terms (a hot term at 100 TB has billions of postings —
+    collecting them all just to slice top-10 would materialize an
+    unbounded array on one executor). The rank window and the frame
+    aggregates share the term exchange: one shuffle total.
+
+    Output edge is all-scalar ('postings' is a comma-joined string,
+    'doc:tf' impact-ordered) — array-typed output columns crash the
+    driver harness's pandas canonicalizer (unhashable list).
     """
     words = df.select(
         F.col(id_col),
@@ -758,38 +766,44 @@ def inverted_index(
         ).alias("__w"),
     )
     tf = words.groupBy("__w", id_col).agg(F.count(F.lit(1)).alias("__tf"))
-    per_term = tf.groupBy("__w").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("__tf").alias("total_tf"),
-        F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("__tf")).cast("long").alias("neg_tf"),
-                        F.col(id_col).cast("long").alias("doc"),
-                    )
-                )
-            ),
-            1,
-            postings_per_term,
-        ).alias("__top"),
+    w_term = Window.partitionBy("__w")
+    w_rank = w_term.orderBy(
+        F.col("__tf").desc(), F.col(id_col).cast("long").asc()
     )
-    # postings as 'doc:tf' strings, not structs: the oracle harness
-    # canonicalizes lists of scalars identically across engines, while
-    # struct rendering differs (Row tuple vs dict)
-    return (
-        per_term.filter(F.col("df") >= min_df)
-        .select(
-            F.col("__w").alias("term"),
-            F.col("df").cast("long").alias("df"),
-            F.col("total_tf").cast("long").alias("total_tf"),
+    ranked = tf.select(
+        F.col("__w"),
+        F.col(id_col).cast("long").alias("__doc"),
+        F.col("__tf").cast("long").alias("__tf"),
+        F.count(F.lit(1)).over(w_term).alias("df"),
+        F.sum("__tf").over(w_term).cast("long").alias("total_tf"),
+        F.row_number().over(w_rank).cast("long").alias("__rn"),
+    ).filter(
+        (F.col("df") >= min_df) & (F.col("__rn") <= postings_per_term)
+    )
+    return ranked.groupBy("__w").agg(
+        F.first("df").alias("df"),
+        F.first("total_tf").alias("total_tf"),
+        F.array_join(
             F.transform(
-                "__top",
-                lambda s: F.concat_ws(
-                    ":", s["doc"], (-s["neg_tf"]).cast("long")
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__rn").alias("rn"),
+                            F.concat_ws(
+                                ":", F.col("__doc"), F.col("__tf")
+                            ).alias("p"),
+                        )
+                    )
                 ),
-            ).alias("postings"),
-        )
+                lambda s: s["p"],
+            ),
+            ",",
+        ).alias("postings"),
+    ).select(
+        F.col("__w").alias("term"),
+        F.col("df").cast("long").alias("df"),
+        F.col("total_tf"),
+        F.col("postings"),
     )
 
 

@@ -144,6 +144,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays every round verbatim (see operators/classifier.py for the
     recurrence and the lone exp()-ulp hazard, ~1e-10 per doc-round).
 
+    r8 execution-path change (hash-float note): predict()/_margins now
+    enforces the 2^53 exactness bound per scored document (ADVICE r7) —
+    results identical, plan gains one post-aggregation assert_true.
+
     Scale: the model (2^12 integer weights) broadcasts each round; each
     round is one scoring pass + one feature-keyed gradient aggregation
     with map-side combine (≤ 4096 result rows) — data never moves to

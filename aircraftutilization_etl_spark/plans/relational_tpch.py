@@ -273,20 +273,22 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                   AS rev_tm
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey
     ),
     ranked AS (
-        SELECT supplier_no, total_revenue,
-               MAX(total_revenue) OVER () AS max_revenue
+        SELECT supplier_no, rev_tm, MAX(rev_tm) OVER () AS max_tm
         FROM revenue
     )
-    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST((rev_tm + 50) // 100 AS BIGINT) / 100.0 AS total_revenue
     FROM supplier JOIN ranked ON s_suppkey = supplier_no
-    WHERE total_revenue = max_revenue
+    WHERE rev_tm = max_tm
     ORDER BY s_suppkey
     """,
 )
@@ -294,33 +296,46 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum 3-month revenue — the
     view + scalar-max shape.
 
-    The max comes from a window over the ONE materialized revenue
-    aggregate rather than a second scan: re-aggregating float sums twice
-    can disagree in the last bit and an equality against a re-computed
-    max silently drops the winner. Same single-evaluation form on both
-    engines.
+    r8 exact-cents form: prices and discounts are 2-dp, so per-row
+    revenue is computed as exact BIGINT tenth-mills (cents x integer
+    percent) and summed without IEEE summation-order drift — the r7
+    sf1 sweep showed replicated exact-tie revenue families splitting
+    into ulp variants under double summation, making MAX ties differ
+    across engines (SCALE.md). The max and the equality now compare
+    exact integers; the 2-dp output is an integer half-up divide then
+    one double division (bit-identical cross-engine).
+
+    The max still comes from a window over the ONE materialized revenue
+    aggregate (single-evaluation form on both engines).
 
     Scale: revenue is one partial-aggregated shuffle on suppkey (the
     supplier dimension is small post-agg); the unpartitioned window runs
-    over |suppliers| rows, not facts.
+    over |suppliers| rows, not facts. BIGINT headroom: per-row tm <=
+    ~1e9; a supplier group needs >9e9 qualifying rows to overflow —
+    far beyond per-supplier fact counts at 100 TB.
     """
     l = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = table(spark, sf_dir, "supplier")
+    rev_tm_row = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        F.sum(rev_tm_row).alias("rev_tm")
     )
     ranked = revenue.withColumn(
-        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        "max_tm", F.max("rev_tm").over(Window.partitionBy())
     )
     return (
         s.join(ranked, s.s_suppkey == ranked.supplier_no)
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .select("s_suppkey", "s_name", _money("total_revenue").alias("total_revenue"))
+        .filter(F.col("rev_tm") == F.col("max_tm"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.expr("(rev_tm + 50) DIV 100") / 100.0).alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -585,19 +600,27 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_type_profit",
     """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(CASE WHEN sum_tm >= 0 THEN (sum_tm + 50) // 100
+                     ELSE -((-sum_tm + 50) // 100) END AS BIGINT) / 100.0
+               AS sum_profit
     FROM (
-        SELECT n_name AS nation,
-               CAST(YEAR(o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity AS amount
-        FROM part JOIN lineitem ON p_partkey = l_partkey
-                  JOIN supplier ON s_suppkey = l_suppkey
-                  JOIN orders   ON o_orderkey = l_orderkey
-                  JOIN nation   ON s_nationkey = n_nationkey
-        WHERE p_name LIKE '%red%'
-    ) profit
-    GROUP BY nation, o_year
+        SELECT nation, o_year, SUM(amount_tm) AS sum_tm
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                   - 60 * CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT) AS amount_tm
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN orders   ON o_orderkey = l_orderkey
+                      JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+    ) agg
     ORDER BY nation, o_year DESC
     """,
 )
@@ -610,18 +633,35 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (profit = revenue minus a cost joined in from another table) is
     unchanged.
 
+    r8 exact-cents form: per-row profit is exact BIGINT tenth-mills
+    (prices are 2-dp cents, discounts whole percents, quantities
+    integers; 0.6 x retail x qty = 60 x retail_cents x qty tenth-mills
+    exactly), summed without IEEE drift — ROUND(SUM(double),2) stopped
+    being cross-engine stable at sf1's ~1e5-term groups (12/175 rows
+    one cent off, SCALE.md). The 2-dp output is a sign-symmetric
+    integer half-away-from-zero divide (operands kept non-negative so
+    trunc-vs-floor division semantics can't diverge) then one double
+    division — bit-identical cross-engine.
+
     Scale: the part filter prunes BEFORE the fact join (LIKE on a
     dimension, then broadcast); lineitem shuffles once on orderkey for
-    the orders join; nation broadcast closes the snowflake.
+    the orders join; nation broadcast closes the snowflake. BIGINT
+    headroom: |amount_tm| <= ~2e9/row; a nation-year group overflows
+    only past ~4e9 rows — beyond any single group at 100 TB.
     """
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    amount_tm = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    ) - 60 * F.round(F.col("p_retailprice") * 100, 0).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    half_up = F.expr(
+        "CASE WHEN sum_tm >= 0 THEN (sum_tm + 50) DIV 100"
+        " ELSE -((-sum_tm + 50) DIV 100) END"
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -632,7 +672,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(_money(F.sum(amount)).alias("sum_profit"))
+        .agg(F.sum(amount_tm).alias("sum_tm"))
+        .select(
+            "nation", "o_year", (half_up / 100.0).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 

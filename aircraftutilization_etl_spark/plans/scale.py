@@ -52,7 +52,9 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                 + 50) // 100 AS BIGINT) / 100.0 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
       AND o_orderdate >= DATE '1996-01-01'
@@ -67,6 +69,12 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem rows map-side before the join shuffle; the exact join then
     removes Bloom false positives, so the result is identical to the
     plain join — exactly what the oracle checks.
+
+    r8 exact-cents revenue: per-row revenue summed as exact BIGINT
+    tenth-mills (2-dp prices x integer percents), half-up integer
+    divide to cents, one double division — ROUND(SUM(double),2) drifted
+    by a cent on 1/12 groups at sf1 (SCALE.md). Positive-only sums, so
+    a plain non-negative divide suffices.
 
     At 100 TB this is the lever for selective fact-to-fact joins where
     the build side exceeds broadcast size: the bit array (16 KB here)
@@ -97,9 +105,15 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+            ).alias("rev_tm"),
+        )
+        .select(
+            "order_month",
+            "n_items",
+            (F.expr("(rev_tm + 50) DIV 100") / 100.0).alias("revenue"),
         )
         .orderBy("order_month")
     )

@@ -788,8 +788,9 @@ INDEX_POSTINGS = 10
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS df,
            CAST(SUM(tf) AS BIGINT) AS total_tf,
-           (list(doc_id || ':' || tf ORDER BY tf DESC, doc_id)
-            )[1:{INDEX_POSTINGS}] AS postings
+           array_to_string(
+               (list(doc_id || ':' || tf ORDER BY tf DESC, doc_id)
+                )[1:{INDEX_POSTINGS}], ',') AS postings
     FROM tf
     GROUP BY term
     HAVING COUNT(*) >= {INDEX_MIN_DF}
@@ -798,15 +799,20 @@ INDEX_POSTINGS = 10
 )
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-shape inverted index: per term, document frequency,
-    total tf, and the impact-ordered top-10 postings ('doc:tf'
-    strings, tf-descending) — the layout a search engine stores so
-    scoring can early-exit; pairs with q_text_bm25_topk as the build
-    side of lexical retrieval.
+    total tf, and the impact-ordered top-10 postings (comma-joined
+    'doc:tf' string, tf-descending) — the layout a search engine
+    stores so scoring can early-exit; pairs with q_text_bm25_topk as
+    the build side of lexical retrieval.
+
+    r8: postings scalarized (array_join / array_to_string) — the
+    driver's canonicalizer cannot sort array-typed output columns
+    (r7's one red row); and the per-term posting list is now bounded
+    at k BEFORE collection via a row_number window (hot-term state was
+    previously unbounded at df).
 
     Scale (operators/text.inverted_index): one corpus pass with
-    map-side combine; per-term truncated posting arrays are a per-group
-    top-k (memory bounds at group size); df filtering prunes the
-    vocabulary tail before collection.
+    map-side combine; rank window + frame aggregates share one term
+    exchange; per-term collect state is bounded at k postings.
     """
     from ..operators.text import inverted_index
 

@@ -101,3 +101,29 @@ def test_sentinel_ratio_is_median_and_survives_gaps(bench, monkeypatch):
     out = bench._sentinel_fields(cur, 0.1)
     assert out["sentinel_ratio_vs_prev"] is None
     assert out["sentinel_prev_bench"] is None
+
+
+def test_stdout_payload_stays_driver_parseable(bench, monkeypatch):
+    """Regression for r7's parsed:null bench: the stdout JSON line must
+    carry EXACTLY the r6 key set (metric/value/unit/queries/sf) — the
+    sentinel block rides the side file, never the stdout payload."""
+    monkeypatch.setattr(
+        bench, "_prev_bench_queries", lambda d=None: (None, None, None)
+    )
+    payload, block = bench._assemble_payloads(
+        {"q1": 1.5, "q2": 0.5}, {}, "/root/testdata/sf0.1"
+    )
+    assert list(payload) == ["metric", "value", "unit", "queries", "sf"]
+    assert payload["value"] == 2.0 and payload["sf"] == 0.1
+    assert set(block) == {
+        "sentinels",
+        "sentinel_ratio_vs_prev",
+        "sentinel_prev_bench",
+    }
+    # failures null the headline value but never add sentinel keys
+    payload, _ = bench._assemble_payloads(
+        {"q1": 1.5}, {"q2": "Boom"}, "/root/testdata/sf0.1"
+    )
+    assert payload["value"] is None
+    assert payload["partial_total"] == 1.5
+    assert "sentinels" not in payload

@@ -131,6 +131,30 @@ class TestTraining:
         with pytest.raises(ArithmeticError, match="2\\^53"):
             train_logreg_hashed(feats, labels, iterations=1)
 
+    def test_predict_enforces_bound_on_scoring_corpus(self, spark):
+        """ADVICE r7: a trained model's bound was checked against the
+        TRAINING corpus; scoring a corpus with larger per-doc token
+        totals must fail loudly too, executor-side, not silently lose
+        margin bit-stability."""
+        from aircraftutilization_etl_spark.operators.classifier import (
+            predict,
+        )
+
+        feats = spark.createDataFrame(
+            [(1, 7, 10_000_000, 10_000_000, 1.0)],
+            "doc_id long, bucket long, c long, t long, x double",
+        )
+        w = [0] * 4096
+        w[7] = 500
+        with pytest.raises(Exception, match="2\\^53"):
+            predict(feats, w, 100).collect()
+        # and a corpus inside the bound scores normally
+        small = spark.createDataFrame(
+            [(1, 7, 10, 10, 1.0)],
+            "doc_id long, bucket long, c long, t long, x double",
+        )
+        assert predict(small, w, 100).count() == 1
+
     def test_concurrent_trainers_do_not_clobber_each_other(self, spark):
         """Two trainers sharing one SparkSession draw distinct temp-view
         suffixes, so parallel training runs return exactly the models

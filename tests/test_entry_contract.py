@@ -319,6 +319,14 @@ def test_import_resolver_handles_all_package_shapes():
     assert f"{pkg}.plans.similarity" in entry_mod._plan_dep_modules(
         "q_emb_ann_recall_report"
     )
+    # (d) ADVICE r7: an aliased item must not truncate a comma list —
+    # `import pkg.a as b, pkg.c` must yield BOTH pkg.a and pkg.c
+    m = entry_mod._PLAIN_IMPORT_RE.search(
+        f"import {pkg}.operators.text as t, {pkg}.operators.dedup\n"
+    )
+    assert m is not None
+    items = [x.split(" as ", 1)[0].strip() for x in m.group(1).split(",")]
+    assert items == [f"{pkg}.operators.text", f"{pkg}.operators.dedup"]
 
 
 def test_deep_hash_covers_plan_source_and_oracle_too(monkeypatch):

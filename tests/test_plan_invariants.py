@@ -286,7 +286,9 @@ def duck_views():
 
 def test_oracle_output_edges_free_of_exotic_numeric_types(duck_views):
     """Binding-only sweep (no execution): every oracle planned against
-    the sf0.001 views must emit no HUGEINT/UHUGEINT/DECIMAL column."""
+    the sf0.001 views must emit no HUGEINT/UHUGEINT/DECIMAL column, and
+    (r8) no LIST/ARRAY/MAP/STRUCT container column either — the
+    driver's pandas canonicalizer crashes on unhashable list values."""
     _, oracle_problems, _ = _edge_helpers()
     offenders = []
     for name, qd in CATALOG.items():
@@ -300,8 +302,9 @@ def test_oracle_output_edges_free_of_exotic_numeric_types(duck_views):
 
 
 def test_spark_output_edges_free_of_decimal(built):
-    """Symmetric Spark-side gate: no DecimalType (top-level or nested)
-    in any catalog query's result schema."""
+    """Symmetric Spark-side gate: no DecimalType and (r8) no
+    ArrayType/MapType/StructType (top-level or nested) in any catalog
+    query's result schema."""
     _, _, spark_problems = _edge_helpers()
     offenders = [
         (name, spark_problems(schema))
@@ -343,3 +346,39 @@ def test_edge_type_gate_rejects_the_r6_trap_shapes(duck_views):
         ]
     )
     assert spark_problems(schema) == ["d:decimal(10,2)", "l:array<decimal(38,8)>"]
+
+
+def test_edge_type_gate_rejects_the_r7_array_trap(duck_views):
+    """Regression for r7's only red row (q_text_inverted_index): an
+    array-typed output column — DuckDB spells it 'VARCHAR[]' — crashes
+    the driver's pandas sort_values canonicalizer, so the gate must
+    flag it before the driver ever sees it. The Spark twin bans
+    ArrayType (and MapType) result fields the same way."""
+    _, oracle_problems, spark_problems = _edge_helpers()
+    rel = duck_views.sql(
+        "SELECT r_regionkey, list(r_name) AS postings FROM region GROUP BY 1"
+    )
+    assert oracle_problems(rel.columns, rel.types) == ["postings:VARCHAR[]"]
+    rel = duck_views.sql("SELECT MAP {'a': 1} AS m, {'x': 1} AS s")
+    flagged = oracle_problems(rel.columns, rel.types)
+    assert [f.split(":")[0] for f in flagged] == ["m", "s"]
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ok", StringType()),
+            StructField("postings", ArrayType(StringType())),
+            StructField("m", MapType(StringType(), LongType())),
+        ]
+    )
+    assert spark_problems(schema) == [
+        "postings:array<string>",
+        "m:map<string,bigint>",
+    ]

@@ -398,10 +398,10 @@ class TestInvertedIndex:
         out = {r["term"]: r for r in inverted_index(df, 1, 2).collect()}
         x = out["x"]
         assert (x["df"], x["total_tf"]) == (3, 6)
-        # tf desc, doc asc; truncated to 2
-        assert x["postings"] == ["1:3", "3:2"]
+        # tf desc, doc asc; truncated to 2; scalar comma-joined string
+        assert x["postings"] == "1:3,3:2"
         y = out["y"]
-        assert y["postings"] == ["1:1", "2:1"]
+        assert y["postings"] == "1:1,2:1"
 
     def test_min_df_prunes(self, spark):
         from aircraftutilization_etl_spark.operators.text import (

@@ -53,33 +53,47 @@ def canon(v):
 
 
 # Output-EDGE types the driver's hasher is known to canonicalize
-# differently from a Python-native fetch: DuckDB SUM(BIGINT) silently
-# widens to HUGEINT (int128) and the driver float-izes it (r6's only red
-# row, q_mix_manifest.n_tokens); Decimals did the same in r4. Interior
-# CTEs may use anything — only the final projection is gated.
-BANNED_EDGE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+# differently from a Python-native fetch — or to crash on outright:
+# DuckDB SUM(BIGINT) silently widens to HUGEINT (int128) and the driver
+# float-izes it (r6's only red row, q_mix_manifest.n_tokens); Decimals
+# did the same in r4; LIST/ARRAY/MAP/STRUCT output columns crash the
+# driver's pandas sort_values canonicalizer ("unhashable type: list" —
+# r7's only red row, q_text_inverted_index.postings). Interior CTEs may
+# use anything — only the final projection is gated. Scalarize with
+# array_to_string / array_join / string_agg before the output edge.
+BANNED_EDGE_TYPES = (
+    "HUGEINT", "UHUGEINT", "DECIMAL",
+    "LIST", "ARRAY", "MAP", "STRUCT", "UNION",
+)
+
+# Spark-side twin of the banned DuckDB output-edge types (substring
+# match against DataType.simpleString()).
+SPARK_BANNED_EDGE_TYPES = ("decimal", "array", "map", "struct")
 
 
 def oracle_edge_type_problems(columns, types):
     """Columns of a DuckDB result whose type the driver's hasher would
-    canonicalize lossily. ``types`` is ``rel.types`` (binding only — the
-    query is planned, not executed). Substring match so nested types
-    (LIST(DECIMAL), STRUCT(... HUGEINT ...)) are caught too."""
+    canonicalize lossily or crash on. ``types`` is ``rel.types``
+    (binding only — the query is planned, not executed). Substring
+    match so nested types (LIST(DECIMAL), STRUCT(... HUGEINT ...)) are
+    caught at any depth."""
     out = []
     for col, typ in zip(columns, types):
         ts = str(typ).upper()
-        if any(b in ts for b in BANNED_EDGE_TYPES):
+        # DuckDB stringifies list types as 'VARCHAR[]', not 'LIST(...)'
+        if "[]" in ts or any(b in ts for b in BANNED_EDGE_TYPES):
             out.append(f"{col}:{ts}")
     return out
 
 
 def spark_edge_type_problems(schema):
-    """Spark-side twin: DecimalType anywhere in a result field (top-level
-    or nested) — the same driver-hasher float-ization hazard."""
+    """Spark-side twin: DecimalType or any container type
+    (array/map/struct) anywhere in a result field — the same
+    driver-hasher float-ization / unhashable-list hazard."""
     return [
         f"{f.name}:{f.dataType.simpleString()}"
         for f in schema.fields
-        if "decimal" in f.dataType.simpleString()
+        if any(b in f.dataType.simpleString() for b in SPARK_BANNED_EDGE_TYPES)
     ]
 
 
