@@ -120,8 +120,12 @@ def _margins(
     # itself cannot overflow a long) and assert_true is folded into
     # the margin expression so column pruning cannot drop it. Cost:
     # one long comparison per document.
+    # Scoring has no gradient term, so the floor is 1e6 (denominator
+    # t·1e6 must itself be an exact double), NOT training's 1e9
+    # gradient-term floor — reusing 1e9 here would hard-fail corpora
+    # up to ~1000x below the real bound (code-review r8).
     wb = max((abs(int(x)) for x in w_micros), default=0) + abs(int(b_micros))
-    t_threshold = (2**53 - 1) // max(wb, 1_000_000_000)
+    t_threshold = (2**53 - 1) // max(wb, 1_000_000)
     wdf = _weights_df(feats.sparkSession, w_micros)
     margin = (
         F.sum(F.coalesce(F.col("__wm"), F.lit(0)) * F.col("c"))

@@ -145,15 +145,15 @@ class TestTraining:
             "doc_id long, bucket long, c long, t long, x double",
         )
         w = [0] * 4096
-        w[7] = 500
+        w[7] = 2_000_000_000  # 2e9 micros -> t threshold ~4.5e6
         with pytest.raises(Exception, match="2\\^53"):
             predict(feats, w, 100).collect()
-        # and a corpus inside the bound scores normally
-        small = spark.createDataFrame(
-            [(1, 7, 10, 10, 1.0)],
-            "doc_id long, bucket long, c long, t long, x double",
-        )
-        assert predict(small, w, 100).count() == 1
+        # the same corpus with a small model is INSIDE the scoring
+        # bound (t*wb ~6e9 << 2^53; scoring uses the 1e6 denominator
+        # floor, not training's conservative 1e9 gradient floor —
+        # code-review r8) and must score normally
+        w[7] = 500
+        assert predict(feats, w, 100).count() == 1
 
     def test_concurrent_trainers_do_not_clobber_each_other(self, spark):
         """Two trainers sharing one SparkSession draw distinct temp-view

@@ -362,6 +362,12 @@ def test_edge_type_gate_rejects_the_r7_array_trap(duck_views):
     rel = duck_views.sql("SELECT MAP {'a': 1} AS m, {'x': 1} AS s")
     flagged = oracle_problems(rel.columns, rel.types)
     assert [f.split(":")[0] for f in flagged] == ["m", "s"]
+    # fixed-size arrays stringify as 'FLOAT[3]' — no '[]' substring
+    # (code-review r8): the bracket match must be digit-tolerant
+    rel = duck_views.sql(
+        "SELECT CAST([1.0, 2.0, 3.0] AS FLOAT[3]) AS emb"
+    )
+    assert oracle_problems(rel.columns, rel.types) == ["emb:FLOAT[3]"]
     from pyspark.sql.types import (
         ArrayType,
         LongType,

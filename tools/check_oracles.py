@@ -77,11 +77,15 @@ def oracle_edge_type_problems(columns, types):
     (binding only — the query is planned, not executed). Substring
     match so nested types (LIST(DECIMAL), STRUCT(... HUGEINT ...)) are
     caught at any depth."""
+    import re
+
     out = []
     for col, typ in zip(columns, types):
         ts = str(typ).upper()
-        # DuckDB stringifies list types as 'VARCHAR[]', not 'LIST(...)'
-        if "[]" in ts or any(b in ts for b in BANNED_EDGE_TYPES):
+        # DuckDB stringifies list types as 'VARCHAR[]' (not 'LIST(...)')
+        # and fixed-size arrays as 'FLOAT[3]' — match any bracket
+        # suffix, empty or numbered (code-review r8)
+        if re.search(r"\[\d*\]", ts) or any(b in ts for b in BANNED_EDGE_TYPES):
             out.append(f"{col}:{ts}")
     return out
 
@@ -111,6 +115,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--skip",
+        default=None,
+        help="comma-separated query names to exclude (e.g. the nine "
+        "O(n²)-oracle embedding queries at full sf1, probed separately "
+        "via tools/make_emb_probe.py)",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -118,10 +129,21 @@ def main():
 
     import __spark_entry__ as entry_mod
 
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS / SPARK_GRAFT_MAX_PARTITION_BYTES
+    # let the odd-partitioning robustness sweep (local[5], 13 shuffle
+    # partitions, 1 MB scan splits) run without editing this file —
+    # hashed outputs must not depend on parallelism or split layout.
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .appName("check-oracles")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"),
+        )
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
@@ -141,10 +163,14 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    skip = set(args.skip.split(",")) if args.skip else set()
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP {name} (--skip)")
             continue
         t0 = time.time()
         try:

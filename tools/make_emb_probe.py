@@ -46,6 +46,10 @@ def main() -> int:
     ap.add_argument("--vectors", type=int, default=6000)
     args = ap.parse_args()
 
+    # symlink targets are stored verbatim and resolve against the
+    # LINK's directory — a relative --src would create dangling links
+    args.src = os.path.abspath(args.src)
+    args.dst = os.path.abspath(args.dst)
     if not os.path.isdir(args.src):
         print(
             f"source {args.src} missing — run tools/upscale_testdata.py "
