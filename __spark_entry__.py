@@ -341,6 +341,23 @@ def _hash_current_at(name: str, rnd: int) -> bool:
     return recorded == _content_hash(name)
 
 
+def _plan_hash_current_at(name: str, rnd: int) -> bool:
+    """Like _hash_current_at but comparing ONLY the plan-form hash
+    (plan fn source + oracle), ignoring delegated-module file shas —
+    used to rank tier-1 floats: False means the query's own definition
+    was edited since the driver vouched for it (deliberate change),
+    True means only a dependency's file moved (incidental float)."""
+    snaps = _snapshot_hashes()
+    if snaps is None:
+        return True
+    recorded = snaps.get(rnd, {}).get(name)
+    if recorded is None:
+        return False
+    if isinstance(recorded, dict):
+        recorded = recorded.get("plan")
+    return recorded == _content_hash(name)
+
+
 _ORDER_CACHE: list[str] | None = None
 
 
@@ -379,17 +396,32 @@ def _catalog_order() -> list[str]:
     if not latest:
         _ORDER_CACHE = names
         return _ORDER_CACHE
-    stale, never, rest = [], [], []
+    red, edited, dep_floated, never, rest = [], [], [], [], []
     for n in names:
         if n not in latest:
             never.append(n)
             continue
         rnd, row = latest[n]
-        if _green_at_level(n, row) and _hash_current_at(n, rnd):
+        green = _green_at_level(n, row)
+        if green and _hash_current_at(n, rnd):
             rest.append(n)
+        elif not green:
+            red.append(n)
+        elif not _plan_hash_current_at(n, rnd):
+            edited.append(n)
         else:
-            stale.append(n)
-    _ORDER_CACHE = stale + never + rest
+            dep_floated.append(n)
+    # Tier-1 sub-priority (r8): when a round's floats exceed the
+    # driver's sample window, what gets deferred must be the LEAST
+    # risky rows — so (a) RED rows (latest driver check failed) come
+    # first, (b) then queries whose own plan source or oracle changed
+    # (a deliberate behavior edit awaiting re-verification), (c) then
+    # dep-only floats (an imported module's file sha moved but the
+    # plan+oracle are untouched — behavior almost always identical).
+    # r8's exact-cents refactor floated 70+ queries; alphabetical
+    # order would have deferred the round's one red row past the
+    # window while re-checking untouched text queries.
+    _ORDER_CACHE = red + edited + dep_floated + never + rest
     return _ORDER_CACHE
 
 

@@ -135,7 +135,8 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
     GROUP BY 1 ORDER BY k_mod
@@ -143,7 +144,12 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON shredding with JVM-side get_json_object (the reference shreds
-    JSON in Python pre-tableification, S2 — here it stays columnar)."""
+    JSON in Python pre-tableification, S2 — here it stays columnar).
+
+    r8 exact-cents total (functions/money.py): 10 table-scale buckets —
+    values are 2-dp, so the centi-unit sum is drift-free."""
+    from ..functions import money
+
     e = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
@@ -151,7 +157,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((k % 10).alias("k_mod"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(money.cents("value")) / 100.0).alias("total_value"),
         )
         .orderBy("k_mod")
     )

@@ -18,11 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import money
 from .catalog import query, table
 
 
 def _money(col):
     return F.round(col, 2)
+
+
+# DuckDB twins of the exact-integer money units (functions/money.py) —
+# shared across the table-scale-group queries converted in r8.
+_SQL_EP_CENTS = money.sql_cents("l_extendedprice")
+_SQL_DISC_PCT = money.sql_cents("l_discount")
+_SQL_SUM_BASE = money.sql_dollars(f"SUM({_SQL_EP_CENTS})", 1)
+_SQL_SUM_DISC = money.sql_dollars(f"SUM({money.SQL_REVENUE_TM})", 100)
+_SQL_SUM_CHARGE = money.sql_dollars(f"SUM({money.SQL_CHARGE_MICROS})", 10000)
 
 
 # ---------------------------------------------------------------------------
@@ -31,15 +41,18 @@ def _money(col):
 
 @query(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)   AS avg_price,
-           ROUND(AVG(l_discount), 4)        AS avg_disc,
+           {_SQL_SUM_BASE} AS sum_base_price,
+           {_SQL_SUM_DISC} AS sum_disc_price,
+           {_SQL_SUM_CHARGE} AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM({_SQL_EP_CENTS}) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 4) AS avg_price,
+           ROUND(CAST(SUM({_SQL_DISC_PCT}) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 4) AS avg_disc,
            COUNT(*)                          AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -50,24 +63,47 @@ def _money(col):
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate, the hash-agg workhorse.
 
-    Scale: fully partial-aggregatable — 6 sums/avgs collapse map-side to
+    r8 exact-cents form (functions/money.py): the r8 sf1 sweep caught
+    sum_disc_price one cent off run-to-run — merge-order IEEE drift on
+    ~1.5M-term double sums, invisible below ~1e5 terms/group. Every
+    money sum is now an exact integer-unit sum (cents / tenth-mills /
+    micros; quantities are integers) through a 128-bit interior, and
+    every average divides an exact integer numerator once — both
+    engines round identical doubles.
+
+    Scale: fully partial-aggregatable — the sums collapse map-side to
     ~|groups| rows per partition before one tiny shuffle (groups ≈ 6).
-    Predicate and 7-column pruning push into the parquet scan.
+    Predicate and 7-column pruning push into the parquet scan; the
+    integer units add two multiplies per row inside codegen.
     """
     l = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _money(F.sum("l_quantity")).alias("sum_qty"),
-            _money(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _money(F.sum(disc_price)).alias("sum_disc_price"),
-            _money(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            money.dollars(money.sum128(money.cents("l_extendedprice")), 1).alias(
+                "sum_base_price"
+            ),
+            money.dollars(money.sum128(money.revenue_tm()), 100).alias(
+                "sum_disc_price"
+            ),
+            money.dollars(money.sum128(money.charge_micros()), 10000).alias(
+                "sum_charge"
+            ),
+            F.round(
+                F.sum(F.col("l_quantity").cast("long")).cast("double") / n, 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(money.cents("l_extendedprice")).cast("double")
+                / (n * 100.0),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(money.pct("l_discount")).cast("double") / (n * 100.0), 4
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -75,9 +111,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    """
+    f"""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_SQL_SUM_DISC} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -85,7 +121,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
       AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY SUM({money.SQL_REVENUE_TM}) DESC, l_orderkey
     LIMIT 10
     """,
 )
@@ -107,26 +143,30 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("2000-03-15").cast("timestamp")
     )
+    # r8: top-k ranks on the EXACT integer revenue (tenth-mills), not a
+    # drifting double — replicated data creates exact-tie orders whose
+    # double sums can split into ulp variants and flip the cut line.
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            _money(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .agg(F.sum(money.revenue_tm()).alias("__rev_tm"))
+        .orderBy(F.desc("__rev_tm"), "l_orderkey")
         .limit(10)
+        .select(
+            "l_orderkey",
+            money.dollars(F.col("__rev_tm"), 100).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
 
 
 @query(
     "q5_local_supplier_volume",
-    """
+    f"""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_SQL_SUM_DISC} AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -135,11 +175,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
     GROUP BY n_name
-    ORDER BY revenue DESC, n_name
+    ORDER BY SUM({money.SQL_REVENUE_TM}) DESC, n_name
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table snowflake join with a same-nation constraint.
+
+    r8 exact-cents form (functions/money.py): the r8 sf1 sweep caught
+    the nation revenue one cent off run-to-run (merge-order IEEE drift
+    at ~2.4e5 terms/group); revenue is now an exact tenth-mill sum
+    through a 128-bit interior, ordered and emitted drift-free.
 
     Scale: only the FIXED-cardinality dims (nation 25, region 5) carry
     broadcast hints; customer/supplier scale with SF, so their join
@@ -163,21 +208,20 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            _money(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("revenue")
+        .agg(money.sum128(money.revenue_tm()).alias("__rev_tm"))
+        .orderBy(F.desc("__rev_tm"), "n_name")
+        .select(
+            "n_name", money.dollars(F.col("__rev_tm"), 100).alias("revenue")
         )
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 @query(
     "q_rollup_revenue",
-    """
+    f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           {_SQL_SUM_BASE} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -188,6 +232,10 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (grouping sets) — absent from the reference,
     exposed per SURVEY.md §2.8.
 
+    r8 exact-cents form: the grand-total grouping set sums the WHOLE
+    table — exactly the term count where double summation drifts
+    (functions/money.py); revenue is an exact cents sum now.
+
     Scale: rollup expands to 3 grouping sets; Spark computes them in one
     pass with partial aggregation (Expand + HashAggregate).
     COALESCE folds the grouping-null indicator into a label so the
@@ -197,7 +245,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
-            _money(F.sum("l_extendedprice")).alias("revenue"),
+            money.dollars(
+                money.sum128(money.cents("l_extendedprice")), 1
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
@@ -212,24 +262,30 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cube_order_priority",
-    """
+    f"""
     SELECT COALESCE(o_orderstatus, 'ALL')  AS orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           {money.sql_dollars(f"SUM({money.sql_cents('o_totalprice')})", 1)}
+               AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY orderstatus, orderpriority
     """,
 )
 def q_cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two order dimensions (all 4 grouping sets in one pass)."""
+    """CUBE over two order dimensions (all 4 grouping sets in one pass).
+
+    r8 exact-cents form: the (ALL, ALL) cell sums every order — exact
+    cents through a 128-bit interior (functions/money.py)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _money(F.sum("o_totalprice")).alias("total"),
+            money.dollars(money.sum128(money.cents("o_totalprice")), 1).alias(
+                "total"
+            ),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -278,24 +334,34 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_running_revenue",
-    """
+    f"""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS order_day,
-               ROUND(SUM(o_totalprice), 2) AS day_total
+               CAST(SUM({money.sql_cents('o_totalprice')}) AS BIGINT)
+                   AS day_cents
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
         GROUP BY 1
     )
-    SELECT order_day, day_total,
-           ROUND(SUM(day_total) OVER (ORDER BY order_day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-           ROUND(AVG(day_total) OVER (ORDER BY order_day
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    SELECT order_day,
+           day_cents / 100.0 AS day_total,
+           CAST(SUM(day_cents) OVER (ORDER BY order_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               / 100.0 AS running_total,
+           ROUND(CAST(SUM(day_cents) OVER (ORDER BY order_day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / (100.0 * COUNT(*) OVER (ORDER BY order_day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), 4) AS ma7
     FROM daily ORDER BY order_day
     """,
 )
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total + 7-day moving average with explicit ROWS frames.
+
+    r8 exact-cents form: per-day groups GROW with SF (~2.4k orders/day
+    at sf1), so day_total is an exact cents sum; the running total and
+    moving average then sum exact integers — no windowed double
+    accumulation anywhere (functions/money.py).
 
     Scale: the unpartitioned window runs over the *daily* rollup
     (≤ ~1500 rows regardless of fact size) — aggregate first, window
@@ -305,15 +371,19 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
         .groupBy(F.to_date("o_orderdate").alias("order_day"))
-        .agg(_money(F.sum("o_totalprice")).alias("day_total"))
+        .agg(F.sum(money.cents("o_totalprice")).alias("day_cents"))
     )
     w_run = Window.orderBy("order_day").rowsBetween(Window.unboundedPreceding, 0)
     w_ma = Window.orderBy("order_day").rowsBetween(-6, 0)
     return daily.select(
         "order_day",
-        "day_total",
-        _money(F.sum("day_total").over(w_run)).alias("running_total"),
-        F.round(F.avg("day_total").over(w_ma), 4).alias("ma7"),
+        (F.col("day_cents") / 100.0).alias("day_total"),
+        (F.sum("day_cents").over(w_run) / 100.0).alias("running_total"),
+        F.round(
+            F.sum("day_cents").over(w_ma).cast("double")
+            / (F.count(F.lit(1)).over(w_ma) * 100.0),
+            4,
+        ).alias("ma7"),
     ).orderBy("order_day")
 
 
@@ -558,20 +628,23 @@ def q_distinct_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_case_when_buckets",
-    """
+    f"""
     SELECT CASE WHEN l_quantity < 10 THEN 'small'
                 WHEN l_quantity < 30 THEN 'medium'
                 ELSE 'large' END AS qty_bucket,
            CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS ret,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_SQL_SUM_DISC} AS revenue
     FROM lineitem
     GROUP BY 1, 2 ORDER BY qty_bucket, ret
     """,
 )
 def q_case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """when()-chain bucketing — the U1/U2 kernel shape (SURVEY.md §2.7)
-    applied to the synthetic facts; pure column expressions, codegen'd."""
+    applied to the synthetic facts; pure column expressions, codegen'd.
+
+    r8 exact-cents revenue: six table-scale buckets — exact tenth-mill
+    sums through a 128-bit interior (functions/money.py)."""
     l = table(spark, sf_dir, "lineitem")
     bucket = (
         F.when(F.col("l_quantity") < 10, "small")
@@ -583,9 +656,9 @@ def q_case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy(bucket.alias("qty_bucket"), ret.alias("ret"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _money(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("revenue"),
+            money.dollars(money.sum128(money.revenue_tm()), 100).alias(
+                "revenue"
+            ),
         )
         .orderBy("qty_bucket", "ret")
     )

@@ -9,16 +9,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import money
 from .catalog import query, table
 
 
 @query(
     "q_grouping_sets_revenue",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {money.sql_dollars(f"SUM({money.SQL_REVENUE_TM})", 100)} AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -27,7 +28,10 @@ from .catalog import query, table
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube): per (flag,status),
     per flag, and grand total in one pass — one shuffle, each input row
-    expanded into its grouping-set copies map-side."""
+    expanded into its grouping-set copies map-side.
+
+    r8 exact-cents revenue: the () grouping set sums the whole table —
+    exact tenth-mills through a 128-bit interior (functions/money.py)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupingSets(
@@ -38,9 +42,9 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money.dollars(money.sum128(money.revenue_tm()), 100).alias(
+                "revenue"
+            ),
         )
         .orderBy(
             "g_flag",
@@ -367,7 +371,7 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_unpivot_measures",
-    """
+    f"""
     WITH melted AS (
         SELECT l_returnflag, l_linestatus, measure, value
         FROM (SELECT l_returnflag, l_linestatus, l_quantity,
@@ -377,8 +381,10 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, l_linestatus, measure,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 2) AS total,
-           ROUND(AVG(value), 4) AS mean
+           {money.sql_dollars(f"SUM({money.sql_cents('value')})", 1)}
+               AS total,
+           ROUND(CAST(SUM({money.sql_cents('value')}) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 4) AS mean
     FROM melted
     GROUP BY l_returnflag, l_linestatus, measure
     ORDER BY l_returnflag, l_linestatus, measure
@@ -410,12 +416,20 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+    # r8 exact-cents: every melted measure is 2-dp (qty integral, price
+    # cents, disc/tax whole percents as 0.xx), so centi-unit sums are
+    # exact at any group size (functions/money.py)
+    n = F.count(F.lit(1))
     return (
         melted.groupBy("l_returnflag", "l_linestatus", "measure")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 2).alias("total"),
-            F.round(F.avg("value"), 4).alias("mean"),
+            n.alias("n_rows"),
+            money.dollars(money.sum128(money.cents("value")), 1).alias(
+                "total"
+            ),
+            F.round(
+                F.sum(money.cents("value")).cast("double") / (n * 100.0), 4
+            ).alias("mean"),
         )
         .orderBy("l_returnflag", "l_linestatus", "measure")
     )
@@ -717,7 +731,8 @@ def q_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(bal) AS BIGINT) AS n_bal,
            CAST(SUM(CASE WHEN bal IS NOT DISTINCT FROM NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_null,
-           ROUND(SUM(COALESCE(bal, 0)), 2) AS total_bal,
+           CAST(SUM(CAST(ROUND(COALESCE(bal, 0) * 100) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_bal,
            ROUND(MIN(bal), 2) AS min_bal,
            CAST(SUM(CASE WHEN NULLIF(seg, 'MACHINERY') IS NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery_or_null
@@ -756,9 +771,11 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("bal").eqNullSafe(F.lit(None)).cast("int"))
             .cast("bigint")
             .alias("n_null_safe_null"),
-            F.round(F.sum(F.coalesce("bal", F.lit(0))), 2).alias(
-                "total_bal"
-            ),
+            # r8 exact-cents: per-segment groups scale with SF
+            # (functions/money.py; bal is 2-dp, already rounded)
+            (
+                F.sum(money.cents(F.coalesce("bal", F.lit(0)))) / 100.0
+            ).alias("total_bal"),
             F.round(F.min("bal"), 2).alias("min_bal"),
             F.sum(
                 F.nullif(F.col("seg"), F.lit("MACHINERY"))

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import money
 from .catalog import query, table
 
 
@@ -29,13 +30,13 @@ def _money(col):
 
 @query(
     "q7_volume_shipping",
-    """
+    f"""
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 2) AS revenue
+           {money.sql_dollars("SUM(volume)", 100)} AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(YEAR(l_shipdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               {money.SQL_REVENUE_TM} AS volume
         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
                       JOIN orders   ON o_orderkey = l_orderkey
                       JOIN customer ON c_custkey = o_custkey
@@ -92,9 +93,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
-            _money(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("revenue")
+            # r8 exact-cents (functions/money.py): nation-pair-year
+            # groups scale with SF — exact tenth-mill sums
+            money.dollars(money.sum128(money.revenue_tm()), 100).alias(
+                "revenue"
+            )
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -102,13 +105,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q8_market_share",
-    """
+    f"""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                          THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               {money.SQL_REVENUE_TM} AS volume,
                n2.n_name AS supp_nation
         FROM part JOIN lineitem ON p_partkey = l_partkey
                   JOIN supplier ON s_suppkey = l_suppkey
@@ -132,6 +136,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricts the market, supplier-side role is the share dimension) and
     a conditional-sum ratio.
 
+    r8 exact-cents (functions/money.py): numerator and denominator are
+    exact tenth-mill sums (128-bit interior), so the share is ONE
+    division of two identical exact integers on both engines — the
+    former double-sum ratio inherited summation-order drift in both
+    operands.
+
     Scale: part/nation/region broadcast; the share is two partial-
     aggregatable sums in one pass — no second scan for the denominator.
     """
@@ -150,7 +160,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume_tm = money.revenue_tm()
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(s, l.l_suppkey == s.s_suppkey)
@@ -162,12 +172,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
-                        0.0
-                    )
-                )
-                / F.sum(volume),
+                money.sum128(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", volume_tm
+                    ).otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                / money.sum128(volume_tm).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -177,18 +187,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q11_important_parts",
-    """
+    f"""
     WITH nation_lines AS (
-        SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+        SELECT l_partkey, {money.SQL_REVENUE_TM} AS value
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                       JOIN nation   ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_5'
     )
-    SELECT l_partkey AS partkey, ROUND(SUM(value), 2) AS total_value
+    SELECT l_partkey AS partkey,
+           {money.sql_dollars("SUM(value)", 100)} AS total_value
     FROM nation_lines
     GROUP BY l_partkey
-    HAVING SUM(value) > (SELECT SUM(value) * 0.001 FROM nation_lines)
-    ORDER BY total_value DESC, partkey
+    HAVING SUM(value) * 1000 > (SELECT SUM(value) FROM nation_lines)
+    ORDER BY SUM(value) DESC, partkey
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,6 +207,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncorrelated scalar subquery over the SAME derived input (partsupp
     doesn't exist in the reduced schema; lineitem value per part for one
     nation's suppliers stands in for supply value).
+
+    r8 exact form (functions/money.py): the 0.1%-of-grand-total cut is
+    the cross-multiplied integer comparison part_tm·1000 > total_tm —
+    a drifting double threshold could flip marginal parts; the grand
+    total runs through a 128-bit interior (table-scale group).
 
     Scale: the derived input is computed once and feeds both the
     per-part aggregate and the grand total; the 1-row total broadcasts
@@ -207,21 +223,23 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = (
         l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(
-            "l_partkey",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"),
-        )
+        .select("l_partkey", money.revenue_tm().alias("value"))
     )
-    per_part = lines.groupBy("l_partkey").agg(F.sum("value").alias("value_sum"))
-    total = lines.agg((F.sum("value") * 0.001).alias("cutoff"))
+    per_part = lines.groupBy("l_partkey").agg(
+        F.sum("value").alias("value_tm")
+    )
+    total = lines.agg(money.sum128(F.col("value")).alias("total_tm"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value_sum") > F.col("cutoff"))
+        .filter(
+            F.col("value_tm").cast("decimal(38,0)") * 1000
+            > F.col("total_tm")
+        )
+        .orderBy(F.desc("value_tm"), "l_partkey")
         .select(
             F.col("l_partkey").alias("partkey"),
-            _money(F.col("value_sum")).alias("total_value"),
+            money.dollars(F.col("value_tm"), 100).alias("total_value"),
         )
-        .orderBy(F.desc("total_value"), "partkey")
     )
 
 
@@ -562,8 +580,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q6_forecast_revenue",
-    """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    f"""
+    SELECT {money.sql_dollars(f"SUM({money.SQL_DISCOUNT_TM})", 100)}
+               AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -574,6 +593,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: revenue delta from hypothetically dropping discounts —
     the pure scan-and-aggregate query.
+
+    r8 exact-cents (functions/money.py): ONE group over the whole
+    filtered table — the maximal-drift shape; exact tenth-mill sum
+    through a 128-bit interior.
 
     Scale: every predicate and both referenced columns push into the
     parquet scan (min/max row-group skipping on l_shipdate); the
@@ -590,7 +613,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            money.dollars(money.sum128(money.discount_tm()), 100).alias(
                 "revenue"
             )
         )
@@ -855,8 +878,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q17_small_quantity_revenue",
-    """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+    SELECT CAST((2 * SUM({money.sql_cents('l_extendedprice')}) + 7) // 14
+                AS BIGINT) / 100.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
@@ -879,18 +903,28 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = l.groupBy(F.col("l_partkey").alias("cut_partkey")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
+    # r8 exact-cents: round(Σcents/7) as the integer (2Σ+7) DIV 14 —
+    # half-up of a cents/7 quotient without any double rounding
+    # (functions/money.py; the qty_cut comparison is already exact:
+    # integer sums stay exact in double, so 0.2*avg is deterministic)
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(cuts, l.l_partkey == F.col("cut_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(_money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(money.sum128(money.cents("l_extendedprice")).alias("__c"))
+        .select(
+            (
+                F.floor((2 * F.col("__c") + 7) / 14).cast("long") / 100.0
+            ).alias("avg_yearly")
+        )
     )
 
 
 @query(
     "q19_disjunctive_revenue",
-    """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT {money.sql_dollars(f"SUM({money.SQL_REVENUE_TM})", 100)}
+               AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -931,10 +965,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
+    # r8 exact-cents single-group sum (functions/money.py)
     return joined.filter(env).agg(
-        _money(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        ).alias("revenue")
+        money.dollars(money.sum128(money.revenue_tm()), 100).alias("revenue")
     )
 
 
@@ -993,12 +1026,15 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q22_sales_opportunity",
-    """
+    f"""
     SELECT n_name AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           {money.sql_dollars(f"SUM({money.sql_cents('c_acctbal')})", 1)}
+               AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0.0)
+    WHERE {money.sql_cents('c_acctbal')}
+            * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT CAST(SUM({money.sql_cents('c_acctbal')}) AS BIGINT)
+             FROM customer WHERE c_acctbal > 0.0)
       AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
                      'NATION_9', 'NATION_11', 'NATION_13')
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -1034,18 +1070,27 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
+    # r8 exact form (functions/money.py): the average-balance cut is a
+    # cross-multiplied integer comparison (cents·n > Σcents) — a
+    # drifting double average could flip customers sitting an ulp from
+    # the cut; the per-country total is an exact cents sum.
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("bal_cut")
+        F.sum(money.cents("c_acctbal")).alias("__bal_sum"),
+        F.count(F.lit(1)).alias("__bal_n"),
     )
     return (
         c.join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
         .join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("bal_cut"))
+        .filter(
+            money.cents("c_acctbal") * F.col("__bal_n") > F.col("__bal_sum")
+        )
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("n_name").alias("cntry"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _money(F.sum("c_acctbal")).alias("totacctbal"),
+            money.dollars(
+                money.sum128(money.cents("c_acctbal")), 1
+            ).alias("totacctbal"),
         )
         .orderBy("cntry")
     )

@@ -5,16 +5,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..operators.scale import salted_join
 from .catalog import query, table
 
 
 @query(
     "q_skew_salted_join",
-    """
+    f"""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           {money.sql_dollars(f"SUM({money.sql_cents('value')})", 1)}
+               AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -41,7 +43,11 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # r8 exact-cents: 5 table-scale segment groups
+            # (functions/money.py; event values are 2-dp)
+            money.dollars(money.sum128(money.cents("value")), 1).alias(
+                "total_value"
+            ),
         )
         .orderBy("c_mktsegment")
     )

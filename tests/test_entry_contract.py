@@ -73,15 +73,31 @@ def test_catalog_order_is_a_permutation_of_the_catalog():
 
 
 def test_order_is_stale_then_never_then_verified():
+    """Tier order: stale (red, then plan-edited, then dep-only floats —
+    each alphabetical, r8 sub-priority), never-checked, verified."""
     order = entry_mod._catalog_order()
-    if not entry_mod._latest_rows():
+    latest = entry_mod._latest_rows()
+    if not latest:
         assert order == sorted(order)
         return
     stale, never, rest = _tiers(order)
     assert order == stale + never + rest
-    assert stale == sorted(stale)
     assert never == sorted(never)
     assert rest == sorted(rest)
+    red = [
+        n for n in stale
+        if not entry_mod._green_at_level(n, latest[n][1])
+    ]
+    edited = [
+        n for n in stale
+        if n not in red
+        and not entry_mod._plan_hash_current_at(n, latest[n][0])
+    ]
+    dep = [n for n in stale if n not in red and n not in edited]
+    assert stale == red + edited + dep
+    assert red == sorted(red)
+    assert edited == sorted(edited)
+    assert dep == sorted(dep)
 
 
 def test_latest_red_and_pre_oracle_rows_float_to_head():
