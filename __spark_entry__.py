@@ -317,6 +317,20 @@ def _green_at_level(name: str, row: dict) -> bool:
     )
 
 
+_SNAPSHOT_MISSING_FILE = object()
+
+
+def _recorded_snapshot(name: str, rnd: int):
+    """Raw QUERY_HASHES entry for (name, exactly round rnd):
+    _SNAPSHOT_MISSING_FILE when no snapshot file exists at all (fresh
+    checkout), None when the file exists but has no entry for that
+    round/query, else the recorded str (rounds 1-6) or dict (r7+)."""
+    snaps = _snapshot_hashes()
+    if snaps is None:
+        return _SNAPSHOT_MISSING_FILE
+    return snaps.get(rnd, {}).get(name)
+
+
 def _hash_current_at(name: str, rnd: int) -> bool:
     """Does the current content hash match the snapshot recorded for
     EXACTLY round ``rnd`` — the code the driver actually ran when it
@@ -326,10 +340,9 @@ def _hash_current_at(name: str, rnd: int) -> bool:
     query — over-verification, the safe direction. Missing snapshot
     FILE -> True (fresh checkout: trust green rows rather than float
     the whole catalog)."""
-    snaps = _snapshot_hashes()
-    if snaps is None:
+    recorded = _recorded_snapshot(name, rnd)
+    if recorded is _SNAPSHOT_MISSING_FILE:
         return True
-    recorded = snaps.get(rnd, {}).get(name)
     if recorded is None:
         return False  # no snapshot for that round / query: re-verify
     if isinstance(recorded, dict):
@@ -347,10 +360,9 @@ def _plan_hash_current_at(name: str, rnd: int) -> bool:
     used to rank tier-1 floats: False means the query's own definition
     was edited since the driver vouched for it (deliberate change),
     True means only a dependency's file moved (incidental float)."""
-    snaps = _snapshot_hashes()
-    if snaps is None:
+    recorded = _recorded_snapshot(name, rnd)
+    if recorded is _SNAPSHOT_MISSING_FILE:
         return True
-    recorded = snaps.get(rnd, {}).get(name)
     if recorded is None:
         return False
     if isinstance(recorded, dict):

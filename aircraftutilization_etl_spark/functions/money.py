@@ -44,9 +44,9 @@ def cents(col: Column | str) -> Column:
     return F.round(_c(col) * 100, 0).cast("long")
 
 
-def pct(col: Column | str) -> Column:
-    """Exact integer percent of a 2-dp rate double (BIGINT, 0..100)."""
-    return F.round(_c(col) * 100, 0).cast("long")
+# Semantic alias: a 2-dp rate's whole percent is the same extraction
+# as a 2-dp price's cents — ONE implementation, two names.
+pct = cents
 
 
 def revenue_tm(price: Column | str = "l_extendedprice",
@@ -103,8 +103,11 @@ def dollars(sum_col: Column, unit_scale: int, signed: bool = False) -> Column:
     identically to DuckDB's HUGEINT path.)
     """
     s = sum_col.cast(_I128)
-    half = F.lit(unit_scale * 100 // 2).cast(_I128)
-    den = F.lit(unit_scale * 100).cast(_I128)
+    if unit_scale == 1:
+        # already cents — no rounding step needed
+        return s.cast("long") / 100.0
+    half = F.lit(unit_scale // 2).cast(_I128)
+    den = F.lit(unit_scale).cast(_I128)
     pos = F.floor((s + half) / den)
     if signed:
         neg = -F.floor((-s + half) / den)
@@ -117,7 +120,7 @@ def dollars(sum_col: Column, unit_scale: int, signed: bool = False) -> Column:
 # --- DuckDB oracle fragments (same units, same rounding) ----------------
 
 SQL_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
-SQL_PCT = "CAST(ROUND({col} * 100) AS BIGINT)"
+SQL_PCT = SQL_CENTS  # same extraction, semantic alias
 SQL_REVENUE_TM = (
     "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
     " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
@@ -141,8 +144,10 @@ def sql_dollars(sum_expr: str, unit_scale: int, signed: bool = False) -> str:
     """DuckDB twin of dollars(): integer half-away-from-zero to cents,
     CAST to BIGINT (collapses the HUGEINT interior before the edge),
     one double division."""
-    half = unit_scale * 100 // 2
-    den = unit_scale * 100
+    if unit_scale == 1:
+        return f"CAST({sum_expr} AS BIGINT) / 100.0"
+    half = unit_scale // 2
+    den = unit_scale
     if signed:
         c = (
             f"CASE WHEN ({sum_expr}) >= 0"
