@@ -98,9 +98,14 @@ HEADLINE = [
 # code) is machine-separable from a code regression. Editing any
 # sentinel's plan invalidates the ratio — swap it out here in the same
 # change.
+# Frozen-plan noise sentinels. INVARIANT: a sentinel's PLAN must never
+# change between rounds (that's what makes its cur/prev ratio a pure
+# host-speed signal) — if a round edits one, swap it out in the same
+# change. r8 swapped q1_pricing_summary and q_bloom_prune_join (both
+# converted to exact-cents summation) for two plan-untouched windows.
 SENTINELS = (
-    "q1_pricing_summary",
-    "q_bloom_prune_join",
+    "q_top_customers_per_nation",
+    "q_percentiles_quantity",
     "q_text_quality",
     "q_dedup_exact",
     "q_graph_pagerank",
