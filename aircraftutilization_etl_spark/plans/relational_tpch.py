@@ -337,11 +337,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = table(spark, sf_dir, "supplier")
-    rev_tm_row = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
-    )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(rev_tm_row).alias("rev_tm")
+        F.sum(money.revenue_tm()).alias("rev_tm")
     )
     ranked = revenue.withColumn(
         "max_tm", F.max("rev_tm").over(Window.partitionBy())
@@ -677,11 +674,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    amount_tm = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
-    ) - 60 * F.round(F.col("p_retailprice") * 100, 0).cast("long") * F.col(
-        "l_quantity"
-    ).cast("long")
+    amount_tm = money.revenue_tm() - 60 * money.cents(
+        "p_retailprice"
+    ) * F.col("l_quantity").cast("long")
     half_up = F.expr(
         "CASE WHEN sum_tm >= 0 THEN (sum_tm + 50) DIV 100"
         " ELSE -((-sum_tm + 50) DIV 100) END"

@@ -111,10 +111,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
-            ).alias("rev_tm"),
+            F.sum(money.revenue_tm()).alias("rev_tm"),
         )
         .select(
             "order_month",

@@ -103,6 +103,17 @@ def test_spark_dollars_matches_duckdb_literals(spark):
     ).first()["d"]
     # -12355 tm = -123.55 cents -> half-away-from-zero -124 -> -1.24
     assert neg == -1.24
+    # cents() sign-correctness: the trunc(x*100 + signum*0.5) fast path
+    # must round away from zero for negative balances (plain +0.5 with
+    # trunc would give -12344)
+    row = spark.createDataFrame(
+        [(-123.45, 0.0, 123.45)], "a double, b double, c double"
+    ).select(
+        money.cents("a").alias("a"),
+        money.cents("b").alias("b"),
+        money.cents("c").alias("c"),
+    ).first()
+    assert (row["a"], row["b"], row["c"]) == (-12345, 0, 12345)
 
 
 # --- 2. naive-double anchors over real converted oracles --------------------
