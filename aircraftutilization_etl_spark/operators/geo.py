@@ -49,6 +49,7 @@ def proximity_pairs(
     id_col: str = "icao24",
     lat_col: str = "latitude",
     lon_col: str = "longitude",
+    max_candidates_per_cell: int | None = None,
 ) -> DataFrame:
     """All unordered pairs of rows within ``max_km`` great-circle km —
     via the grid-cell equi-join, never a cross join.
@@ -69,6 +70,18 @@ def proximity_pairs(
     straddling the ±180° antimeridian are not matched (their lon cells
     are grid-distant); route polar/antimeridian traffic through a
     shifted-grid second pass if that airspace matters.
+
+    ``max_candidates_per_cell`` (the 100 TB dense-airspace profile):
+    qualifying pairs grow QUADRATICALLY with per-cell density — at
+    fleet scale a single congested terminal area can dominate the
+    output with pairs nobody reads. When set, the build side keeps
+    only the ``k`` lowest-id rows per home cell (a ``row_number()``
+    prune — its cell-keyed sort shares the join's exchange, so the cap
+    adds no extra shuffle) and the output is a DETERMINISTIC subset:
+    every reported pair has ``id_b`` among its cell's k lowest ids, so
+    per-cell output is bounded by ~9·k·|cell| instead of |cell|².
+    Default ``None`` keeps the operator exact, as the oracle-verified
+    catalog query requires.
     """
     d_lat = max_km / KM_PER_DEG_LAT
     d_lon = max_km / (
@@ -123,6 +136,15 @@ def proximity_pairs(
         F.col("__ci").alias("ci"),
         F.col("__cj").alias("cj"),
     )
+    if max_candidates_per_cell is not None:
+        from pyspark.sql.window import Window
+
+        w_cell = Window.partitionBy("ci", "cj").orderBy("id_b")
+        build = (
+            build.withColumn("__rn", F.row_number().over(w_cell))
+            .filter(F.col("__rn") <= max_candidates_per_cell)
+            .drop("__rn")
+        )
     return (
         probe.join(build, ["ci", "cj"])
         .filter(F.col("id_a") < F.col("id_b"))

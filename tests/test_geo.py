@@ -89,6 +89,44 @@ class TestProximityPairs:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_cell_cap_bounds_output_deterministically(self, spark):
+        # a dense cluster: 12 aircraft inside one ~2 km disc — uncapped
+        # output is all 66 pairs; the cap keeps only pairs whose id_b is
+        # among the k lowest ids of its home cell
+        rows = [
+            (f"ac{i:02d}", 45.0 + i * 0.001, 10.0 + i * 0.001)
+            for i in range(12)
+        ]
+        fleet = _fleet(spark, rows)
+        uncapped = {
+            (r.id_a, r.id_b, r.distance_km)
+            for r in proximity_pairs(fleet, 25.0).collect()
+        }
+        assert len(uncapped) == 66
+        capped = {
+            (r.id_a, r.id_b, r.distance_km)
+            for r in proximity_pairs(
+                fleet, 25.0, max_candidates_per_cell=3
+            ).collect()
+        }
+        # subset of the exact answer, never new or altered pairs
+        assert capped <= uncapped
+        # all points share one home cell, so id_b ∈ {3 lowest ids};
+        # id_a < id_b cuts (a<b) pairs from those: exactly 3 survive
+        assert {(a, b) for a, b, _ in capped} == {
+            ("ac00", "ac01"),
+            ("ac00", "ac02"),
+            ("ac01", "ac02"),
+        }
+        # a generous cap reproduces the exact answer
+        full = {
+            (r.id_a, r.id_b, r.distance_km)
+            for r in proximity_pairs(
+                fleet, 25.0, max_candidates_per_cell=100
+            ).collect()
+        }
+        assert full == uncapped
+
 
 class TestTrackLengths:
     def test_known_path_length_and_single_fix_zero(self, spark):
