@@ -268,3 +268,117 @@ class TestBatchStreamEquivalence:
         assert len(got_b) == 1  # only aircraft A completed a flight
         assert got_b[0][cols.index("icao24")] == "a1"
         assert got_b[0][cols.index("model")] == "A320"
+
+
+@pytest.mark.slow
+class TestCheckpointRecovery:
+    """Layer 4: stop/restart durability. An open session checkpointed by
+    one query run must survive into a NEW query started on the same
+    checkpoint — the property a 100 TB deployment leans on for executor
+    loss, code redeploys, and trigger=availableNow refresh loops. The
+    state store (keyed session state), the file-source offset log, and
+    the sink commit log are all exercised: the split run must emit
+    exactly the single-run answer, exactly once."""
+
+    def _state_file(self, dirpath, i, rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["icao24", "last_contact", "velocity", "vertical_rate"],
+        )
+        path = dirpath / f"batch_{i}.parquet"
+        pdf.to_parquet(path)
+        os.utime(path, (T0 + i, T0 + i))  # stable discovery order
+
+    def _run_available_now(self, spark, input_dir, metadata, facts, ckpt):
+        states = (
+            spark.readStream.schema(
+                "icao24 string, last_contact long, velocity double, "
+                "vertical_rate double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(input_dir))
+        )
+        query = run_flight_stream(
+            states,
+            metadata,
+            facts_path=str(facts),
+            checkpoint_dir=str(ckpt),
+            available_now=True,
+        )
+        query.awaitTermination(120)
+
+    def _facts(self, spark, path, cols):
+        try:
+            df = spark.read.parquet(str(path))
+        except Exception:
+            return []
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    def test_open_session_survives_restart(self, spark, tmp_path):
+        # same event sequence as TestBatchStreamEquivalence, split so the
+        # restart lands mid-flight: a1 has taken off but not landed when
+        # the first query terminates.
+        first = [
+            [("a1", T0, 120.0, 8.0), ("b2", T0, 100.0, 0.0)],
+            [("a1", T0 + 600, 200.0, 0.5)],
+        ]
+        second = [
+            [("a1", T0 + 1200, 150.0, -5.0), ("b2", T0 + 1200, 0.0, 0.0)],
+            [("a1", T0 + 1800, 5.0, 0.0)],
+        ]
+        meta_csv = tmp_path / "aircraft.csv"
+        meta_csv.write_text(
+            "icao24,manufacturericao,model,operator,owner,registration,"
+            "serialnumber,built\n"
+            "a1,AIRBUS,A320,OpCo,OwnCo,N123,SN1,2015-06-01\n"
+        )
+        pipe = FlightPipeline(
+            spark,
+            state_root=str(tmp_path / "state"),
+            facts_path=str(tmp_path / "facts_unused"),
+            metadata_path=str(tmp_path / "meta"),
+        )
+        pipe.run_metadata_etl(str(meta_csv))
+        metadata = spark.read.parquet(str(tmp_path / "meta"))
+
+        cols = ["icao24", "flight_duration_minutes", "landed_at", "model",
+                "registration"]
+        split_in = tmp_path / "split_in"
+        split_in.mkdir()
+        split_facts = tmp_path / "split_facts"
+        split_ckpt = tmp_path / "split_ckpt"
+
+        # run 1: takeoff + cruise only -> terminates with the session OPEN
+        for i, rows in enumerate(first):
+            self._state_file(split_in, i, rows)
+        self._run_available_now(spark, split_in, metadata, split_facts,
+                                split_ckpt)
+        assert self._facts(spark, split_facts, cols) == []
+
+        # run 2: NEW query, same checkpoint; recovered state must carry
+        # the takeoff so the landing completes the flight
+        for i, rows in enumerate(second, start=len(first)):
+            self._state_file(split_in, i, rows)
+        self._run_available_now(spark, split_in, metadata, split_facts,
+                                split_ckpt)
+        got_split = self._facts(spark, split_facts, cols)
+
+        # single-run control on the identical files, fresh checkpoint
+        solo_in = tmp_path / "solo_in"
+        solo_in.mkdir()
+        for i, rows in enumerate(first + second):
+            self._state_file(solo_in, i, rows)
+        self._run_available_now(spark, solo_in, metadata,
+                                tmp_path / "solo_facts",
+                                tmp_path / "solo_ckpt")
+        got_solo = self._facts(spark, tmp_path / "solo_facts", cols)
+
+        assert got_split == got_solo
+        assert len(got_split) == 1  # a1 completed; b2 never took off
+        assert got_split[0][cols.index("icao24")] == "a1"
+        assert got_split[0][cols.index("model")] == "A320"
+
+        # run 3: idle restart — no new input, no duplicate emission
+        self._run_available_now(spark, split_in, metadata, split_facts,
+                                split_ckpt)
+        assert self._facts(spark, split_facts, cols) == got_split
