@@ -103,6 +103,14 @@ def kmeans_int8(
     )
     seed_rows = codes.orderBy(id_col).limit(k).collect()
     centroids = [list(r["qvec"]) for r in seed_rows]
+    if not centroids:
+        # empty input: no seeds, no model, no assignments — a typed
+        # empty result instead of a zero-centroid _assign expression
+        codes.unpersist()
+        out = df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, dist bigint"
+        )
+        return (out, []) if return_model else out
 
     for _ in range(iterations):
         assigned = _assign(codes, centroids)
@@ -281,6 +289,10 @@ def pq_train(
         F.col(id_col), "qvec"
     )
     seed_rows = codes.orderBy(id_col).limit(k).collect()
+    if not seed_rows:
+        # empty corpus: no codebooks to train; callers get ([], scodes)
+        # and must produce their typed empty result
+        return [], scodes
     sd = len(seed_rows[0]["qvec"]) // m
     codebooks = [
         [list(r["qvec"][s * sd : (s + 1) * sd]) for r in seed_rows]
@@ -428,7 +440,14 @@ def pq_adc_topk(
     shuffle is the per-query top-k window over corpus×n_queries scored
     rows — swap for a map-side partial top-k combine at extreme scale
     (the cosine_topk pattern).
+
+    Empty codebooks (pq_train saw an empty corpus) yield a typed empty
+    result — no LUT expression can be built over zero centroids.
     """
+    if not codebooks:
+        return scodes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist bigint, rank int"
+        )
     luts = _adc_luts(scodes, codebooks, n_queries, id_col)
     scored = (
         encoded.withColumnRenamed(id_col, "neighbor_id")
@@ -464,7 +483,14 @@ def ivfpq_adc_topk(
     corpus codes join it ON THE CELL, so a corpus vector is scored
     against the queries in its cell only — the join equality does the
     pruning, no post-filter.
+
+    Empty codebooks (empty corpus) yield a typed empty result, matching
+    pq_adc_topk.
     """
+    if not codebooks:
+        return scodes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist bigint, rank int"
+        )
     cq = cells.select(
         F.col(id_col).alias("query_id"), F.col(cell_col).alias("cell")
     )

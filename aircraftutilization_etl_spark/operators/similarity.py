@@ -75,6 +75,12 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
         )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if ids.size == 0:
+        # empty query/reference set (a filter matched nothing — routine
+        # at scale): np.stack rejects an empty list, and every caller's
+        # contract is an empty RESULT, so hand back a (0, 0) matrix and
+        # let the operator short-circuit on ids.size
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, mat
 
@@ -150,8 +156,15 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
     ties broken on neighbor id after 6-dp rounding.
+
+    An empty query set yields a typed empty result (no neighbors of
+    nothing) rather than an error — the corpus scan is skipped entirely.
     """
     qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    if qids.size == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     scored = _ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         _score_against(qids, _normalize(qmat), id_col, vec_col, partial_k=k),
         _SCORE_SCHEMA,
@@ -489,6 +502,12 @@ def cosine_best_match(
     vectors.
     """
     rids, rmat = _collect_matrix(refs, id_col, vec_col)
+    if rids.size == 0:
+        # no references -> no best match for any corpus row (the
+        # oracle's CROSS JOIN against an empty reference set)
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_id long, best_ref_id long, cosine double"
+        )
     rnorm = _normalize(rmat)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -539,6 +539,12 @@ def _pq_pipeline(spark: SparkSession, sf_dir: str):
         _PQ_BOOKS_CACHE[key] = books
     else:
         scodes = pq_scodes(e, m=M_SUB)
+    if not books:
+        # empty corpus: no codebooks trained — pq_encode cannot build a
+        # zero-centroid literal, and every consumer short-circuits to a
+        # typed empty result on `not books`
+        encoded = spark.createDataFrame([], "vec_id long, codes array<int>")
+        return e, scodes, encoded, books
     return e, scodes, pq_encode(scodes, books), books
 
 
@@ -719,6 +725,12 @@ def q_emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in cent_rows:
         by_label.setdefault(r["label"], {})[r["dim"]] = int(r["c"])
     labels = sorted(by_label)
+    if not labels:
+        # empty corpus: no label centroids — the confusion matrix of
+        # nothing is empty (typed), not a zero-centroid _assign crash
+        return spark.createDataFrame(
+            [], "true_label int, pred_label int, n bigint"
+        )
     centroids = [
         [by_label[lbl][d] for d in sorted(by_label[lbl])] for lbl in labels
     ]
@@ -982,6 +994,13 @@ def q_emb_ivfpq_probe2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cells, cents = kmeans_int8(
         e, k=K_CLUSTERS, iterations=KMEANS_ITERS, return_model=True
     )
+    if not cents:
+        # empty corpus: no coarse cells to probe — typed empty per-query
+        # recall frame (the report leg aggregates it to n_queries=0)
+        scodes.unpersist()
+        return spark.createDataFrame(
+            [], "query_id long, n_hits bigint, recall_ppm bigint"
+        )
     qcodes = quantize_embeddings(
         e.filter(F.col("vec_id") < N_QUERIES)
     ).select("vec_id", "qvec")

@@ -2192,6 +2192,11 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_surviving"))
         .crossJoin(F.broadcast(nu))
+        # zero users: the oracle's CROSS JOIN against an empty lt is
+        # empty, and the ppm division below would be 0 DIV 0 — drop the
+        # grid rows, matching the oracle exactly (no-op when any user
+        # exists: nu > 0 holds on every row)
+        .filter(F.col("nu") > 0)
         .select(
             "day",
             F.col("n_surviving").cast("bigint").alias("n_surviving"),

@@ -940,13 +940,21 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             # residual on a near-equal distribution (repo-wide -0.0
             # discipline; DuckDB ROUND preserves the sign, Spark's
             # does not)
+            # total > 0 guards the empty table (n = 0, total NULL): the
+            # oracle's NULL sum_running NULL-propagates to a NULL gini,
+            # but Spark under ANSI raises on the (n+1)/n division before
+            # NULL propagation can save it. No-op on any populated
+            # customer table (orders make total strictly positive).
             (
-                F.round(
-                    (F.col("n") + 1) / F.col("n").cast("double")
-                    - 2.0
-                    * F.col("sum_running").cast("double")
-                    / (F.col("n").cast("double") * F.col("total")),
-                    6,
+                F.when(
+                    F.col("total") > 0,
+                    F.round(
+                        (F.col("n") + 1) / F.col("n").cast("double")
+                        - 2.0
+                        * F.col("sum_running").cast("double")
+                        / (F.col("n").cast("double") * F.col("total")),
+                        6,
+                    ),
                 )
                 + 0.0
             ).alias("gini"),
