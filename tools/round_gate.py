@@ -6,7 +6,9 @@ Runs, in order, failing fast:
    row-at-a-time Python nodes, unpruned fact scans, -0.0-unsafe rounds
    across EVERY catalog query's executed plan);
 2. the full catalog oracle gate (tools/check_oracles.py) at --sf;
-3. the content-hash snapshot (tools/snapshot_query_hashes.py) that lets
+3. the empty-input sweep (tools/check_empty_inputs.py — every query on
+   zero-row tables: no exception, populated-identical schema);
+4. the content-hash snapshot (tools/snapshot_query_hashes.py) that lets
    the verification-priority ordering tie the driver's next
    CORRECTNESS round to the exact code it graded.
 
@@ -46,6 +48,10 @@ def main() -> int:
         [py, "-m", "pytest", "tests/test_plan_invariants.py", "-q"],
     )
     run("oracle gate", [py, "tools/check_oracles.py", "--sf", args.sf])
+    # zero-row inputs are routine at 100 TB (pruned partitions, filters
+    # matching nothing); the r8 first run of this sweep found 15
+    # operator crashes — keep it in the gate so the class stays closed
+    run("empty-input sweep", [py, "tools/check_empty_inputs.py"])
     if not args.skip_snapshot:
         run("hash snapshot", [py, "tools/snapshot_query_hashes.py"])
     print("\nround gate: ALL GREEN")
