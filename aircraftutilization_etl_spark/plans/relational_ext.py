@@ -958,8 +958,12 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + 0.0
             ).alias("gini"),
-            F.expr(
-                "CAST(top_decile * 1000000 DIV total AS BIGINT)"
+            # total > 0 also guards the ppm: a customer base with zero
+            # total revenue makes both operands 0 (coalesced), and
+            # 0 DIV 0 raises under ANSI where DuckDB's // yields NULL
+            F.when(
+                F.col("total") > 0,
+                F.expr("CAST(top_decile * 1000000 DIV total AS BIGINT)"),
             ).alias("top_decile_share_ppm"),
         )
     )

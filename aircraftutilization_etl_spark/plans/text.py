@@ -1642,9 +1642,13 @@ def q_mix_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias(
                 "shannon_entropy"
             ),
+            # MAX(nl) > 1 guards the one-document language (N(N-1)=0):
+            # DuckDB's // by zero yields NULL, Spark's ANSI DIV raises —
+            # the CASE makes both engines emit NULL for the undefined
+            # collision index. No-op for any 2+-doc language.
             F.expr(
-                "CAST(SUM(n * (n - 1)) * 1000000"
-                " DIV (MAX(nl) * (MAX(nl) - 1)) AS BIGINT)"
+                "CAST(CASE WHEN MAX(nl) > 1 THEN SUM(n * (n - 1)) * 1000000"
+                " DIV (MAX(nl) * (MAX(nl) - 1)) END AS BIGINT)"
             ).alias("simpson_ppm"),
         )
         .orderBy("lang")
