@@ -175,21 +175,29 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, paths = [], []
-            for payload in pdf["payload"]:
+            keep, feats, paths = [], [], []
+            for idx, payload in enumerate(pdf["payload"]):
                 signal, path = _decode_payload_with_path(bytes(payload))
-                paths.append(path)
                 if signal.size == 0:
-                    feats.append([0.0] * FEATURE_DIM)
+                    # a zero-byte asset has no feature vector (its L1
+                    # weights are 0/0) — emit no row, matching the
+                    # closed-form oracle's inner join on per-asset
+                    # totals; an all-zero sentinel vector would also
+                    # cluster every empty asset together downstream
                     continue
+                keep.append(idx)
+                paths.append(path)
                 hist = np.bincount(signal >> 4, minlength=FEATURE_DIM)
                 feats.append((hist / signal.size).tolist())
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "features": feats,
-                    "decode_path": paths,
+                    "asset_id": pdf["asset_id"].iloc[keep].to_numpy(),
+                    "media_type": pdf["media_type"].iloc[keep].to_numpy(),
+                    # explicit object dtype: an all-dropped batch would
+                    # otherwise infer an empty float64 column, which
+                    # Arrow cannot convert to list<double>
+                    "features": pd.Series(feats, dtype="object"),
+                    "decode_path": pd.Series(paths, dtype="object"),
                 }
             )
 
@@ -292,7 +300,13 @@ def perceptual_hash(media: DataFrame, n_blocks: int = PHASH_BLOCKS) -> DataFrame
                 sig = _decode_payload(bytes(payload)).astype(np.int64)
                 n = len(sig)
                 if n == 0:
-                    bits = "0" * n_blocks
+                    # a zero-byte asset has no perceptual hash: a
+                    # sentinel all-'0' hash would band-collide every
+                    # empty asset with every other (quadratic false
+                    # pairs at crawl scale) — emit no row, matching
+                    # the oracle's per-byte CTEs which never produce a
+                    # row for a byteless doc
+                    continue
                 else:
                     blk = (np.arange(n, dtype=np.int64) * n_blocks) // n
                     bsum = np.bincount(

@@ -1096,8 +1096,14 @@ def span_corruption(
         F.array_join(F.filter(toks, lambda t: t.isNotNull()), " ").alias(
             "input_text"
         ),
+        # nseg = 0 (a doc too short for any 8-word window) has NO
+        # target — NULL, not '': DuckDB's array_to_string over the
+        # empty span list yields NULL while Spark's array_join yields
+        # '', and the degenerate-text star caught the '' papering over
+        # that divergence (every real corpus doc has >= 8 words, so
+        # populated outputs are untouched)
         F.when(F.col("__nseg") > 0, F.array_join(target_parts, " "))
-        .otherwise(F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
         .alias("target_text"),
     )
 

@@ -196,14 +196,25 @@ def q_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bytes
         GROUP BY doc_id, (i - 1) * 32 // n
     ),
-    tot AS (SELECT doc_id, SUM(bsum) AS total FROM blocks GROUP BY doc_id),
+    tot AS (SELECT doc_id, SUM(bsum) AS total, MAX(n) AS n
+            FROM blocks GROUP BY doc_id),
+    -- all 32 blocks per doc, not just occupied ones: a payload with
+    -- fewer bytes than blocks must still hash to the fixed 32-bit
+    -- width the band slicing assumes (empty blocks compare 0 >= 0 ->
+    -- '1', exactly the engine kernel's documented padding)
+    grid AS (
+        SELECT t.doc_id, CAST(g.b AS BIGINT) AS blk, t.total, t.n,
+               COALESCE(bl.bsum, 0) AS bsum, COALESCE(bl.blen, 0) AS blen
+        FROM tot t CROSS JOIN (SELECT r AS b FROM range(0, 32) v(r)) g
+        LEFT JOIN blocks bl ON bl.doc_id = t.doc_id AND bl.blk = g.b
+    ),
     hashes AS (
-        SELECT b.doc_id,
-               string_agg(CASE WHEN b.bsum * b.n >= t.total * b.blen
-                               THEN '1' ELSE '0' END, '' ORDER BY b.blk)
+        SELECT doc_id,
+               string_agg(CASE WHEN bsum * n >= total * blen
+                               THEN '1' ELSE '0' END, '' ORDER BY blk)
                    AS phash
-        FROM blocks b JOIN tot t USING (doc_id)
-        GROUP BY b.doc_id
+        FROM grid
+        GROUP BY doc_id
     ),
     banded AS (
         SELECT doc_id, phash, b AS band,

@@ -672,11 +672,17 @@ def _bpe_ctes(n: int) -> str:
     best{i} AS (
         SELECT w1, w2, c FROM pairs{i} ORDER BY c DESC, w1, w2 LIMIT 1
     )""")
+        # LEFT JOIN ON TRUE, not a cross join: a round with NO pairs
+        # left (every word fully merged, or a pairless degenerate
+        # corpus of 1-char words) makes best{i} empty, and a cross
+        # join would wipe the whole vocabulary — the engine keeps the
+        # vocab and stops merging, so the oracle must too
         parts.append(f"""
     vocab{i} AS (
-        SELECT replace(repr, b.w1 || '|' || b.w2 || '|',
-                       b.w1 || b.w2 || '|') AS repr, wc
-        FROM vocab{i - 1}, best{i} b
+        SELECT CASE WHEN b.w1 IS NULL THEN repr
+                    ELSE replace(repr, b.w1 || '|' || b.w2 || '|',
+                                 b.w1 || b.w2 || '|') END AS repr, wc
+        FROM vocab{i - 1} LEFT JOIN best{i} b ON TRUE
     )""")
     return ",".join(parts)
 

@@ -126,3 +126,27 @@ def test_populated_paths_unchanged(spark, small_emb):
 
     km = kmeans_int8(small_emb, k=2, iterations=1)
     assert km.count() == 6
+
+
+def test_zero_byte_media_assets_emit_no_features_or_hash(spark):
+    """A zero-byte asset has no feature vector (0/0 weights) and no
+    perceptual hash (an all-'0' sentinel would band-collide every
+    empty asset with every other — quadratic false pairs at crawl
+    scale); non-empty assets in the same batch still flow through."""
+    from aircraftutilization_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+        perceptual_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "", "en", "web", 0), (1, "   ", "en", "web", 3),
+         (2, "x", "en", "web", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = attach_fake_media(docs)
+    feats = extract_features(media).collect()
+    assert sorted(r["asset_id"] for r in feats) == [1, 2]
+    hashes = perceptual_hash(media).collect()
+    assert sorted(r["asset_id"] for r in hashes) == [1, 2]
+    assert all(len(r["phash"]) == 32 for r in hashes)

@@ -567,7 +567,10 @@ class TestSpanCorruption:
         got = self._pairs(spark, ["a b c d e f g"])  # 7 words < segment
         assert got[0].n_spans == 0
         assert got[0].input_text == "a b c d e f g"
-        assert got[0].target_text == ""
+        # no spans -> no target: NULL, not '' (DuckDB's array_to_string
+        # over the empty span list is NULL; the degenerate-text star
+        # caught the old '' papering over the divergence)
+        assert got[0].target_text is None
 
     def test_masks_one_span_per_full_window(self, spark):
         words = [f"w{i}" for i in range(20)]  # 2 full windows + tail
