@@ -150,3 +150,23 @@ def test_zero_byte_media_assets_emit_no_features_or_hash(spark):
     hashes = perceptual_hash(media).collect()
     assert sorted(r["asset_id"] for r in hashes) == [1, 2]
     assert all(len(r["phash"]) == 32 for r in hashes)
+
+
+def test_rollup_on_empty_engine_semantics_pinned(spark):
+    """The 4 documented empty-gate divergences are ENGINE semantics:
+    Spark's Expand-based ROLLUP emits no () grand-total row over zero
+    input rows; DuckDB (ANSI) emits one. Pin both so an engine upgrade
+    that changes either side surfaces here instead of as a silent
+    shift in the degenerate-star sweep results."""
+    import duckdb
+
+    spark_rows = spark.sql(
+        "SELECT a, count(*) AS n FROM VALUES (1) t(a) WHERE a > 99 "
+        "GROUP BY ROLLUP(a)"
+    ).collect()
+    assert spark_rows == []
+    duck_rows = duckdb.sql(
+        "SELECT a, count(*) AS n FROM (VALUES (1)) t(a) WHERE a > 99 "
+        "GROUP BY ROLLUP(a)"
+    ).fetchall()
+    assert duck_rows == [(None, 0)]
