@@ -441,3 +441,52 @@ class TestSession5PlanShapes:
         )
         pairs = lsh_candidate_pairs(with_shingle_array(docs))
         assert pairs.count() == 0  # no near-dups in a unique corpus
+
+
+class TestRound9NewQueries:
+    """Plan-shape pins for the r9 additions (VERDICT r8 #2/#3)."""
+
+    def test_q4_semi_join_with_pushed_date_window(self, spark):
+        """Q4's EXISTS must lower to ONE LeftSemi join carrying the
+        correlated date predicate as a residual condition, with the
+        quarter window pushed into the orders scan."""
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        plan = plan_of(CATALOG["q4_order_priority"].spark(spark, SF_DIR))
+        assert "LeftSemi" in plan
+        assert plan.count("Join") >= 1
+        # quarter bounds reach the orders parquet scan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
+        assert "LessThan(o_orderdate" in plan
+        # the correlation rides the join, not a post-aggregation filter
+        assert "INTERVAL '90' DAY" in plan
+        # lineitem is pruned to (key, date)
+        li_schema = [
+            ln for ln in plan.splitlines()
+            if "ReadSchema" in ln and "l_orderkey" in ln
+        ][0]
+        assert "l_shipdate" in li_schema
+        assert "l_extendedprice" not in li_schema
+
+    def test_quota_cap_is_group_limited_single_exchange(self, spark):
+        """The per-source cap must apply map-side (WindowGroupLimit
+        Partial before the exchange) so a monster source ships at most
+        ~quota rows per input task, and the whole query is ONE
+        shuffle."""
+        from aircraftutilization_etl_spark.plans import CATALOG
+
+        from aircraftutilization_etl_spark.diagnostics import (
+            count_exchanges,
+        )
+
+        df = CATALOG["q_quota_per_source"].spark(spark, SF_DIR)
+        plan = plan_of(df)
+        assert "WindowGroupLimit" in plan
+        assert "Partial" in plan
+        assert count_exchanges(df) == 1
+        # reads only the two needed columns
+        schema_line = [
+            ln for ln in plan.splitlines() if "ReadSchema" in ln
+        ][0]
+        assert "doc_id" in schema_line and "source" in schema_line
+        assert "text" not in schema_line
