@@ -105,10 +105,15 @@ def kmeans_int8(
     centroids = [list(r["qvec"]) for r in seed_rows]
     if not centroids:
         # empty input: no seeds, no model, no assignments — a typed
-        # empty result instead of a zero-centroid _assign expression
+        # empty result instead of a zero-centroid _assign expression.
+        # The id field's type comes from the INPUT schema (the populated
+        # path passes id_col through untouched), so a caller with an
+        # int/string key gets the same schema on empty and populated
+        # inputs (ADVICE r8 #3).
         codes.unpersist()
+        id_type = df.schema[id_col].dataType.simpleString()
         out = df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cluster int, dist bigint"
+            [], f"`{id_col}` {id_type}, cluster int, dist bigint"
         )
         return (out, []) if return_model else out
 
@@ -445,8 +450,13 @@ def pq_adc_topk(
     result — no LUT expression can be built over zero centroids.
     """
     if not codebooks:
+        # id types follow the inputs (populated path renames id_col
+        # from scodes/encoded into query_id/neighbor_id) — ADVICE r8 #3
+        q_t = scodes.schema[id_col].dataType.simpleString()
+        n_t = encoded.schema[id_col].dataType.simpleString()
         return scodes.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_dist bigint, rank int"
+            [],
+            f"query_id {q_t}, neighbor_id {n_t}, adc_dist bigint, rank int",
         )
     luts = _adc_luts(scodes, codebooks, n_queries, id_col)
     scored = (
@@ -488,8 +498,11 @@ def ivfpq_adc_topk(
     pq_adc_topk.
     """
     if not codebooks:
+        q_t = scodes.schema[id_col].dataType.simpleString()
+        n_t = encoded.schema[id_col].dataType.simpleString()
         return scodes.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_dist bigint, rank int"
+            [],
+            f"query_id {q_t}, neighbor_id {n_t}, adc_dist bigint, rank int",
         )
     cq = cells.select(
         F.col(id_col).alias("query_id"), F.col(cell_col).alias("cell")

@@ -249,3 +249,61 @@ class TestPQBooksCache:
             _parquet_fingerprint(str(tmp_path / "dir_case"), "embeddings")
             == fpd2
         )
+
+
+class TestEmptyBranchIdTyping:
+    """ADVICE r8 #3: the empty-input short-circuits must derive the id
+    field's type from the INPUT schema, not hardcode bigint — a caller
+    with an int/string key must see the same schema on empty and
+    populated input (the exact drift the empty-input sweep exists to
+    prevent)."""
+
+    def test_kmeans_empty_follows_int_id(self, spark):
+        populated = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+            "vec_id int, embedding array<float>",
+        )
+        empty = populated.limit(0)
+        pop_schema = [
+            (f.name, f.dataType.simpleString())
+            for f in kmeans_int8(populated, k=1, iterations=1).schema.fields
+        ]
+        empty_schema = [
+            (f.name, f.dataType.simpleString())
+            for f in kmeans_int8(empty, k=1, iterations=1).schema.fields
+        ]
+        assert empty_schema == pop_schema
+        assert empty_schema[0] == ("vec_id", "int")
+
+    def test_kmeans_empty_follows_string_id(self, spark):
+        empty = spark.createDataFrame(
+            [], "doc string, embedding array<float>"
+        )
+        out = kmeans_int8(empty, k=1, iterations=1, id_col="doc")
+        assert out.schema["doc"].dataType.simpleString() == "string"
+        assert out.count() == 0
+
+    def test_adc_empty_codebooks_follow_int_ids(self, spark):
+        from aircraftutilization_etl_spark.operators.clustering import (
+            ivfpq_adc_topk,
+            pq_adc_topk,
+        )
+
+        scodes = spark.createDataFrame([], "vec_id int, qvec array<int>")
+        encoded = spark.createDataFrame([], "vec_id int, codes array<int>")
+        cells = spark.createDataFrame([], "vec_id int, cluster int")
+        flat = pq_adc_topk(scodes, encoded, [], n_queries=2, k_top=2)
+        ivf = ivfpq_adc_topk(
+            scodes, encoded, [], cells, n_queries=2, k_top=2
+        )
+        for out in (flat, ivf):
+            got = [
+                (f.name, f.dataType.simpleString()) for f in out.schema.fields
+            ]
+            assert got == [
+                ("query_id", "int"),
+                ("neighbor_id", "int"),
+                ("adc_dist", "bigint"),
+                ("rank", "int"),
+            ]
+            assert out.count() == 0
