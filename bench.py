@@ -302,13 +302,25 @@ def main() -> int:
     # BENCH_r07.json came back parsed:null, losing the round's headline
     # number. The stdout line stays exactly r6-shaped
     # (metric/value/unit/queries/sf).
-    try:
-        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_SENTINELS.json")
-        with open(side, "w", encoding="utf-8") as fh:
-            json.dump({**payload, **sentinel_block}, fh, indent=1)
-    except OSError as exc:
-        print(f"bench: sentinel side file unwritable: {exc}", file=sys.stderr)
+    #
+    # Default target is the UNTRACKED .bench_sentinels.json (gitignored)
+    # so a driver-initiated bench run can never dirty the working tree —
+    # the r8 driver run overwrote the committed basis file silently
+    # (VERDICT r8 §wrong #1). The committed BENCH_SENTINELS.json is
+    # only advanced by an explicit, deliberate `--commit-sentinels`.
+    here = os.path.dirname(os.path.abspath(__file__))
+    targets = [os.path.join(here, ".bench_sentinels.json")]
+    if "--commit-sentinels" in sys.argv[1:]:
+        targets.append(os.path.join(here, "BENCH_SENTINELS.json"))
+    for side in targets:
+        try:
+            with open(side, "w", encoding="utf-8") as fh:
+                json.dump({**payload, **sentinel_block}, fh, indent=1)
+        except OSError as exc:
+            print(
+                f"bench: sentinel side file unwritable: {exc}",
+                file=sys.stderr,
+            )
     print(json.dumps(sentinel_block), file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()
