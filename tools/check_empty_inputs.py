@@ -33,7 +33,9 @@ would add a second pass over the fact table to fix a zero-row edge.
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -42,6 +44,14 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.check_oracles import TABLES  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Populated-schema cache keyed by each query's DEEP content hash —
+# building a populated plan just to read .schema executes the
+# driver-side collects (k-means seeds, PQ training) of every model
+# query, which dominated the sweep's runtime (ADVICE r8 #4). The deep
+# hash key self-invalidates on any plan/operator/oracle edit.
+SCHEMA_CACHE = os.path.join(REPO, ".schema_cache.json")
 
 
 def main() -> int:
@@ -55,6 +65,15 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
+
+    if not os.path.isdir(args.schema_from):
+        print(
+            f"check_empty_inputs: schema source dir {args.schema_from!r} "
+            "does not exist — pass --schema-from pointing at a populated "
+            "sf directory (the empty twins take their schemas from it)",
+            file=sys.stderr,
+        )
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -73,52 +92,89 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
 
-    empty_dir = tempfile.mkdtemp(prefix="empty_sf_")
-    for t in TABLES:
-        src = os.path.join(args.schema_from, f"{t}.parquet")
-        spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(
-            os.path.join(empty_dir, f"{t}.parquet")
-        )
+    cache: dict[str, list] = {}
+    try:
+        with open(SCHEMA_CACHE, encoding="utf-8") as fh:
+            loaded = json.load(fh)
+        if isinstance(loaded, dict):
+            cache = loaded
+    except (OSError, ValueError):
+        pass
+    cache_dirty = False
 
-    qs = entry_mod.queries()
-    only = set(args.only.split(",")) if args.only else None
-    n_pass = n_fail = 0
-    failures: list[str] = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            full_schema = [
-                (f.name, f.dataType.simpleString())
-                for f in fn(spark, args.schema_from).schema.fields
-            ]
-            df = fn(spark, empty_dir)
-            rows = df.collect()
-            empty_schema = [
-                (f.name, f.dataType.simpleString()) for f in df.schema.fields
-            ]
-        except Exception:
-            n_fail += 1
-            failures.append(name)
-            print(f"FAIL {name}: raised on empty input")
+    empty_dir = tempfile.mkdtemp(prefix="empty_sf_")
+    try:
+        for t in TABLES:
+            src = os.path.join(args.schema_from, f"{t}.parquet")
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(
+                os.path.join(empty_dir, f"{t}.parquet")
+            )
+
+        qs = entry_mod.queries()
+        only = set(args.only.split(",")) if args.only else None
+        n_pass = n_fail = 0
+        failures: list[str] = []
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            try:
+                key = (
+                    f"{name}:{args.schema_from}:"
+                    f"{entry_mod._deep_hash(name)}"  # noqa: SLF001
+                )
+                if key in cache:
+                    full_schema = [tuple(f) for f in cache[key]]
+                else:
+                    full_schema = [
+                        (f.name, f.dataType.simpleString())
+                        for f in fn(spark, args.schema_from).schema.fields
+                    ]
+                    cache[key] = [list(f) for f in full_schema]
+                    cache_dirty = True
+                df = fn(spark, empty_dir)
+                rows = df.collect()
+                empty_schema = [
+                    (f.name, f.dataType.simpleString())
+                    for f in df.schema.fields
+                ]
+            except Exception:
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL {name}: raised on empty input")
+                if args.verbose:
+                    traceback.print_exc()
+                continue
+            if empty_schema != full_schema:
+                n_fail += 1
+                failures.append(name)
+                print(
+                    f"FAIL {name}: schema drift on empty input\n"
+                    f"  populated: {full_schema}\n  empty:     {empty_schema}"
+                )
+                continue
+            n_pass += 1
             if args.verbose:
-                traceback.print_exc()
-            continue
-        if empty_schema != full_schema:
-            n_fail += 1
-            failures.append(name)
-            print(
-                f"FAIL {name}: schema drift on empty input\n"
-                f"  populated: {full_schema}\n  empty:     {empty_schema}"
-            )
-            continue
-        n_pass += 1
-        if args.verbose:
-            print(
-                f"ok   {name}: {len(rows)} rows on empty "
-                f"({time.time() - t0:.1f}s)"
-            )
+                print(
+                    f"ok   {name}: {len(rows)} rows on empty "
+                    f"({time.time() - t0:.1f}s)"
+                )
+    finally:
+        shutil.rmtree(empty_dir, ignore_errors=True)
+    if cache_dirty:
+        try:
+            # drop entries whose deep hash no longer matches any
+            # current query so the cache cannot grow without bound
+            live = {
+                f"{n}:{args.schema_from}:"
+                f"{entry_mod._deep_hash(n)}"  # noqa: SLF001
+                for n in qs
+            }
+            cache = {k: v for k, v in cache.items() if k in live}
+            with open(SCHEMA_CACHE, "w", encoding="utf-8") as fh:
+                json.dump(cache, fh)
+        except OSError:
+            pass
     print(f"\n{n_pass} ok, {n_fail} FAILED on empty inputs")
     if failures:
         print("failed:", ",".join(failures))

@@ -33,6 +33,23 @@ from tools.check_oracles import TABLES  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Deterministic per-table sort keys: limit(n) without orderBy picks
+# whichever file/row-group Spark scans first, so star contents could
+# differ across rebuilds on multi-file inputs — breaking the
+# hash-snapshot reproducibility of the star sweeps (ADVICE r8 #2).
+KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -57,7 +74,7 @@ def main() -> int:
         src.limit(0).write.mode("overwrite").parquet(
             os.path.join(REPO, ".empty_sf", f"{t}.parquet")
         )
-        one = src.limit(1).coalesce(1)
+        one = src.orderBy(*KEYS[t]).limit(1).coalesce(1)
         one.write.mode("overwrite").parquet(
             os.path.join(REPO, ".one_sf", f"{t}.parquet")
         )
@@ -68,7 +85,13 @@ def main() -> int:
 
     rows = spark.read.parquet(
         os.path.join(args.src, "documents.parquet")
-    ).limit(3).collect()
+    ).orderBy("doc_id").limit(3).collect()
+    if len(rows) < 3:
+        raise SystemExit(
+            f"make_degenerate_stars: --src documents has only {len(rows)} "
+            "rows; the degenerate-text star needs 3 distinct doc_ids "
+            "(empty / whitespace / single-char)"
+        )
     pdf = pd.DataFrame(
         [
             {"doc_id": rows[0]["doc_id"], "text": "",
