@@ -24,6 +24,7 @@ HEADLINE = [
     "q8_market_share",
     "q9_product_type_profit",  # widest snowflake in the suite
     "q18_large_volume_customers",
+    "q4_order_priority",  # r9: correlated-EXISTS semi join, pushed window
     "q_top_customers_per_nation",
     "q_grouping_sets_revenue",
     # r5: the approx entry became a self-auditing certificate (computes
@@ -41,6 +42,7 @@ HEADLINE = [
     "q_text_bm25_topk",  # postings-broadcast lexical retrieval
     "q_text_boilerplate",  # shingle common-set broadcast probe
     "q_sample_temperature",  # sqrt-weighted quota resampling
+    "q_quota_per_source",  # r9: per-source cap, map-side group limit
     "q_flight_status_kernel",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
