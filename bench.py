@@ -229,6 +229,20 @@ def _assemble_payloads(
     return payload, sentinel_block
 
 
+def _sentinel_targets(argv: list[str]) -> list[str]:
+    """Side-file paths for the sentinel block. Default is ONLY the
+    untracked .bench_sentinels.json (gitignored), so a driver-initiated
+    bench run can never dirty the working tree — the r8 driver run
+    overwrote the committed basis file silently (VERDICT r8 §wrong #1).
+    The committed BENCH_SENTINELS.json is appended only under an
+    explicit, deliberate ``--commit-sentinels``."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    targets = [os.path.join(here, ".bench_sentinels.json")]
+    if "--commit-sentinels" in argv:
+        targets.append(os.path.join(here, "BENCH_SENTINELS.json"))
+    return targets
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -305,16 +319,7 @@ def main() -> int:
     # number. The stdout line stays exactly r6-shaped
     # (metric/value/unit/queries/sf).
     #
-    # Default target is the UNTRACKED .bench_sentinels.json (gitignored)
-    # so a driver-initiated bench run can never dirty the working tree —
-    # the r8 driver run overwrote the committed basis file silently
-    # (VERDICT r8 §wrong #1). The committed BENCH_SENTINELS.json is
-    # only advanced by an explicit, deliberate `--commit-sentinels`.
-    here = os.path.dirname(os.path.abspath(__file__))
-    targets = [os.path.join(here, ".bench_sentinels.json")]
-    if "--commit-sentinels" in sys.argv[1:]:
-        targets.append(os.path.join(here, "BENCH_SENTINELS.json"))
-    for side in targets:
+    for side in _sentinel_targets(sys.argv[1:]):
         try:
             with open(side, "w", encoding="utf-8") as fh:
                 json.dump({**payload, **sentinel_block}, fh, indent=1)

@@ -127,3 +127,21 @@ def test_stdout_payload_stays_driver_parseable(bench, monkeypatch):
     assert payload["value"] is None
     assert payload["partial_total"] == 1.5
     assert "sentinels" not in payload
+
+
+def test_sentinel_block_cannot_dirty_the_tree_by_default(bench):
+    """VERDICT r8 #4: a plain bench run (what the driver invokes) must
+    write the sentinel block ONLY to the gitignored side file; the
+    committed BENCH_SENTINELS.json advances only under an explicit
+    --commit-sentinels."""
+    default = bench._sentinel_targets([])
+    assert [os.path.basename(p) for p in default] == [".bench_sentinels.json"]
+    committed = bench._sentinel_targets(["--commit-sentinels"])
+    assert [os.path.basename(p) for p in committed] == [
+        ".bench_sentinels.json",
+        "BENCH_SENTINELS.json",
+    ]
+    # the untracked name is actually gitignored
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    with open(os.path.join(repo, ".gitignore"), encoding="utf-8") as fh:
+        assert ".bench_sentinels.json" in fh.read()
