@@ -43,6 +43,7 @@ HEADLINE = [
     "q_text_boilerplate",  # shingle common-set broadcast probe
     "q_sample_temperature",  # sqrt-weighted quota resampling
     "q_quota_per_source",  # r9: per-source cap, map-side group limit
+    "q_quota_budget_allocation",  # r9: exact-N largest-remainder cut
     "q_flight_status_kernel",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",

@@ -1,0 +1,116 @@
+"""plans/quota.py — per-source caps and exact-N budget allocation."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from aircraftutilization_etl_spark.plans.quota import (
+    QUOTA_PER_SOURCE,
+    TOTAL_BUDGET,
+    budget_allocate,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()  # noqa: S324
+
+
+def _hamilton(counts: dict[str, int], total: int) -> dict[str, int]:
+    """Reference largest-remainder apportionment over sqrt weights —
+    the same integer arithmetic budget_allocate must implement."""
+    w = {s: int(math.floor(math.sqrt(float(n)) * 1_000_000))
+         for s, n in counts.items()}
+    wtot = sum(w.values())
+    base = {s: total * v // wtot for s, v in w.items()}
+    rem = {s: (total * v) % wtot for s, v in w.items()}
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[
+        : total - sum(base.values())
+    ]:
+        base[s] += 1
+    return base
+
+
+def test_allocation_sums_to_budget_and_picks_md5_rank(spark):
+    counts = {"a": 40, "b": 10, "c": 90}
+    rows = [
+        (f"{s}{i}", s) for s, n in counts.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = budget_allocate(df, 20, key="doc_id").collect()
+    alloc = _hamilton(counts, 20)
+    assert sum(alloc.values()) == 20
+    from collections import Counter
+
+    got = Counter(r["source"] for r in out)
+    assert dict(got) == {s: n for s, n in alloc.items() if n}
+    # each source keeps exactly its allocation's md5-smallest keys
+    for s, n in alloc.items():
+        want = sorted(
+            (k for k, src in rows if src == s),
+            key=lambda k: (_md5(k), k),
+        )[:n]
+        assert sorted(r["doc_id"] for r in out if r["source"] == s) == sorted(
+            want
+        )
+
+
+def test_allocation_shortfall_when_a_source_runs_dry(spark):
+    """sqrt weighting over-allocates small sources; with no
+    redistribution pass the kept total honestly falls short."""
+    counts = {"tiny": 2, "big": 400}
+    rows = [(f"{s}{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    total = 100
+    alloc = _hamilton(counts, total)
+    assert alloc["tiny"] > counts["tiny"]  # the premise: over-allocated
+    out = budget_allocate(df, total, key="doc_id").collect()
+    from collections import Counter
+
+    got = Counter(r["source"] for r in out)
+    assert got["tiny"] == counts["tiny"]  # capped at what exists
+    assert got["big"] == alloc["big"]
+    assert len(out) == total - (alloc["tiny"] - counts["tiny"])
+
+
+def test_allocation_empty_input_keeps_schema(spark):
+    df = spark.createDataFrame([], "doc_id string, source string")
+    out = budget_allocate(df, 10, key="doc_id")
+    assert [
+        (f.name, f.dataType.simpleString()) for f in out.schema.fields
+    ] == [("doc_id", "string"), ("source", "string")]
+    assert out.count() == 0
+
+
+def test_catalog_constants_bite_at_smallest_sf():
+    # sf0.001 ships 20 sources x 25 docs: the per-source cap (10 < 25)
+    # and the exact budget (120 < 500) both constrain at every SF
+    assert QUOTA_PER_SOURCE < 25
+    assert TOTAL_BUDGET < 500
+
+
+def test_budget_plan_is_one_scan_one_window_one_broadcast(spark):
+    from aircraftutilization_etl_spark.diagnostics import count_exchanges
+    from aircraftutilization_etl_spark.plans import CATALOG
+
+    df = CATALOG["q_quota_budget_allocation"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the data-sized side: map-side rank prune + one hash exchange,
+    # then a broadcast join against the driver-computed allocation
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert count_exchanges(df) <= 2  # rank exchange (+ alloc broadcast)
+    # exactly one parquet scan (one Location line per scan in the
+    # details section): the allocation is a literal local relation,
+    # not a re-derived aggregate over the fact table
+    assert plan.count("Location: InMemoryFileIndex") == 1
