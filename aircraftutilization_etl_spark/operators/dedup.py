@@ -18,6 +18,11 @@ Scale design (the point of these operators at 100 TB):
 - pair generation never crosses the full corpus: exact dedup shuffles on
   the fingerprint, LSH shuffles on (band, band_key) buckets, n-gram
   Jaccard shuffles on the shingle — each key-local;
+- every text-derived join key has a Zipf-head guard (SCALE.md round-10
+  audit): the band/shingle self-joins chunk hot buckets
+  (_chunked_pair_join — identical output, per-task work ≤ cap²), and
+  the edit-distance q-gram join drops ultra-frequent grams outright
+  with the count-filter guarantee re-derived over survivors;
 - verification joins run only over candidate pairs (two id-keyed joins
   against the per-doc shingle arrays + a per-row array_intersect).
 """
@@ -113,16 +118,18 @@ def shingle_jaccard_pairs(
     (equi-join on the shingle), then scored exactly:
     J = |A∩B| / (|A|+|B|−|A∩B|).
 
-    The shingle table feeds three consumers (sizes + both join sides),
-    so it is persisted for the duration of the plan.
+    The shingle table feeds the sizes aggregate plus the chunked join;
+    it is persisted for the duration of the plan. Skew: a stop-shingle
+    shared by f docs owes f² intersection rows by the exact semantics,
+    but the chunked self-join (``_chunked_pair_join``) bounds any ONE
+    task at ~SHINGLE_BUCKET_CAP² of them; the corpus-scale way to not
+    pay Σf² at all is minhash_lsh_duplicates, whose banded buckets only
+    collide near-identical docs.
     """
     shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _chunked_pair_join(shingles, ["shingle"], id_col, SHINGLE_BUCKET_CAP)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -237,6 +244,64 @@ def lsh_bands(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # the cap, so the common path pays only the bucket-size join.
 LSH_BUCKET_CAP = 64
 
+# Chunk cap for the raw-shingle self-joins (exact Jaccard/containment):
+# a stop-shingle shared by f documents genuinely owes f²/2 intersection
+# rows (exact set-overlap semantics — nothing can be dropped), so the
+# cap only bounds PER-TASK work, never the total. 256 → ≤ ~65k joined
+# rows per chunk-pair group.
+SHINGLE_BUCKET_CAP = 256
+
+
+def _chunked_pair_join(
+    keyed: DataFrame, key_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Skew-bounded self-join: every unordered pair of rows sharing the
+    ``key_cols`` value meets EXACTLY once, with no join task group ever
+    holding more than ~``cap``² pairs — the Zipf-head guard every
+    text-derived join key needs at 100 TB (a raw equi-self-join puts a
+    hot key's entire f² pair block in ONE task).
+
+    Members of each key bucket hash into m = ceil(f / cap) chunks; side
+    A replicates each member across its ROW of chunk pairs, side B
+    across its COLUMN, so pair (a, b) meets exactly at
+    (chunk(a), chunk(b)) — output identical to the plain self-join
+    (certified per consumer by the unchanged DuckDB oracles), per-task
+    work bounded by cap². Normal buckets have m = 1, where the chunk
+    machinery degenerates to the plain bucket join (no replication).
+
+    Output: one row per (unordered pair, shared key occurrence) with
+    columns (id_a, id_b), id_a < id_b — callers count rows per pair
+    (intersection sizes) or ``distinct()`` (candidate sets). The sized
+    frame is persisted: both join sides consume it, and the bucket
+    sizes come from ONE window count over the key partitioning the join
+    shuffle needs anyway.
+    """
+    bucket = Window.partitionBy(*key_cols)
+    sized = keyed.select(
+        F.col(id_col),
+        *key_cols,
+        F.ceil(F.count(F.lit(1)).over(bucket) / cap).cast("int").alias("__m"),
+    ).persist()
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.col("__m")).cast("int")
+    chunks = F.sequence(F.lit(0), F.col("__m") - 1)
+    a = sized.select(
+        F.col(id_col).alias("id_a"),
+        *key_cols,
+        own.alias("__ca"),
+        F.explode(chunks).alias("__cb"),
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"),
+        *key_cols,
+        F.explode(chunks).alias("__ca"),
+        own.alias("__cb"),
+    )
+    return (
+        a.join(b, [*key_cols, "__ca", "__cb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
 
 def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Docs colliding on any band's full key become candidate pairs.
@@ -254,48 +319,24 @@ def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFram
     operators/similarity.cosine_pairs applied to the bucket join.
     Normal-sized buckets have m=1, where the chunk machinery degenerates
     to the plain bucket join (no replication).
+
+    The chunked self-join is ``_chunked_pair_join`` (persisted sized
+    frame: both join sides consume the same banded signatures — a
+    broadcast on one side would recompute the whole shingle→hash
+    subtree twice; the persisted table is signature-sized, not
+    corpus-sized. Bucket sizes come from ONE window count over the band
+    partitioning the join shuffle needs anyway — a separate size
+    aggregate joined back would re-exchange the banded table, and the
+    bucket row-count table is corpus-sized at scale, so it cannot
+    broadcast).
     """
-    # Persist: both self-join sides consume the same banded+sized
-    # signatures, but a broadcast on one side (AQE's choice here — the
-    # banded table is 4 rows/doc of ~50 bytes) would otherwise
-    # recompute the whole shingle→hash subtree twice. The persisted
-    # table is signature-sized (tiny relative to the corpus), not
-    # corpus-sized. Bucket sizes come from ONE window count over the
-    # band partitioning (a separate size aggregate joined back would
-    # re-exchange the banded table a second time; the bucket row-count
-    # table is corpus-sized at scale, so it cannot broadcast).
-    bucket = Window.partitionBy("band", "band_key")
-    sized = (
-        lsh_bands(shingled, id_col)
-        .select(
-            id_col,
-            "band",
-            "band_key",
-            F.ceil(F.count(F.lit(1)).over(bucket) / LSH_BUCKET_CAP)
-            .cast("int")
-            .alias("__m"),
-        )
-        .persist()
-    )
-    own = F.pmod(F.xxhash64(F.col(id_col)), F.col("__m")).cast("int")
-    chunks = F.sequence(F.lit(0), F.col("__m") - 1)
-    a = sized.select(
-        F.col(id_col).alias("id_a"),
-        "band",
-        "band_key",
-        own.alias("__ca"),
-        F.explode(chunks).alias("__cb"),
-    )
-    b = sized.select(
-        F.col(id_col).alias("id_b"),
-        "band",
-        "band_key",
-        F.explode(chunks).alias("__ca"),
-        own.alias("__cb"),
-    )
     return (
-        a.join(b, ["band", "band_key", "__ca", "__cb"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _chunked_pair_join(
+            lsh_bands(shingled, id_col),
+            ["band", "band_key"],
+            id_col,
+            LSH_BUCKET_CAP,
+        )
         .select("id_a", "id_b")
         .distinct()
     )
@@ -583,50 +624,114 @@ def novelty_scores(
     )
 
 
+# Ultra-frequent q-gram drop (VERDICT r9 #2): grams present in more than
+# max(FLOOR, n_strings // DENOM) strings are dropped from the candidate
+# join — a gram shared by f strings owes f²/2 candidate pairs in ONE
+# join task (the r9 probe measured one trigram spanning 2,642 of 7,500
+# titles ≈ 3.5M pairs, a ~14-minute straggler; at 100 TB a stop-gram
+# owns the stage), and a gram that frequent cannot discriminate anyway.
+# Correctness is preserved by re-deriving the count-filter guarantee
+# over the SURVIVING grams only — see edit_distance_pairs.
+EDIT_GRAM_DF_FLOOR = 256
+EDIT_GRAM_DF_DENOM = 20
+
+
 def edit_distance_pairs(
     df: DataFrame,
     max_dist: int = 2,
     id_col: str = "doc_id",
     str_col: str = "title",
     q: int = 3,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """All unordered pairs with Levenshtein distance ≤ ``max_dist`` —
     typo-level near-dup (titles, product names, entity mentions).
 
     Sub-quadratic candidate generation by the classic q-gram count
-    filter: one edit operation destroys at most ``q`` q-grams, so two
-    strings within ``max_dist`` edits share at least
-    ``len - (q-1) - q·max_dist`` q-gram occurrences — GUARANTEED ≥ 1
-    when either string has length ≥ q + q·max_dist (= 9 at q=3, k=2).
-    Candidates therefore come from a distinct-q-gram equi-self-join;
-    the few strings where BOTH sides are shorter than that bound get an
-    exhaustive length-banded pass (their population is tiny by
-    definition). Exact ``levenshtein`` (JVM codegen) verifies
-    candidates only. No false negatives by the bound above; false
-    candidates die in verification — same candidates-then-verify shape
-    as the MinHash pipeline.
+    filter (Gravano et al., VLDB 2001), hardened against Zipf-head
+    grams. One edit overlaps at most ``q`` gram positions, and distinct
+    grams occupy disjoint position sets, so ``max_dist`` edits destroy
+    at most ``q·max_dist`` DISTINCT grams of a string. Ultra-frequent
+    grams (document frequency > ``max_gram_df``, default
+    ``max(EDIT_GRAM_DF_FLOOR, n_strings // EDIT_GRAM_DF_DENOM)``) are
+    dropped before the join — they cannot discriminate, and their
+    f²-pair blocks are exactly the single-task stragglers the r9 probe
+    measured. The count-filter guarantee is re-derived over SURVIVING
+    grams: call a string SAFE when it has ≥ ``q·max_dist + 1`` distinct
+    rare grams. For any true pair (dist ≤ max_dist) with at least one
+    safe side, ≤ q·max_dist of the safe side's rare grams are destroyed
+    by the edits, so ≥ 1 survives into the partner — and rarity is a
+    GLOBAL property of the gram, so both sides emit it into the
+    rare-gram equi-self-join. Only pairs where BOTH sides are unsafe
+    (shorter than q·(max_dist+1) chars, or saturated with stop-grams)
+    need the exhaustive length-banded pass, and that population is tiny
+    by construction. Exact ``levenshtein`` (JVM codegen) verifies
+    candidates only: no false negatives by the argument above, false
+    candidates die in verification — the candidates-then-verify shape
+    of the MinHash pipeline.
 
-    Scale: the gram join shuffles (gram, id) pairs — strings·(len-q+1)
-    rows of a few bytes; hot grams (stop-word trigrams) are
-    additive-skew AQE handles, and a production run would drop
-    ultra-frequent grams first (they cannot discriminate). Verification
-    is |candidates|.
+    Scale: the rare-gram join shuffles (gram, id) rows with per-gram
+    fan-out capped at the df cap (per-task pair blocks ≤ cap²); the
+    document-frequency table is one map-side-combined aggregate; the
+    frequent-gram set (≤ gram_rows/cap members by counting) rides a
+    broadcast anti-join; the safe/unsafe split is one id-keyed join.
+    Verification is |candidates|.
     """
-    s = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
-    guaranteed = q + q * max_dist  # length at which >=1 shared gram is certain
-    grams = s.filter(F.length("s") >= q).select(
-        "id",
-        "s",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, length(s) - {q - 1}), "
-                    f"i -> substring(s, i, {q}))"
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(str_col).alias("s")
+    ).persist()
+    grams = (
+        s.filter(F.length("s") >= q)
+        .select(
+            "id",
+            "s",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(s) - {q - 1}), "
+                        f"i -> substring(s, i, {q}))"
+                    )
+                )
+            ).alias("gram"),
+        )
+        .persist()
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    if max_gram_df is None:
+        # auto cap: scale-relative with an absolute floor, computed as
+        # a broadcast scalar join (no driver action in the plan)
+        n = s.agg(F.count(F.lit(1)).alias("__n_strings"))
+        freq = (
+            df_tbl.crossJoin(F.broadcast(n))
+            .filter(
+                F.col("__df")
+                > F.greatest(
+                    F.lit(EDIT_GRAM_DF_FLOOR),
+                    (F.col("__n_strings") / EDIT_GRAM_DF_DENOM).cast(
+                        "bigint"
+                    ),
                 )
             )
-        ).alias("gram"),
+            .select("gram")
+        )
+    else:
+        freq = df_tbl.filter(F.col("__df") > max_gram_df).select("gram")
+    # the frequent-gram set is model-sized by counting (≤ total gram
+    # rows / cap); materialize it once — three consumers below would
+    # otherwise each re-run the df aggregate (the tiny-lineage trap:
+    # exchange reuse does not dedupe re-derived small aggregates)
+    freq = freq.localCheckpoint(eager=True)
+    rare = grams.join(F.broadcast(freq), "gram", "left_anti")
+    # safe ⇔ ≥ q·max_dist + 1 distinct rare grams (rows of `rare` are
+    # distinct per (id, gram) already — grams came from array_distinct)
+    rare_cnt = rare.groupBy("id").agg(F.count(F.lit(1)).alias("__r"))
+    unsafe = (
+        s.join(rare_cnt, "id", "left")
+        .filter(F.coalesce(F.col("__r"), F.lit(0)) <= q * max_dist)
+        .select("id", "s")
+        .persist()
     )
-    ga, gb = grams.alias("a"), grams.alias("b")
+    ga, gb = rare.alias("a"), rare.alias("b")
     cand_long = (
         ga.join(
             gb,
@@ -641,8 +746,7 @@ def edit_distance_pairs(
         )
         .distinct()
     )
-    shorts = s.filter(F.length("s") < guaranteed)
-    sa, sb = shorts.alias("a"), shorts.alias("b")
+    sa, sb = unsafe.alias("a"), unsafe.alias("b")
     cand_short = sa.join(
         sb,
         (F.col("a.id") < F.col("b.id"))
@@ -736,16 +840,14 @@ def containment_pairs(
 
     Same candidate discipline as shingle_jaccard_pairs: pairs form only
     through the equi-join on the shingle (cost Σ per-shingle freq², never
-    n²); the undirected intersection counts are computed once and emitted
-    in both directions with the direction's own denominator.
+    n²), hot shingles task-bounded by the same chunked self-join; the
+    undirected intersection counts are computed once and emitted in both
+    directions with the direction's own denominator.
     """
     shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _chunked_pair_join(shingles, ["shingle"], id_col, SHINGLE_BUCKET_CAP)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -814,18 +916,13 @@ def simhash_hamming_pairs(
     banded = bints.select(
         F.col(id_col), F.posexplode("__bint").alias("band", "bkey")
     )
+    # chunked band self-join: an adversarial corpus (thousands of
+    # IDENTICAL prints) collapses every band into one bucket — the same
+    # quadratic-single-task trap as LSH, guarded the same way (output
+    # unchanged, per-task work ≤ ~LSH_BUCKET_CAP²)
     cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        _chunked_pair_join(banded, ["band", "bkey"], id_col, LSH_BUCKET_CAP)
+        .select("id_a", "id_b")
         .distinct()
     )
     sa = bints.select(F.col(id_col).alias("id_a"), F.col("__bint").alias("__ba"))

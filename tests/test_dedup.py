@@ -563,3 +563,141 @@ def test_removal_spans_randomized_vs_scalar_replay(spark):
             for r in removal_spans(df).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+class TestEditDistanceHotGramDrop:
+    """VERDICT r9 #2: ultra-frequent q-grams are dropped from the
+    candidate join (a gram in f strings owes f²/2 pairs in ONE task)
+    with the count-filter guarantee re-derived over surviving grams.
+    Output must stay EXACTLY brute-force-equal under every cap."""
+
+    @staticmethod
+    def _lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    @classmethod
+    def _brute(cls, vals, k=2):
+        import itertools
+
+        return sorted(
+            (i, j, cls._lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(vals, 2)
+            if cls._lev(a, b) <= k
+        )
+
+    def _run(self, spark, vals, **kw):
+        from aircraftutilization_etl_spark.operators.dedup import (
+            edit_distance_pairs,
+        )
+
+        df = spark.createDataFrame(vals, "doc_id long, title string")
+        return sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, max_dist=2, **kw).collect()
+        )
+
+    def test_auto_cap_engages_above_floor(self, spark):
+        """270 titles all containing one stop-gram ('zzz', df=270 >
+        EDIT_GRAM_DF_FLOOR=256, so the auto cap drops it) — long titles
+        with near-dup variants, short stop-gram-saturated stragglers,
+        and cross-length pairs. Result must equal brute force."""
+        from aircraftutilization_etl_spark.operators.dedup import (
+            EDIT_GRAM_DF_FLOOR,
+        )
+
+        vals = []
+        for i in range(260):
+            # long, mostly-rare-gram titles; consecutive ids differ in
+            # the digit block (dist 1-2 for some pairs)
+            vals.append((i, f"zzz doc {i:05d} stable tail"))
+        # typo variants of a few of them (dist 1)
+        vals.append((300, "zzz doc 00007 stable tajl"))
+        vals.append((301, "zzz doc 00100 stable tai"))
+        # short stop-gram-saturated strings (unsafe bucket)
+        vals += [(310, "zzzzzz"), (311, "zzzzz"), (312, "zzzzzzz"),
+                 (313, "zzz"), (314, ""), (315, "zz")]
+        assert len(vals) - 6 > EDIT_GRAM_DF_FLOOR - 10  # corpus sanity
+        assert self._run(spark, vals) == self._brute(vals)
+
+    def test_forced_drop_routes_through_unsafe_bucket(self, spark):
+        """max_gram_df=1 drops EVERY shared gram (df ≥ 2), so no true
+        pair can survive the rare-gram join — the safe/unsafe split
+        must route all of them through the exhaustive pass. This is the
+        adversarial extreme of the cap; output still brute-force-equal."""
+        vals = [
+            (0, "the quick brown fox"),
+            (1, "the quick brown fux"),
+            (2, "the quick brown foxes"),
+            (3, "completely different"),
+            (4, "ab"),
+            (5, "abc"),
+            (6, "abcd"),
+            (7, "xbcd"),
+            (8, ""),
+            (9, "ab"),
+            (10, "the quick brown f"),
+        ]
+        for cap in (1, 2, 1000):
+            assert self._run(spark, vals, max_gram_df=cap) == self._brute(
+                vals
+            ), f"cap={cap}"
+
+
+class TestHotShingleChunking:
+    """SCALE.md round-10 Zipf audit: the exact-Jaccard/containment
+    shingle self-join and the SimHash band self-join are chunk-guarded
+    like LSH — identical output, per-task pair blocks ≤ cap²."""
+
+    def test_jaccard_identical_corpus_above_cap(self, spark):
+        from aircraftutilization_etl_spark.operators.dedup import (
+            SHINGLE_BUCKET_CAP,
+            doc_shingles,
+            shingle_jaccard_pairs,
+        )
+
+        n = SHINGLE_BUCKET_CAP + 44  # every shingle bucket > cap → m=2
+        df = _docs(spark, [(i, "the same adversarial text body") for i in range(n)])
+        rows = shingle_jaccard_pairs(doc_shingles(df), threshold=0.9).collect()
+        assert len(rows) == n * (n - 1) // 2
+        assert all(r["jaccard"] == 1.0 for r in rows)
+
+    def test_containment_mixed_corpus_matches_unchunked_semantics(self, spark):
+        from aircraftutilization_etl_spark.operators.dedup import (
+            containment_pairs,
+            doc_shingles,
+        )
+
+        # small corpus: chunk machinery degenerates (m=1) and the
+        # hand-computed directed containments must be exact
+        docs = _docs(spark, [(1, "a b c d"), (2, "a b c x y z")])
+        out = {
+            (r.id_src, r.id_dst): r.containment
+            for r in containment_pairs(doc_shingles(docs), 0.0).collect()
+        }
+        assert out[(1, 2)] == 0.5
+        assert out[(2, 1)] == 0.25
+
+    def test_simhash_identical_corpus_above_cap(self, spark):
+        from aircraftutilization_etl_spark.operators.dedup import (
+            LSH_BUCKET_CAP,
+            simhash_hamming_pairs,
+        )
+
+        n = 2 * LSH_BUCKET_CAP + 22  # one band bucket of 150 → m=3
+        df = spark.createDataFrame(
+            [(i, "0101010101010101") for i in range(n)],
+            "doc_id long, simhash string",
+        )
+        rows = simhash_hamming_pairs(df, max_hamming=2).collect()
+        assert len(rows) == n * (n - 1) // 2
+        assert all(r["hamming"] == 0 for r in rows)
