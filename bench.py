@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "sf": ..., "n_queries": N}
+
+The stdout line is BOUNDED (~120 chars) regardless of catalog size: the
+driver tail-captures only the last 2000 chars of stdout, and an
+unbounded per-query dict broke its parser twice (BENCH_r07, BENCH_r09
+both parsed:null — VERDICT r9 #1). Per-query seconds and the sentinel
+noise block ride the side file(s) and stderr instead.
 
 Each query executes fully via the noop sink (no driver collect overhead);
 times are per-query wall seconds.
@@ -91,6 +97,10 @@ HEADLINE = [
     # r6: the on-engine training loop — 6 integer-GD rounds, each one
     # broadcast-scoring pass + one bucket-keyed BIGINT gradient shuffle
     "q_quality_classifier",
+    # r10: the one heavy dedup operator with no timing trend until now —
+    # rare-q-gram candidate join (ultra-frequent grams dropped) + exact
+    # levenshtein verify (VERDICT r9 #7)
+    "q_dedup_edit_distance",
 ]
 
 
@@ -106,12 +116,23 @@ HEADLINE = [
 # host-speed signal) — if a round edits one, swap it out in the same
 # change. r8 swapped q1_pricing_summary and q_bloom_prune_join (both
 # converted to exact-cents summation) for two plan-untouched windows.
+# r10 widened 5 → 10 (VERDICT r9 #4): a median over 5 readings with
+# spread 1.15-1.83 was thin; the set now spans scan+agg (q6), hash agg
+# (q1, stable since its r8 exact-cents form), broadcast join (q5),
+# window rank (top_customers), global sort percentile, streaming-twin
+# window agg (events_hourly), text kernel, dedup hash-group, Arrow/GEMM
+# lane (emb_cosine), and iterative shuffle rounds (pagerank).
 SENTINELS = (
     "q_top_customers_per_nation",
     "q_percentiles_quantity",
     "q_text_quality",
     "q_dedup_exact",
     "q_graph_pagerank",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_events_hourly_window",
+    "q_emb_cosine_topk",
 )
 
 
@@ -145,13 +166,27 @@ def _payload_queries(payload) -> tuple[dict[str, float] | None, object]:
 def _prev_bench_queries(
     bench_dir: str | None = None,
 ) -> tuple[str | None, dict[str, float] | None, object]:
-    """(filename, per-query seconds, sf) from the newest readable
-    BENCH_r*.json in *bench_dir* (default: the repo root), or
-    (None, None, None) on a fresh checkout."""
+    """(filename, per-query seconds, sf) for the sentinel basis.
+
+    The committed BENCH_SENTINELS.json is the deliberate basis (it is
+    advanced only under --commit-sentinels, VERDICT r8 #4) and is
+    preferred when readable; the newest readable BENCH_r*.json is the
+    legacy fallback — necessary since r10, because BENCH_r10+ driver
+    files no longer carry a per-query dict at all (the bounded stdout
+    line, VERDICT r9 #1). (None, None, None) on a fresh checkout."""
     import glob
     import re
 
     here = bench_dir or os.path.dirname(os.path.abspath(__file__))
+    basis = os.path.join(here, "BENCH_SENTINELS.json")
+    try:
+        with open(basis, encoding="utf-8") as fh:
+            payload = json.load(fh)
+    except (OSError, ValueError):
+        payload = None
+    queries, sf = _payload_queries(payload)
+    if queries:
+        return os.path.basename(basis), queries, sf
     # match-then-sort: a stray 'BENCH_r6_retry.json' satisfies the glob
     # but not the round pattern — skip it rather than dying on .group()
     # after the whole multi-minute bench run has already executed
@@ -206,28 +241,32 @@ def _sentinel_fields(per_query: dict[str, float], sf: object) -> dict:
 def _assemble_payloads(
     per_query: dict[str, float], errors: dict[str, str], sf_dir: str
 ) -> tuple[dict, dict]:
-    """(stdout payload, sentinel side block). The stdout payload MUST
-    stay driver-parseable: exactly the r6 key set
-    metric/value/unit/queries/sf — plus partial_total/errors ONLY when
-    a query failed (value nulled so a partial total can never be
-    mistaken for a speedup). Everything else (the sentinel block) goes
-    to the side file/stderr; r7 proved that growing the stdout line
-    breaks the driver's parser (BENCH_r07.json parsed:null)."""
+    """(stdout payload, side-file payload). The stdout payload MUST
+    stay driver-parseable AND bounded: the driver tail-captures only
+    the last 2000 chars of stdout, and the per-query dict grew past
+    that twice (BENCH_r07, BENCH_r09 — both parsed:null). stdout
+    therefore carries ONLY metric/value/unit/sf/n_queries (~120 chars,
+    bounded forever; tests pin < 500) — plus partial_total/n_errors
+    when a query failed (value nulled so a partial total can never be
+    mistaken for a speedup). The per-query dict, the error details, and
+    the sentinel noise block ride the side file(s) and stderr."""
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(per_query),
     }
-    sentinel_block = _sentinel_fields(per_query, payload["sf"])
+    side = {"queries": per_query}
+    side.update(_sentinel_fields(per_query, payload["sf"]))
     if errors:
         payload["value"] = None
         payload["partial_total"] = total
-        payload["errors"] = errors
-    return payload, sentinel_block
+        payload["n_errors"] = len(errors)
+        side["errors"] = errors
+    return payload, side
 
 
 def _sentinel_targets(argv: list[str]) -> list[str]:
@@ -244,7 +283,24 @@ def _sentinel_targets(argv: list[str]) -> list[str]:
     return targets
 
 
+def _parse_args(argv: list[str]):
+    """Minimal argparse so a misspelled flag fails LOUDLY instead of
+    silently skipping the committed-sentinel write (ADVICE r9)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--commit-sentinels",
+        action="store_true",
+        help="additionally advance the committed BENCH_SENTINELS.json "
+        "basis (deliberate act; a plain run writes only the gitignored "
+        ".bench_sentinels.json side file)",
+    )
+    return ap.parse_args(argv)
+
+
 def main() -> int:
+    args = _parse_args(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -312,24 +368,24 @@ def main() -> int:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    payload, sentinel_block = _assemble_payloads(per_query, errors, sf_dir)
-    # Sentinel noise-normalization block goes to a SIDE FILE (plus
-    # stderr), never the stdout JSON line: appending it inline in r7
-    # grew the line past what the driver's bench parser accepts —
-    # BENCH_r07.json came back parsed:null, losing the round's headline
-    # number. The stdout line stays exactly r6-shaped
-    # (metric/value/unit/queries/sf).
-    #
-    for side in _sentinel_targets(sys.argv[1:]):
+    payload, side_block = _assemble_payloads(per_query, errors, sf_dir)
+    # Per-query seconds + sentinel noise block go to the SIDE FILE(s)
+    # plus stderr, never the stdout JSON line: the driver tail-captures
+    # 2000 chars and the growing line broke its parser in r7 AND r9
+    # (both parsed:null). The stdout line is bounded at ~120 chars
+    # (metric/value/unit/sf/n_queries) forever.
+    for side in _sentinel_targets(
+        ["--commit-sentinels"] if args.commit_sentinels else []
+    ):
         try:
             with open(side, "w", encoding="utf-8") as fh:
-                json.dump({**payload, **sentinel_block}, fh, indent=1)
+                json.dump({**payload, **side_block}, fh, indent=1)
         except OSError as exc:
             print(
                 f"bench: sentinel side file unwritable: {exc}",
                 file=sys.stderr,
             )
-    print(json.dumps(sentinel_block), file=sys.stderr)
+    print(json.dumps(side_block), file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()
     # a failed query is a real signal, but a partial bench is far more

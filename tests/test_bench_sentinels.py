@@ -34,6 +34,17 @@ def test_sentinels_are_headline_queries(bench):
     assert set(bench.SENTINELS) <= set(bench.HEADLINE)
 
 
+def test_sentinel_set_is_wide_and_has_basis_values(bench):
+    """VERDICT r9 #4: ≥9 frozen-plan sentinels spanning shapes, each
+    with a prev value in the committed basis file so its ratio computes
+    from the very next run."""
+    assert len(bench.SENTINELS) >= 9
+    with open(os.path.join(REPO, "BENCH_SENTINELS.json"), encoding="utf-8") as fh:
+        basis = json.load(fh)
+    missing = [s for s in bench.SENTINELS if s not in basis["queries"]]
+    assert not missing, f"sentinels without a basis value: {missing}"
+
+
 def test_payload_queries_raw_and_tail_wrapped(bench):
     raw = {"metric": "x", "queries": {"q1": 0.5}, "sf": 0.1}
     assert bench._payload_queries(raw) == ({"q1": 0.5}, 0.1)
@@ -49,7 +60,7 @@ def test_payload_queries_raw_and_tail_wrapped(bench):
     assert bench._payload_queries(None) == (None, None)
 
 
-def test_prev_bench_picks_newest_readable_by_round_number(bench, tmp_path):
+def test_prev_bench_prefers_committed_basis_then_newest_round(bench, tmp_path):
     (tmp_path / "BENCH_r2.json").write_text(
         json.dumps({"queries": {"q1": 1.0}, "sf": 0.1})
     )
@@ -60,6 +71,14 @@ def test_prev_bench_picks_newest_readable_by_round_number(bench, tmp_path):
     name, queries, sf = bench._prev_bench_queries(str(tmp_path))
     assert name == "BENCH_r10.json"  # r11 unreadable, r10 beats r2
     assert queries == {"q1": 2.0} and sf == 0.1
+    # the committed basis file, when present, beats every BENCH_r*.json
+    # (BENCH_r10+ carry no queries dict at all — bounded stdout)
+    (tmp_path / "BENCH_SENTINELS.json").write_text(
+        json.dumps({"queries": {"q1": 3.0}, "sf": 0.1})
+    )
+    name, queries, sf = bench._prev_bench_queries(str(tmp_path))
+    assert name == "BENCH_SENTINELS.json"
+    assert queries == {"q1": 3.0} and sf == 0.1
     assert bench._prev_bench_queries(str(tmp_path / "empty")) == (
         None,
         None,
@@ -103,30 +122,44 @@ def test_sentinel_ratio_is_median_and_survives_gaps(bench, monkeypatch):
     assert out["sentinel_prev_bench"] is None
 
 
-def test_stdout_payload_stays_driver_parseable(bench, monkeypatch):
-    """Regression for r7's parsed:null bench: the stdout JSON line must
-    carry EXACTLY the r6 key set (metric/value/unit/queries/sf) — the
-    sentinel block rides the side file, never the stdout payload."""
+def test_stdout_payload_stays_driver_parseable_and_bounded(bench, monkeypatch):
+    """Regression for r7's AND r9's parsed:null benches: the stdout
+    JSON line must carry ONLY the bounded key set
+    (metric/value/unit/sf/n_queries) and stay under 500 chars no matter
+    how large the headline catalog grows — per-query seconds, errors
+    and the sentinel block ride the side file."""
     monkeypatch.setattr(
         bench, "_prev_bench_queries", lambda d=None: (None, None, None)
     )
-    payload, block = bench._assemble_payloads(
+    payload, side = bench._assemble_payloads(
         {"q1": 1.5, "q2": 0.5}, {}, "/root/testdata/sf0.1"
     )
-    assert list(payload) == ["metric", "value", "unit", "queries", "sf"]
+    assert list(payload) == ["metric", "value", "unit", "sf", "n_queries"]
     assert payload["value"] == 2.0 and payload["sf"] == 0.1
-    assert set(block) == {
+    assert payload["n_queries"] == 2
+    assert side["queries"] == {"q1": 1.5, "q2": 0.5}
+    assert {
         "sentinels",
         "sentinel_ratio_vs_prev",
         "sentinel_prev_bench",
-    }
-    # failures null the headline value but never add sentinel keys
-    payload, _ = bench._assemble_payloads(
-        {"q1": 1.5}, {"q2": "Boom"}, "/root/testdata/sf0.1"
+    } <= set(side)
+    # a 1000-query catalog must still produce a <500-char stdout line
+    huge = {f"q_very_long_query_name_{i:04d}": 123.456 for i in range(1000)}
+    payload, side = bench._assemble_payloads(huge, {}, "/root/testdata/sf0.1")
+    assert len(json.dumps(payload)) < 500
+    assert payload["n_queries"] == 1000
+    assert len(side["queries"]) == 1000
+    # failures null the headline value, stay bounded (error DETAILS go
+    # to the side file), and never add sentinel keys to stdout
+    payload, side = bench._assemble_payloads(
+        {"q1": 1.5}, {"q2": "Boom " * 100}, "/root/testdata/sf0.1"
     )
     assert payload["value"] is None
     assert payload["partial_total"] == 1.5
-    assert "sentinels" not in payload
+    assert payload["n_errors"] == 1
+    assert "errors" not in payload and "sentinels" not in payload
+    assert len(json.dumps(payload)) < 500
+    assert side["errors"]["q2"].startswith("Boom")
 
 
 def test_sentinel_block_cannot_dirty_the_tree_by_default(bench):
