@@ -100,12 +100,22 @@ def budget_allocate(
     from pyspark.sql.window import Window
 
     docs = d.select(key, source_col)
-    counts = sorted(
+    rows = [
         (r[0], r[1])
         for r in docs.groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .collect()
-    )
+    ]
+    # NULL-source contract (ADVICE r9): the apportionment sorts source
+    # names and the final equi-join drops null keys silently — surface
+    # the bad input loudly instead of crashing in sorted() or quietly
+    # under-allocating
+    if any(s is None for s, _ in rows):
+        raise ValueError(
+            f"budget_allocate requires non-null {source_col!r} values; "
+            "found NULL — filter or impute the source column first"
+        )
+    counts = sorted(rows)
     if not counts:
         return docs.filter(F.lit(False))
     weights = {
@@ -188,4 +198,193 @@ def q_quota_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return budget_allocate(
         table(spark, sf_dir, "documents"), TOTAL_BUDGET
+    )
+
+
+# Per-(source, lang) quota: the two-level cap every multilingual corpus
+# cut applies (a head domain must not crowd out a language, and a head
+# language must not crowd out a domain). Small enough to bite at every
+# SF: documents ships ~1-16 docs per (source, lang) cell at sf0.001.
+QUOTA_PER_SOURCE_LANG = 3
+
+
+@query(
+    "q_quota_per_source_lang",
+    f"""
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source, lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= {QUOTA_PER_SOURCE_LANG}
+    ORDER BY source, lang, doc_id
+    """,
+)
+def q_quota_per_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every (source, lang) cell at QUOTA_PER_SOURCE_LANG docs,
+    md5-rank selected — the compound-strata twin of q_quota_per_source.
+
+    Scale: identical shape — ONE window over the compound key with the
+    constant rn<=k bound lowered to a map-side WindowGroupLimit, so a
+    monster (source, lang) cell ships ~k rows per task, never its
+    group; compound strata FAN OUT the key space, so skew is strictly
+    milder than the single-source case.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return stratified_sample(
+        d, ["source", "lang"], QUOTA_PER_SOURCE_LANG, "doc_id"
+    ).select("doc_id", "source", "lang")
+
+
+# Floored allocation: every source is guaranteed min(n_s, FLOOR) docs
+# (representation floor — the mirror of the cap), and the remaining
+# budget is apportioned over the leftover capacities by the same
+# largest-remainder rule. FLOOR*20 sources = 100 guaranteed docs,
+# leaving 50 proportional at TOTAL_BUDGET_FLOORED=150 — both terms bite
+# at every SF.
+QUOTA_FLOOR = 5
+TOTAL_BUDGET_FLOORED = 150
+
+
+def budget_allocate_with_floor(
+    d: DataFrame,
+    total: int,
+    floor: int,
+    key: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep ~``total`` rows: each source first receives its floor
+    min(n_s, ``floor``), then the leftover budget max(0, total - Σfloor)
+    is apportioned over remaining capacities c_s = n_s - floor_s by
+    largest remainder (capacity-proportional, source name breaking
+    ties). All-integer arithmetic — same engine-exactness contract as
+    budget_allocate, and the same driver-side apportionment over the
+    model-sized per-source count vector (the kmeans/classifier collect
+    pattern). A floor-dominated budget (Σfloors > total) keeps the
+    floors and allocates nothing proportionally rather than breaking
+    the representation guarantee.
+
+    Scale: identical plan to budget_allocate — one pruned scan, one
+    per-source md5-rank window map-side-limited by the constant bound
+    rn <= max(floor, total), one broadcast-join exact filter.
+    """
+    from pyspark.sql.window import Window
+
+    docs = d.select(key, source_col)
+    rows = [
+        (r[0], r[1])
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    ]
+    if any(s is None for s, _ in rows):
+        raise ValueError(
+            f"budget_allocate_with_floor requires non-null {source_col!r} "
+            "values; found NULL — filter or impute the source column first"
+        )
+    counts = sorted(rows)
+    if not counts:
+        return docs.filter(F.lit(False))
+    floors = {s: min(n, floor) for s, n in counts}
+    caps = {s: n - floors[s] for s, n in counts}
+    remaining = max(0, total - sum(floors.values()))
+    ctot = sum(caps.values())
+    if remaining and ctot:
+        base = {s: remaining * c // ctot for s, c in caps.items()}
+        rem = {s: (remaining * c) % ctot for s, c in caps.items()}
+        leftover = remaining - sum(base.values())
+        for s in sorted(rem, key=lambda s: (-rem[s], s))[:leftover]:
+            base[s] += 1
+    else:
+        base = {s: 0 for s, _ in counts}
+    alloc = {s: floors[s] + base[s] for s, _ in counts}
+    src_type = docs.schema[source_col].dataType.simpleString()
+    alloc_df = d.sparkSession.createDataFrame(
+        sorted(alloc.items()), f"`{source_col}` {src_type}, alloc bigint"
+    )
+    order = F.md5(F.col(key).cast("string"))
+    rn_w = Window.partitionBy(source_col).orderBy(order, F.col(key))
+    return (
+        docs.withColumn("__rn", F.row_number().over(rn_w))
+        # constant bound first (alloc_s <= max(floor, total) always) so
+        # Catalyst lowers it to the map-side WindowGroupLimit
+        .filter(F.col("__rn") <= max(floor, total))
+        .join(F.broadcast(alloc_df), source_col)
+        .filter(F.col("__rn") <= F.col("alloc"))
+        .select(key, source_col)
+    )
+
+
+@query(
+    "q_quota_floored_allocation",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    fl AS (
+        SELECT source, n_docs,
+               CASE WHEN n_docs < {QUOTA_FLOOR} THEN n_docs
+                    ELSE {QUOTA_FLOOR} END AS floor_n
+        FROM counts
+    ),
+    caps AS (
+        SELECT source, floor_n, n_docs - floor_n AS cap_n FROM fl
+    ),
+    tot AS (
+        SELECT CASE WHEN {TOTAL_BUDGET_FLOORED} - SUM(floor_n) > 0
+                    THEN {TOTAL_BUDGET_FLOORED} - SUM(floor_n)
+                    ELSE 0 END AS remaining,
+               SUM(cap_n) AS ctot
+        FROM caps
+    ),
+    alloc0 AS (
+        SELECT c.source, c.floor_n,
+               CASE WHEN t.remaining > 0 AND t.ctot > 0
+                    THEN t.remaining * c.cap_n // t.ctot ELSE 0 END AS base,
+               CASE WHEN t.remaining > 0 AND t.ctot > 0
+                    THEN (t.remaining * c.cap_n) % t.ctot ELSE 0 END AS rem,
+               t.remaining, t.ctot
+        FROM caps c, tot t
+    ),
+    leftover AS (
+        SELECT CASE WHEN MAX(remaining) > 0 AND MAX(ctot) > 0
+                    THEN MAX(remaining) - SUM(base) ELSE 0 END AS leftover
+        FROM alloc0
+    ),
+    ranked AS (
+        SELECT a.source, a.floor_n, a.base, l.leftover,
+               ROW_NUMBER() OVER (ORDER BY a.rem DESC, a.source) AS rk
+        FROM alloc0 a, leftover l
+    ),
+    alloc AS (
+        SELECT source,
+               floor_n + base
+               + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        FROM ranked
+    ),
+    rdocs AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM rdocs r JOIN alloc a USING (source)
+    WHERE r.rn <= a.alloc
+    ORDER BY r.source, r.doc_id
+    """,
+)
+def q_quota_floored_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~TOTAL_BUDGET_FLOORED docs with a QUOTA_FLOOR-per-source
+    representation floor, leftover budget capacity-apportioned by
+    largest remainder — the floors-then-proportional corpus cut. The
+    kept (doc_id, source) set is the semantic; the oracle hash pins the
+    floor arithmetic, the remainder ranking, and the md5 selection.
+    """
+    return budget_allocate_with_floor(
+        table(spark, sf_dir, "documents"),
+        TOTAL_BUDGET_FLOORED,
+        QUOTA_FLOOR,
     )

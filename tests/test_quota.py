@@ -114,3 +114,84 @@ def test_budget_plan_is_one_scan_one_window_one_broadcast(spark):
     # details section): the allocation is a literal local relation,
     # not a re-derived aggregate over the fact table
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_null_source_raises_readably(spark):
+    """ADVICE r9: a NULL source must fail loudly, not TypeError inside
+    sorted() or silently drop rows in the equi-join."""
+    import pytest as _pytest
+
+    from aircraftutilization_etl_spark.plans.quota import (
+        budget_allocate_with_floor,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "a"), ("d2", None), ("d3", "b")],
+        "doc_id string, source string",
+    )
+    with _pytest.raises(ValueError, match="non-null 'source'"):
+        budget_allocate(df, 2, key="doc_id")
+    with _pytest.raises(ValueError, match="non-null 'source'"):
+        budget_allocate_with_floor(df, 2, 1, key="doc_id")
+
+
+def _floored_reference(
+    counts: dict[str, int], total: int, floor: int
+) -> dict[str, int]:
+    """Reference floors-then-capacity-proportional apportionment."""
+    floors = {s: min(n, floor) for s, n in counts.items()}
+    caps = {s: n - floors[s] for s, n in counts.items()}
+    remaining = max(0, total - sum(floors.values()))
+    ctot = sum(caps.values())
+    base = {s: 0 for s in counts}
+    if remaining and ctot:
+        base = {s: remaining * c // ctot for s, c in caps.items()}
+        rem = {s: (remaining * c) % ctot for s, c in caps.items()}
+        for s in sorted(rem, key=lambda s: (-rem[s], s))[
+            : remaining - sum(base.values())
+        ]:
+            base[s] += 1
+    return {s: floors[s] + base[s] for s in counts}
+
+
+def test_floored_allocation_guarantees_floor_and_spreads_rest(spark):
+    from collections import Counter
+
+    from aircraftutilization_etl_spark.plans.quota import (
+        budget_allocate_with_floor,
+    )
+
+    counts = {"tiny": 2, "small": 8, "big": 60, "huge": 130}
+    rows = [(f"{s}{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    total, floor = 50, 5
+    got = Counter(
+        r["source"]
+        for r in budget_allocate_with_floor(
+            df, total, floor, key="doc_id"
+        ).collect()
+    )
+    want = _floored_reference(counts, total, floor)
+    assert dict(got) == {s: n for s, n in want.items() if n}
+    # the floor is honored: every source keeps min(n, floor) at least
+    assert got["tiny"] == 2  # capacity-bound, whole source kept
+    assert got["small"] >= floor and got["big"] >= floor
+    assert sum(got.values()) == total  # no source ran dry here
+
+
+def test_floor_dominated_budget_keeps_floors_only(spark):
+    from collections import Counter
+
+    from aircraftutilization_etl_spark.plans.quota import (
+        budget_allocate_with_floor,
+    )
+
+    counts = {"a": 30, "b": 40, "c": 50}
+    rows = [(f"{s}{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    # Σfloors = 30 > total = 10: floors win, nothing proportional
+    got = Counter(
+        r["source"]
+        for r in budget_allocate_with_floor(df, 10, 10, key="doc_id").collect()
+    )
+    assert dict(got) == {"a": 10, "b": 10, "c": 10}
