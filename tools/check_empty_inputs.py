@@ -50,8 +50,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # building a populated plan just to read .schema executes the
 # driver-side collects (k-means seeds, PQ training) of every model
 # query, which dominated the sweep's runtime (ADVICE r8 #4). The deep
-# hash key self-invalidates on any plan/operator/oracle edit.
+# hash key self-invalidates on any plan/operator/oracle edit, and a
+# data fingerprint of the --schema-from parquet (mtime+size per table)
+# self-invalidates on testdata regeneration (ADVICE r9).
 SCHEMA_CACHE = os.path.join(REPO, ".schema_cache.json")
+
+
+def _data_fingerprint(schema_from: str) -> str:
+    """Cheap fingerprint of the populated tables backing the cached
+    schemas: per-table mtime_ns+size (recursed for directory-shaped
+    parquet). Regenerated testdata with a different schema would
+    otherwise validate against a stale cached populated schema."""
+    import hashlib
+
+    parts: list[str] = []
+    for t in TABLES:
+        p = os.path.join(schema_from, f"{t}.parquet")
+        try:
+            if os.path.isdir(p):
+                for root, _, files in sorted(os.walk(p)):
+                    for f in sorted(files):
+                        st = os.stat(os.path.join(root, f))
+                        parts.append(f"{t}/{f}:{st.st_mtime_ns}:{st.st_size}")
+            else:
+                st = os.stat(p)
+                parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{t}:missing")
+    return hashlib.sha256("\n".join(parts).encode("utf-8")).hexdigest()[:16]
 
 
 def main() -> int:
@@ -111,6 +137,7 @@ def main() -> int:
             )
 
         qs = entry_mod.queries()
+        data_fp = _data_fingerprint(args.schema_from)
         only = set(args.only.split(",")) if args.only else None
         n_pass = n_fail = 0
         failures: list[str] = []
@@ -120,7 +147,7 @@ def main() -> int:
             t0 = time.time()
             try:
                 key = (
-                    f"{name}:{args.schema_from}:"
+                    f"{name}:{data_fp}:"
                     f"{entry_mod._deep_hash(name)}"  # noqa: SLF001
                 )
                 if key in cache:
@@ -163,14 +190,21 @@ def main() -> int:
         shutil.rmtree(empty_dir, ignore_errors=True)
     if cache_dirty:
         try:
-            # drop entries whose deep hash no longer matches any
-            # current query so the cache cannot grow without bound
+            # drop entries whose (name, deep hash) no longer matches a
+            # current query so the cache cannot grow without bound —
+            # but IGNORE the middle (data-fingerprint) segment, so
+            # alternating between two schema dirs keeps both dirs'
+            # still-valid entries instead of thrashing (ADVICE r9)
             live = {
-                f"{n}:{args.schema_from}:"
-                f"{entry_mod._deep_hash(n)}"  # noqa: SLF001
+                (n, entry_mod._deep_hash(n))  # noqa: SLF001
                 for n in qs
             }
-            cache = {k: v for k, v in cache.items() if k in live}
+            cache = {
+                k: v
+                for k, v in cache.items()
+                if k.count(":") >= 2
+                and (k.split(":", 1)[0], k.rsplit(":", 1)[1]) in live
+            }
             with open(SCHEMA_CACHE, "w", encoding="utf-8") as fh:
                 json.dump(cache, fh)
         except OSError:

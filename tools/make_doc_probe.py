@@ -30,8 +30,8 @@ Output lives inside the repo (gitignored), never under /root/testdata.
 from __future__ import annotations
 
 import argparse
-import glob
 import os
+import shutil
 import sys
 
 TABLES = (
@@ -65,8 +65,13 @@ def main() -> int:
     for t in TABLES:
         link = os.path.join(args.dst, f"{t}.parquet")
         target = os.path.join(args.src, f"{t}.parquet")
-        if os.path.islink(link):
+        # a prior run may have left a regular file or a directory here
+        # (e.g. a copy instead of a symlink) — replace it, don't
+        # traceback on FileExistsError (ADVICE r9)
+        if os.path.islink(link) or os.path.isfile(link):
             os.unlink(link)
+        elif os.path.isdir(link):
+            shutil.rmtree(link)
         os.symlink(target, link)
 
     import duckdb
@@ -76,11 +81,13 @@ def main() -> int:
         src_doc = os.path.join(src_doc, "*.parquet")
     out = os.path.join(args.dst, "documents.parquet")
     # the probe must be a single file (check_oracles handles both, but
-    # a file keeps the probe dir trivially rebuildable)
-    for stale in glob.glob(out + "/*") if os.path.isdir(out) else []:
-        os.unlink(stale)
-    if os.path.isdir(out):
-        os.rmdir(out)
+    # a file keeps the probe dir trivially rebuildable); clear any
+    # stale output whatever its shape — file, symlink, or (possibly
+    # nested) directory (ADVICE r9)
+    if os.path.islink(out) or os.path.isfile(out):
+        os.unlink(out)
+    elif os.path.isdir(out):
+        shutil.rmtree(out)
     duckdb.sql(
         f"COPY (SELECT * FROM '{src_doc}' ORDER BY doc_id"
         f" LIMIT {args.documents}) TO '{out}' (FORMAT PARQUET)"
