@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import chunked_self_pairs
 from .text import fingerprint_expr, words_expr
 
 SHINGLE_N = 3
@@ -252,55 +253,10 @@ LSH_BUCKET_CAP = 64
 SHINGLE_BUCKET_CAP = 256
 
 
-def _chunked_pair_join(
-    keyed: DataFrame, key_cols: list[str], id_col: str, cap: int
-) -> DataFrame:
-    """Skew-bounded self-join: every unordered pair of rows sharing the
-    ``key_cols`` value meets EXACTLY once, with no join task group ever
-    holding more than ~``cap``² pairs — the Zipf-head guard every
-    text-derived join key needs at 100 TB (a raw equi-self-join puts a
-    hot key's entire f² pair block in ONE task).
-
-    Members of each key bucket hash into m = ceil(f / cap) chunks; side
-    A replicates each member across its ROW of chunk pairs, side B
-    across its COLUMN, so pair (a, b) meets exactly at
-    (chunk(a), chunk(b)) — output identical to the plain self-join
-    (certified per consumer by the unchanged DuckDB oracles), per-task
-    work bounded by cap². Normal buckets have m = 1, where the chunk
-    machinery degenerates to the plain bucket join (no replication).
-
-    Output: one row per (unordered pair, shared key occurrence) with
-    columns (id_a, id_b), id_a < id_b — callers count rows per pair
-    (intersection sizes) or ``distinct()`` (candidate sets). The sized
-    frame is persisted: both join sides consume it, and the bucket
-    sizes come from ONE window count over the key partitioning the join
-    shuffle needs anyway.
-    """
-    bucket = Window.partitionBy(*key_cols)
-    sized = keyed.select(
-        F.col(id_col),
-        *key_cols,
-        F.ceil(F.count(F.lit(1)).over(bucket) / cap).cast("int").alias("__m"),
-    ).persist()
-    own = F.pmod(F.xxhash64(F.col(id_col)), F.col("__m")).cast("int")
-    chunks = F.sequence(F.lit(0), F.col("__m") - 1)
-    a = sized.select(
-        F.col(id_col).alias("id_a"),
-        *key_cols,
-        own.alias("__ca"),
-        F.explode(chunks).alias("__cb"),
-    )
-    b = sized.select(
-        F.col(id_col).alias("id_b"),
-        *key_cols,
-        F.explode(chunks).alias("__ca"),
-        own.alias("__cb"),
-    )
-    return (
-        a.join(b, [*key_cols, "__ca", "__cb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
+# The chunked self-join itself lives in operators/skew.py (shared with
+# the tf-idf term index in operators/text.py, which cannot import this
+# module — dedup imports text).
+_chunked_pair_join = chunked_self_pairs
 
 
 def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -745,15 +745,20 @@ def inverted_index(
     Only terms with df >= min_df are kept (the serving index's long
     tail is handled by the full postings table, not the hot shape).
 
-    Scale: one corpus pass to (doc, term, tf) with map-side combine;
-    df/total_tf are unbounded-frame window aggregates over the term
-    partition and the posting list is truncated by a ``row_number()
-    <= postings_per_term`` filter BEFORE ``collect_list``, so per-term
-    executor state is bounded at k postings even for stopword-
-    frequency terms (a hot term at 100 TB has billions of postings —
-    collecting them all just to slice top-10 would materialize an
-    unbounded array on one executor). The rank window and the frame
-    aggregates share the term exchange: one shuffle total.
+    Scale (round-10 Zipf-head audit): one corpus pass to
+    (doc, term, tf) with map-side combine, persisted for its two
+    consumers. df/total_tf come from a map-side-combined groupBy on the
+    term (partial aggregation absorbs the Zipf head) — NOT from
+    whole-partition window aggregates, which would force a hot term's
+    ENTIRE posting list through one window task AND defeat the
+    WindowGroupLimit below (a limit cannot prune rows an unbounded
+    frame still needs). The posting list is truncated by a
+    ``row_number() <= postings_per_term`` filter, which Catalyst lowers
+    to a map-side WindowGroupLimit: every shuffle task ships ≤ k rows
+    per term, so a stopword-frequency term (billions of postings at
+    100 TB) costs each task a top-k heap, never its full group. The
+    per-term stats then join the ≤ k surviving postings per term — a
+    1-row-per-key build side, both sides already term-partitioned.
 
     Output edge is all-scalar ('postings' is a comma-joined string,
     'doc:tf' impact-ordered) — array-typed output columns crash the
@@ -765,20 +770,29 @@ def inverted_index(
             F.transform(words_expr(text_col), lambda w: F.lower(w))
         ).alias("__w"),
     )
-    tf = words.groupBy("__w", id_col).agg(F.count(F.lit(1)).alias("__tf"))
-    w_term = Window.partitionBy("__w")
-    w_rank = w_term.orderBy(
+    tf = words.groupBy("__w", id_col).agg(
+        F.count(F.lit(1)).alias("__tf")
+    ).persist()
+    stats = (
+        tf.groupBy("__w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("__tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    w_rank = Window.partitionBy("__w").orderBy(
         F.col("__tf").desc(), F.col(id_col).cast("long").asc()
     )
-    ranked = tf.select(
-        F.col("__w"),
-        F.col(id_col).cast("long").alias("__doc"),
-        F.col("__tf").cast("long").alias("__tf"),
-        F.count(F.lit(1)).over(w_term).alias("df"),
-        F.sum("__tf").over(w_term).cast("long").alias("total_tf"),
-        F.row_number().over(w_rank).cast("long").alias("__rn"),
-    ).filter(
-        (F.col("df") >= min_df) & (F.col("__rn") <= postings_per_term)
+    ranked = (
+        tf.select(
+            F.col("__w"),
+            F.col(id_col).cast("long").alias("__doc"),
+            F.col("__tf").cast("long").alias("__tf"),
+            F.row_number().over(w_rank).cast("long").alias("__rn"),
+        )
+        .filter(F.col("__rn") <= postings_per_term)
+        .join(stats, "__w")
     )
     return ranked.groupBy("__w").agg(
         F.first("df").alias("df"),
@@ -822,9 +836,18 @@ def quality_calibrated(
     (boilerplate-heavy domains compress the scale), so curation cuts
     at "bottom 20% of each source", not "score < 0.6 globally".
 
-    Scale: one shuffle on the domain for the rank window — the same
-    per-group bound as stratified sampling; scores are computed in the
-    same pass (codegen'd expressions, no second scan).
+    Scale (round-10 Zipf-head audit): the naive form — rank() + count()
+    windows over the raw rows partitioned by domain — puts a head
+    domain's ENTIRE document set through one window task (and rank
+    needs every row, so no group limit applies). quality_score is
+    rounded to 4 dp (≤ 10,001 distinct values), so the distinct-value
+    collapse of q_drift_ks applies exactly: per-(domain, score) counts
+    via a map-side-combined aggregate (partial aggregation absorbs the
+    head domain), the rank recurrence over the COLLAPSED table — whose
+    per-domain partitions are bounded by the score cardinality, not
+    the corpus — and one linear join back on (domain, score) whose
+    probe-side skew AQE splits. rank(ties share min rank) =
+    1 + Σ counts of strictly smaller scores, exactly.
     """
     raw = df.select(
         F.col(id_col),
@@ -842,19 +865,25 @@ def quality_calibrated(
             punct=F.col("__punct"),
         ).alias("quality_score"),
     )
-    w = Window.partitionBy(domain_col).orderBy("quality_score")
-    n = Window.partitionBy(domain_col)
-    ranked = scored.select(
-        id_col,
+    grp = scored.groupBy(domain_col, "quality_score").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy(domain_col)
+        .orderBy("quality_score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_dom = Window.partitionBy(domain_col)
+    ranks = grp.select(
         domain_col,
         "quality_score",
-        F.rank().over(w).alias("__r"),
-        F.count(F.lit(1)).over(n).alias("__n"),
+        (F.coalesce(F.sum("__c").over(w_cum), F.lit(0)) + 1).alias("__r"),
+        F.sum("__c").over(w_dom).alias("__n"),
     )
     # integer DIV, not float division + floor: a correctly-rounded
     # double quotient can land ON an integer the exact quotient sits
     # just below, and the oracle's // is exact
-    return ranked.select(
+    return scored.join(ranks, [domain_col, "quality_score"]).select(
         id_col,
         domain_col,
         "quality_score",
@@ -1108,6 +1137,12 @@ def span_corruption(
     )
 
 
+# Chunk cap for the tf-idf term self-join: a surviving term shared by f
+# docs owes f² dot-product rows (exact cosine semantics); the chunk
+# guard bounds any ONE task at ~cap² of them (see operators/skew.py).
+TFIDF_TERM_BUCKET_CAP = 256
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     threshold: float,
@@ -1160,15 +1195,21 @@ def tfidf_cosine_pairs(
     norms = weighted.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
     )
-    a = weighted.select(
-        F.col(id_col).alias("id_a"), "term", F.col("__w").alias("__wa")
-    )
-    b = weighted.select(
-        F.col(id_col).alias("id_b"), "term", F.col("__w").alias("__wb")
-    )
+    # chunked term self-join (round-10 Zipf-head audit): the df cut
+    # above bounds per-term fan-out RELATIVE to the corpus, but a term
+    # just under the cut still owes ~(ratio·N)² dot-product rows — the
+    # chunk guard bounds any one task at ~cap² of them, output
+    # unchanged (each pair meets exactly once per shared term)
+    from .skew import chunked_self_pairs
+
     dots = (
-        a.join(b, "term")
-        .filter(F.col("id_a") < F.col("id_b"))
+        chunked_self_pairs(
+            weighted,
+            ["term"],
+            id_col,
+            TFIDF_TERM_BUCKET_CAP,
+            payload={"__w": ("__wa", "__wb")},
+        )
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
     )
