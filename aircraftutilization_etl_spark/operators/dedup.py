@@ -702,19 +702,24 @@ def edit_distance_pairs(
         )
         .distinct()
     )
-    sa, sb = unsafe.alias("a"), unsafe.alias("b")
-    cand_short = sa.join(
-        sb,
-        (F.col("a.id") < F.col("b.id"))
-        & (
-            F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s")))
-            <= max_dist
-        ),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.s").alias("s_a"),
-        F.col("b.s").alias("s_b"),
+    # Exhaustive pass over the unsafe set as a BLOCKED self-join, not a
+    # broadcast nested loop: a BNL's parallelism is the streamed side's
+    # partition count, and AQE coalesces the byte-small unsafe frame
+    # into 1-2 partitions — on a gram-poor corpus (tiny trigram
+    # alphabet, every string unsafe) that single task owned the stage
+    # (measured 330 s of the 7,500-title probe's 366 s). The chunk
+    # helper spreads the u² pairs over ceil(u/cap)² groups of ≤ cap²
+    # pairs; the length filter then prunes before levenshtein. The u²
+    # total is inherent — these strings have no discriminating grams —
+    # but no task ever exceeds the cap², whatever u is.
+    cand_short = chunked_self_pairs(
+        unsafe.withColumn("__all", F.lit(0)),
+        ["__all"],
+        "id",
+        SHINGLE_BUCKET_CAP,
+        payload={"s": ("s_a", "s_b")},
+    ).filter(
+        F.abs(F.length(F.col("s_a")) - F.length(F.col("s_b"))) <= max_dist
     )
     cand = cand_long.unionByName(cand_short).distinct()
     return (

@@ -46,6 +46,7 @@ def chunked_self_pairs(
     """
     payload = dict(payload or {})
     key_cols = list(key_cols)
+    join_keys = [*key_cols, "__ca", "__cb"]
     bucket = Window.partitionBy(*key_cols)
     sized = keyed.select(
         F.col(id_col),
@@ -55,23 +56,35 @@ def chunked_self_pairs(
     ).persist()
     own = F.pmod(F.xxhash64(F.col(id_col)), F.col("__m")).cast("int")
     chunks = F.sequence(F.lit(0), F.col("__m") - 1)
+    # Pin the join exchange with an EXPLICIT hash repartition on the
+    # join keys: the shuffle INPUT here is byte-small (ids + keys, the
+    # strings/payloads of a few-MB side), so AQE's byte-based
+    # coalescing would merge the join stage into 1-2 partitions — blind
+    # to the pair EXPLOSION that happens inside the stage (measured on
+    # the 7,500-title probe: the whole ~28M-pair fallback ran in 2
+    # tasks, a 336 s straggler). An explicit count disables coalescing
+    # for exactly this exchange; AQE's skew-split is not needed here
+    # because the chunking already bounds every key group at ~cap².
+    n_part = int(
+        keyed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     a = sized.select(
         F.col(id_col).alias("id_a"),
         *key_cols,
         *[F.col(c).alias(names[0]) for c, names in payload.items()],
         own.alias("__ca"),
         F.explode(chunks).alias("__cb"),
-    )
+    ).repartition(n_part, *join_keys)
     b = sized.select(
         F.col(id_col).alias("id_b"),
         *key_cols,
         *[F.col(c).alias(names[1]) for c, names in payload.items()],
         own.alias("__cb"),
         F.explode(chunks).alias("__ca"),
-    )
+    ).repartition(n_part, *join_keys)
     out_payload = [n for names in payload.values() for n in names]
     return (
-        a.join(b, [*key_cols, "__ca", "__cb"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", *out_payload)
     )
