@@ -15,6 +15,8 @@ driver-verified query — sampling.py defines 12 green rows
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,6 +25,40 @@ from .catalog import query, table
 
 # Bites at every SF: documents ships ≥25 docs/source at sf0.001.
 QUOTA_PER_SOURCE = 10
+
+
+def hamilton_apportion(weights: dict, budget: int) -> dict:
+    """Largest-remainder (Hamilton) apportionment of ``budget`` over
+    non-negative integer ``weights`` — the shared kernel behind every
+    allocator in this module.
+
+    All-integer: base shares are budget·w DIV W with non-negative
+    operands (Python // == Spark trunc-DIV == DuckDB // here; Python
+    ints are arbitrary-precision, so there is no 2^63 envelope), and
+    the leftover budget - Σbase goes to the largest remainders, key
+    breaking ties — so every oracle's SQL replica (rem DESC, key) is
+    bit-for-bit reproducible. Each group receives floor or ceil of its
+    exact share (the quota rule), and Σ == budget always.
+    """
+    wtot = sum(weights.values())
+    if wtot <= 0:
+        raise ValueError(
+            "hamilton_apportion requires a positive total weight; "
+            f"got {wtot} — the caller's weight vector is all-zero"
+        )
+    base = {s: budget * w // wtot for s, w in weights.items()}
+    rem = {s: (budget * w) % wtot for s, w in weights.items()}
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[
+        : budget - sum(base.values())
+    ]:
+        base[s] += 1
+    return base
+
+
+def sqrt_weight(n: int) -> int:
+    """FLOOR(sqrt(n)·1e6) as BIGINT — IEEE sqrt is correctly rounded,
+    so Python, Spark, and DuckDB compute the identical integer."""
+    return int(math.floor(math.sqrt(float(n)) * 1_000_000))
 
 
 @query(
@@ -95,8 +131,6 @@ def budget_allocate(
     every alloc is <= total by construction) before the exact
     broadcast-join filter.
     """
-    import math
-
     from pyspark.sql.window import Window
 
     docs = d.select(key, source_col)
@@ -118,16 +152,9 @@ def budget_allocate(
     counts = sorted(rows)
     if not counts:
         return docs.filter(F.lit(False))
-    weights = {
-        s: int(math.floor(math.sqrt(float(n)) * 1_000_000))
-        for s, n in counts
-    }
-    wtot = sum(weights.values())
-    base = {s: total * w // wtot for s, w in weights.items()}
-    rem = {s: (total * w) % wtot for s, w in weights.items()}
-    leftover = total - sum(base.values())
-    for s in sorted(rem, key=lambda s: (-rem[s], s))[:leftover]:
-        base[s] += 1
+    base = hamilton_apportion(
+        {s: sqrt_weight(n) for s, n in counts}, total
+    )
     src_type = docs.schema[source_col].dataType.simpleString()
     alloc = d.sparkSession.createDataFrame(
         sorted(base.items()), f"`{source_col}` {src_type}, alloc bigint"
@@ -289,13 +316,8 @@ def budget_allocate_with_floor(
     floors = {s: min(n, floor) for s, n in counts}
     caps = {s: n - floors[s] for s, n in counts}
     remaining = max(0, total - sum(floors.values()))
-    ctot = sum(caps.values())
-    if remaining and ctot:
-        base = {s: remaining * c // ctot for s, c in caps.items()}
-        rem = {s: (remaining * c) % ctot for s, c in caps.items()}
-        leftover = remaining - sum(base.values())
-        for s in sorted(rem, key=lambda s: (-rem[s], s))[:leftover]:
-            base[s] += 1
+    if remaining and sum(caps.values()):
+        base = hamilton_apportion(caps, remaining)
     else:
         base = {s: 0 for s, _ in counts}
     alloc = {s: floors[s] + base[s] for s, _ in counts}
@@ -387,4 +409,332 @@ def q_quota_floored_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"),
         TOTAL_BUDGET_FLOORED,
         QUOTA_FLOOR,
+    )
+
+
+# Two-level budget: apportion the budget across LANGUAGES first (a head
+# language must not crowd out the rest), then each language's share
+# across its SOURCES — the nested-Hamilton corpus cut behind "30% en,
+# spread fairly over domains". 100 < 500 docs at sf0.001, and per-lang
+# shares land near the 71-193-doc lang totals, so both levels bite at
+# every SF (small cells running dry shortfall honestly, same contract
+# as budget_allocate).
+TOTAL_BUDGET_TWO_LEVEL = 100
+
+
+def budget_allocate_two_level(
+    d: DataFrame,
+    total: int,
+    key: str = "doc_id",
+    outer_col: str = "lang",
+    inner_col: str = "source",
+) -> DataFrame:
+    """Keep ~``total`` rows apportioned by largest remainder TWICE:
+    ``total`` across outer groups (sqrt of group size), then each outer
+    share across its inner cells (sqrt of cell size), each cell's keep
+    set chosen by md5 rank of the key. Same all-integer engine-exactness
+    contract as budget_allocate (floor'd sqrt·1e6 weights, trunc-DIV on
+    non-negative operands, remainder ties broken by name), and the same
+    honest-shortfall contract when a cell runs dry.
+
+    Scale: both apportionments run on the DRIVER over the model-sized
+    (outer, inner, n) cell-count vector — |langs|·|sources| rows, not
+    data (the kmeans/classifier collect pattern). The data-sized work
+    is ONE pruned scan + ONE md5-rank window over the compound
+    (outer, inner) key pre-pruned map-side by the constant rn <= total
+    bound (WindowGroupLimit — every cell allocation is <= total by
+    construction) before the broadcast-join exact filter. Compound
+    strata fan the key space OUT, so window skew is strictly milder
+    than the single-source case.
+    """
+    from pyspark.sql.window import Window
+
+    docs = d.select(key, outer_col, inner_col)
+    rows = [
+        (r[0], r[1], r[2])
+        for r in docs.groupBy(outer_col, inner_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    ]
+    if any(o is None or i is None for o, i, _ in rows):
+        raise ValueError(
+            f"budget_allocate_two_level requires non-null {outer_col!r} "
+            f"and {inner_col!r} values; found NULL — filter or impute "
+            "the strata columns first"
+        )
+    cells = sorted(rows)
+    if not cells:
+        return docs.filter(F.lit(False))
+    outer_n: dict = {}
+    for o, _, n in cells:
+        outer_n[o] = outer_n.get(o, 0) + n
+    outer_alloc = hamilton_apportion(
+        {o: sqrt_weight(n) for o, n in outer_n.items()}, total
+    )
+    alloc: dict = {}
+    for o in sorted(outer_n):
+        inner_w = {i: sqrt_weight(n) for oo, i, n in cells if oo == o}
+        for i, a in hamilton_apportion(inner_w, outer_alloc[o]).items():
+            alloc[(o, i)] = a
+    out_type = docs.schema[outer_col].dataType.simpleString()
+    in_type = docs.schema[inner_col].dataType.simpleString()
+    alloc_df = d.sparkSession.createDataFrame(
+        [(o, i, a) for (o, i), a in sorted(alloc.items())],
+        f"`{outer_col}` {out_type}, `{inner_col}` {in_type}, alloc bigint",
+    )
+    order = F.md5(F.col(key).cast("string"))
+    rn_w = Window.partitionBy(outer_col, inner_col).orderBy(
+        order, F.col(key)
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(rn_w))
+        # constant bound first (cell alloc <= total always) -> map-side
+        # WindowGroupLimit before the exact broadcast-join filter
+        .filter(F.col("__rn") <= total)
+        .join(F.broadcast(alloc_df), [outer_col, inner_col])
+        .filter(F.col("__rn") <= F.col("alloc"))
+        .select(key, outer_col, inner_col)
+    )
+
+
+@query(
+    "q_quota_budget_two_level",
+    f"""
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    langs AS (SELECT lang, SUM(n) AS n_lang FROM cells GROUP BY lang),
+    lw AS (
+        SELECT lang,
+               CAST(FLOOR(sqrt(CAST(n_lang AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS w
+        FROM langs
+    ),
+    lt AS (SELECT SUM(w) AS wtot FROM lw),
+    la0 AS (
+        SELECT lw.lang,
+               {TOTAL_BUDGET_TWO_LEVEL} * lw.w // t.wtot AS base,
+               ({TOTAL_BUDGET_TWO_LEVEL} * lw.w) % t.wtot AS rem
+        FROM lw, lt t
+    ),
+    llo AS (
+        SELECT {TOTAL_BUDGET_TWO_LEVEL} - SUM(base) AS leftover FROM la0
+    ),
+    lrk AS (
+        SELECT a.lang, a.base, l.leftover,
+               ROW_NUMBER() OVER (ORDER BY a.rem DESC, a.lang) AS rk
+        FROM la0 a, llo l
+    ),
+    lalloc AS (
+        SELECT lang,
+               base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS lang_alloc
+        FROM lrk
+    ),
+    cw AS (
+        SELECT lang, source,
+               CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS w
+        FROM cells
+    ),
+    ct AS (SELECT lang, SUM(w) AS wtot FROM cw GROUP BY lang),
+    ca0 AS (
+        SELECT cw.lang, cw.source,
+               la.lang_alloc * cw.w // ct.wtot AS base,
+               (la.lang_alloc * cw.w) % ct.wtot AS rem,
+               la.lang_alloc
+        FROM cw
+        JOIN ct USING (lang)
+        JOIN lalloc la USING (lang)
+    ),
+    clo AS (
+        SELECT lang, MAX(lang_alloc) - SUM(base) AS leftover
+        FROM ca0 GROUP BY lang
+    ),
+    crk AS (
+        SELECT lang, source, base,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY rem DESC, source) AS rk
+        FROM ca0
+    ),
+    calloc AS (
+        SELECT c.lang, c.source,
+               c.base + CASE WHEN c.rk <= o.leftover THEN 1 ELSE 0 END
+                   AS alloc
+        FROM crk c JOIN clo o USING (lang)
+    ),
+    rdocs AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.source
+    FROM rdocs r JOIN calloc a USING (lang, source)
+    WHERE r.rn <= a.alloc
+    ORDER BY r.lang, r.source, r.doc_id
+    """,
+)
+def q_quota_budget_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~TOTAL_BUDGET_TWO_LEVEL docs apportioned by nested largest
+    remainder — budget across languages (sqrt of language size), each
+    language's share across its sources (sqrt of cell size), md5-rank
+    selection within each cell. The kept (doc_id, lang, source) set is
+    the semantic; the oracle hash pins both Hamilton rounds, the
+    remainder tie-breaks, and the md5 selection.
+    """
+    return budget_allocate_two_level(
+        table(spark, sf_dir, "documents"), TOTAL_BUDGET_TWO_LEVEL
+    )
+
+
+# Recency-decayed budget: sources (event streams, CC dumps, news
+# feeds) are weighted by their exponentially-decayed VOLUME — a
+# half-life HL means an event HL days older counts half — and each
+# stream's share keeps its MOST RECENT rows. Integer-exact decay: the
+# per-day weight is 1e6 >> (age_days DIV HL) (bit shift, no float pow),
+# so Python, Spark and DuckDB agree bit-for-bit.
+EVENTS_RECENCY_BUDGET = 150
+RECENCY_HALF_LIFE_DAYS = 7
+
+
+def budget_allocate_recency(
+    d: DataFrame,
+    total: int,
+    half_life_days: int,
+    key: str = "event_id",
+    source_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keep ~``total`` rows apportioned across sources by largest
+    remainder over recency-decayed volume, each source keeping its most
+    recent rows (ties broken by md5 of the key, then the key).
+
+    Decay is all-integer: age buckets are (dmax - day) DIV
+    ``half_life_days`` whole half-lives (dmax = the corpus's newest
+    day), and a day's weight is 1_000_000 >> min(bucket, 62) — a bit
+    shift, not a float pow, so every engine computes the identical
+    BIGINT and the Hamilton arithmetic inherits budget_allocate's
+    exactness contract. A source whose allocation exceeds its row count
+    shortfalls honestly (no redistribution pass).
+
+    Scale: ONE pruned scan feeds a map-side-combined (source, day)
+    count aggregate whose result is model-sized (|sources|·|days|
+    rows) and collected to the DRIVER, where dmax, the decayed weights,
+    and the apportionment are computed in arbitrary-precision Python
+    ints. The data-sized work is ONE md5-tiebroken recency rank window
+    pre-pruned map-side by the constant rn <= total bound
+    (WindowGroupLimit) before the broadcast-join exact filter.
+    """
+    from pyspark.sql.window import Window
+
+    ev = d.select(key, source_col, ts_col)
+    rows = [
+        (r[0], r[1], r[2])
+        for r in ev.groupBy(
+            source_col, F.to_date(ts_col).alias("__d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    if any(s is None or day is None for s, day, _ in rows):
+        raise ValueError(
+            f"budget_allocate_recency requires non-null {source_col!r} "
+            f"and {ts_col!r} values; found NULL — filter or impute first"
+        )
+    if not rows:
+        return ev.select(key, source_col).filter(F.lit(False))
+    dmax = max(day for _, day, _ in rows)
+    weights: dict = {}
+    for s, day, n in rows:
+        bucket = min((dmax - day).days // half_life_days, 62)
+        weights[s] = weights.get(s, 0) + n * (1_000_000 >> bucket)
+    # a corpus whose every row is >62 half-lives stale has an all-zero
+    # weight vector; hamilton_apportion raises readably on it
+    base = hamilton_apportion(weights, total)
+    src_type = ev.schema[source_col].dataType.simpleString()
+    alloc = d.sparkSession.createDataFrame(
+        sorted(base.items()), f"`{source_col}` {src_type}, alloc bigint"
+    )
+    rn_w = Window.partitionBy(source_col).orderBy(
+        F.col(ts_col).desc(),
+        F.md5(F.col(key).cast("string")),
+        F.col(key),
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(rn_w))
+        # constant bound first (alloc <= total always) -> map-side
+        # WindowGroupLimit; the broadcast join then applies the exact
+        # per-source allocation
+        .filter(F.col("__rn") <= total)
+        .join(F.broadcast(alloc), source_col)
+        .filter(F.col("__rn") <= F.col("alloc"))
+        .select(key, source_col)
+    )
+
+
+@query(
+    "q_quota_recency_decay",
+    f"""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+    dc AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    w AS (
+        SELECT event_type,
+               SUM(cnt * (CAST(1000000 AS BIGINT) >> CAST(LEAST(
+                   date_diff('day', d, (SELECT dmax FROM mx))
+                       // {RECENCY_HALF_LIFE_DAYS},
+                   62) AS INTEGER))) AS wt
+        FROM dc GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(wt) AS wtot FROM w),
+    alloc0 AS (
+        SELECT w.event_type,
+               {EVENTS_RECENCY_BUDGET} * w.wt // t.wtot AS base,
+               ({EVENTS_RECENCY_BUDGET} * w.wt) % t.wtot AS rem
+        FROM w, tot t
+    ),
+    leftover AS (
+        SELECT {EVENTS_RECENCY_BUDGET} - SUM(base) AS leftover FROM alloc0
+    ),
+    ranked AS (
+        SELECT a.event_type, a.base, l.leftover,
+               ROW_NUMBER() OVER (ORDER BY a.rem DESC, a.event_type) AS rk
+        FROM alloc0 a, leftover l
+    ),
+    alloc AS (
+        SELECT event_type,
+               base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        FROM ranked
+    ),
+    rev AS (
+        SELECT event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ts DESC,
+                            md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events
+    )
+    SELECT r.event_id, r.event_type
+    FROM rev r JOIN alloc a USING (event_type)
+    WHERE r.rn <= a.alloc
+    ORDER BY r.event_type, r.event_id
+    """,
+)
+def q_quota_recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~EVENTS_RECENCY_BUDGET events apportioned across event types by
+    half-life-decayed volume (integer bit-shift decay, largest-remainder
+    apportionment), each type keeping its most recent events — the
+    freshness-weighted corpus cut. The kept (event_id, event_type) set
+    is the semantic; the oracle hash pins the decay arithmetic, the
+    apportionment, and the recency selection.
+    """
+    return budget_allocate_recency(
+        table(spark, sf_dir, "events"),
+        EVENTS_RECENCY_BUDGET,
+        RECENCY_HALF_LIFE_DAYS,
     )

@@ -125,3 +125,69 @@ def test_phash_block_partition_covers_and_orders(data):
     assert blocks == sorted(blocks)  # contiguous, order-preserving
     if n >= B:
         assert len(set(blocks)) == B  # no empty block
+
+
+# --- quota apportionment kernel (plans/quota.hamilton_apportion) ---
+
+from aircraftutilization_etl_spark.plans.quota import (  # noqa: E402
+    hamilton_apportion,
+    sqrt_weight,
+)
+
+weight_maps = st.dictionaries(
+    keys=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=1,
+        max_size=8,
+    ),
+    values=st.integers(min_value=0, max_value=10**12),
+    min_size=1,
+    max_size=40,
+).filter(lambda w: sum(w.values()) > 0)
+
+
+@given(weight_maps, st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=300, deadline=None)
+def test_hamilton_sums_exactly_and_respects_quota_rule(weights, budget):
+    alloc = hamilton_apportion(weights, budget)
+    assert set(alloc) == set(weights)
+    assert sum(alloc.values()) == budget
+    wtot = sum(weights.values())
+    for s, w in weights.items():
+        exact_floor = budget * w // wtot
+        # the quota rule: every group gets floor or ceil of its exact
+        # share (largest-remainder never strays further)
+        assert alloc[s] in (exact_floor, exact_floor + 1)
+        assert alloc[s] >= 0
+
+
+@given(weight_maps, st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=100, deadline=None)
+def test_hamilton_is_insertion_order_independent(weights, budget):
+    reordered = dict(sorted(weights.items(), reverse=True))
+    assert hamilton_apportion(weights, budget) == hamilton_apportion(
+        reordered, budget
+    )
+
+
+def test_hamilton_all_zero_weights_raise():
+    import pytest
+
+    with pytest.raises(ValueError, match="positive total weight"):
+        hamilton_apportion({"a": 0, "b": 0}, 5)
+
+
+@given(st.integers(min_value=0, max_value=10**15))
+@settings(max_examples=300, deadline=None)
+def test_sqrt_weight_matches_exact_integer_sqrt(n):
+    import math
+
+    w = sqrt_weight(n)
+    # floor(sqrt(n)*1e6) computed via float must agree with the exact
+    # integer definition floor(sqrt(n*1e12)) whenever the float path is
+    # exactly representable; tolerate the 1-ulp band above 2^52 where
+    # IEEE rounding can land either side, but never more
+    exact = math.isqrt(n * 10**12)
+    assert abs(w - exact) <= 1
+    if n * 10**12 < 2**52:
+        assert w == exact

@@ -195,3 +195,195 @@ def test_floor_dominated_budget_keeps_floors_only(spark):
         for r in budget_allocate_with_floor(df, 10, 10, key="doc_id").collect()
     )
     assert dict(got) == {"a": 10, "b": 10, "c": 10}
+
+
+def _two_level_reference(
+    cells: dict[tuple[str, str], int], total: int
+) -> dict[tuple[str, str], int]:
+    """Reference nested-Hamilton apportionment (outer=lang, inner=source)."""
+
+    def ham(weights: dict, budget: int) -> dict:
+        wtot = sum(weights.values())
+        base = {s: budget * w // wtot for s, w in weights.items()}
+        rem = {s: (budget * w) % wtot for s, w in weights.items()}
+        for s in sorted(rem, key=lambda s: (-rem[s], s))[
+            : budget - sum(base.values())
+        ]:
+            base[s] += 1
+        return base
+
+    def sw(n: int) -> int:
+        return int(math.floor(math.sqrt(float(n)) * 1_000_000))
+
+    outer_n: dict = {}
+    for (o, _), n in cells.items():
+        outer_n[o] = outer_n.get(o, 0) + n
+    oa = ham({o: sw(n) for o, n in outer_n.items()}, total)
+    out: dict = {}
+    for o in sorted(outer_n):
+        iw = {i: sw(n) for (oo, i), n in cells.items() if oo == o}
+        for i, a in ham(iw, oa[o]).items():
+            out[(o, i)] = a
+    return out
+
+
+def test_two_level_allocation_matches_reference(spark):
+    from collections import Counter
+
+    from aircraftutilization_etl_spark.plans.quota import (
+        budget_allocate_two_level,
+    )
+
+    cells = {
+        ("en", "web"): 60,
+        ("en", "news"): 25,
+        ("en", "wiki"): 9,
+        ("fr", "web"): 30,
+        ("fr", "wiki"): 6,
+        ("zh", "web"): 20,
+    }
+    rows = [
+        (f"{o}-{i}-{k}", o, i)
+        for (o, i), n in cells.items()
+        for k in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, source string")
+    total = 40
+    want = _two_level_reference(cells, total)
+    # the inner rounds each sum exactly to the outer allocation, and
+    # the outer round sums exactly to the budget
+    assert sum(want.values()) == total
+    got = Counter(
+        (r["lang"], r["source"])
+        for r in budget_allocate_two_level(df, total, key="doc_id").collect()
+    )
+    assert dict(got) == {c: n for c, n in want.items() if n}
+    # within a cell, selection is the md5-smallest keys
+    for (o, i), n in want.items():
+        keys = sorted(
+            (k for k, oo, ii in rows if (oo, ii) == (o, i)),
+            key=lambda k: (_md5(k), k),
+        )[:n]
+        kept = sorted(
+            r["doc_id"]
+            for r in budget_allocate_two_level(
+                df, total, key="doc_id"
+            ).collect()
+            if (r["lang"], r["source"]) == (o, i)
+        )
+        assert kept == sorted(keys)
+        break  # one cell's membership check is enough; counts pin the rest
+
+
+def test_two_level_null_strata_raises(spark):
+    import pytest as _pytest
+
+    from aircraftutilization_etl_spark.plans.quota import (
+        budget_allocate_two_level,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "en", "web"), ("d2", None, "web")],
+        "doc_id string, lang string, source string",
+    )
+    with _pytest.raises(ValueError, match="non-null 'lang'"):
+        budget_allocate_two_level(df, 1, key="doc_id")
+
+
+def _recency_reference(
+    rows: list, total: int, half_life: int
+) -> dict[str, int]:
+    """Reference decayed-volume apportionment over (type, date) counts."""
+    from collections import Counter
+
+    day_counts = Counter((t, d) for _, t, d in rows)
+    dmax = max(d for _, _, d in rows)
+    w: dict = {}
+    for (t, d), n in day_counts.items():
+        w[t] = w.get(t, 0) + n * (
+            1_000_000 >> min((dmax - d).days // half_life, 62)
+        )
+    wtot = sum(w.values())
+    base = {s: total * v // wtot for s, v in w.items()}
+    rem = {s: (total * v) % wtot for s, v in w.items()}
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[
+        : total - sum(base.values())
+    ]:
+        base[s] += 1
+    return base
+
+
+def test_recency_decay_weights_and_most_recent_selection(spark):
+    import datetime as dt
+    from collections import Counter
+
+    from aircraftutilization_etl_spark.plans.quota import (
+        budget_allocate_recency,
+    )
+
+    base_day = dt.date(2024, 3, 1)
+    # "fresh" ships all its volume on the newest day; "stale" the same
+    # volume 21 days (3 half-lives) earlier -> 8x lighter per row
+    rows = []
+    eid = 0
+    for typ, age, n in (("fresh", 0, 40), ("stale", 21, 40), ("mixed", 7, 40)):
+        for _ in range(n):
+            rows.append((eid, typ, base_day - dt.timedelta(days=age)))
+            eid += 1
+    df = spark.createDataFrame(
+        [
+            (i, t, dt.datetime.combine(d, dt.time(12, 0)) )
+            for i, t, d in rows
+        ],
+        "event_id bigint, event_type string, ts timestamp",
+    )
+    total, hl = 30, 7
+    want = _recency_reference(rows, total, hl)
+    assert want["fresh"] > want["mixed"] > want["stale"]  # decay bites
+    got = Counter(
+        r["event_type"]
+        for r in budget_allocate_recency(df, total, hl).collect()
+    )
+    assert dict(got) == {s: n for s, n in want.items() if n}
+
+
+def test_recency_keeps_most_recent_rows(spark):
+    import datetime as dt
+
+    from aircraftutilization_etl_spark.plans.quota import (
+        budget_allocate_recency,
+    )
+
+    # one type, distinct timestamps: the kept set must be exactly the
+    # newest `total` events
+    rows = [
+        (i, "click", dt.datetime(2024, 3, 1, 0, 0, 0) + dt.timedelta(hours=i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp"
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in budget_allocate_recency(df, 5, 7).collect()
+    )
+    assert kept == [15, 16, 17, 18, 19]
+
+
+def test_new_quota_plans_are_group_limited_broadcast_single_scan(spark):
+    import contextlib
+    import io
+
+    from aircraftutilization_etl_spark.plans import CATALOG
+
+    for name in ("q_quota_budget_two_level", "q_quota_recency_decay"):
+        df = CATALOG[name].spark(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "WindowGroupLimit" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        # the driver-side apportionment means the returned plan scans
+        # the fact table exactly once
+        assert plan.count("Location: InMemoryFileIndex") == 1, name
