@@ -65,3 +65,75 @@ def test_multiset_semantics_per_shared_key(spark):
     ).count()
     got = {(r.id_a, r.id_b): r["count"] for r in out.collect()}
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def _physical_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_cold_corpus_skips_chunk_columns_and_pin(spark):
+    """max f <= cap and tiny Σf²: the plain-key join with no explicit
+    repartition — AQE stays free to broadcast/coalesce."""
+    rows = [(i, f"k{i % 40}") for i in range(200)]  # every bucket f=5
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = chunked_self_pairs(df, ["k"], "doc_id", cap=64)
+    plan = _physical_plan(out)
+    assert "__ca" not in plan
+    assert "REPARTITION_BY_NUM" not in plan and "RoundRobin" not in plan
+    got = sorted((r.id_a, r.id_b) for r in out.collect())
+    want = sorted(
+        map(tuple, _plain_pairs(df, ["k"], "doc_id", {}).collect())
+    )
+    assert got == want
+
+
+def test_hot_corpus_engages_chunks_without_pin_below_threshold(spark):
+    """max f > cap but Σf² below PIN_TOTAL_PAIRS: chunk columns join,
+    no pinned exchange."""
+    rows = [(i, "hot") for i in range(100)]  # one bucket f=100 > cap
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = chunked_self_pairs(df, ["k"], "doc_id", cap=8)
+    plan = _physical_plan(out)
+    assert "__ca" in plan
+    assert "REPARTITION_BY_NUM" not in plan
+    assert len(out.collect()) == 100 * 99 // 2
+
+
+def test_pin_threshold_forces_explicit_repartition(spark, monkeypatch):
+    """Σf² above the threshold pins the join exchange. The pin shows in
+    the sort-merge regime (the scale case — big-bytes sides); when the
+    planner broadcast-converts instead, the sides were byte-small and
+    pair volume is bounded by rows×cap, so the dropped pin is benign
+    (see the operator docstring) — the test disables auto-broadcast to
+    exercise the regime the pin exists for."""
+    from aircraftutilization_etl_spark.operators import skew
+
+    monkeypatch.setattr(skew, "PIN_TOTAL_PAIRS", 10)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows = [(i, f"k{i % 4}") for i in range(40)]  # Σf² = 400 > 10
+        df = spark.createDataFrame(rows, "doc_id long, k string")
+        out = skew.chunked_self_pairs(df, ["k"], "doc_id", cap=64)
+        plan = _physical_plan(out)
+        assert "REPARTITION_BY_NUM" in plan
+        got = sorted((r.id_a, r.id_b) for r in out.collect())
+        want = sorted(
+            map(tuple, _plain_pairs(df, ["k"], "doc_id", {}).collect())
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_empty_input_stays_lazyless_and_typed(spark):
+    df = spark.createDataFrame([], "doc_id long, k string")
+    out = chunked_self_pairs(df, ["k"], "doc_id", cap=8)
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b"]
+    assert out.count() == 0
