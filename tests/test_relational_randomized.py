@@ -34,6 +34,11 @@ QUERIES = (
     "q_heavy_hitters_customers",
     "q10_returned_items",
     "q4_order_priority",
+    # exact-rank statistics and sketch certificates on random money
+    # material — percentile/bucket boundaries the fixed data never hits
+    "q_percentiles_quantity",
+    "q_histogram_price",
+    "q_approx_distinct_orders",
 )
 
 SEGMENTS = ["MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE", "AUTOMOBILE"]
