@@ -26,6 +26,9 @@ QUERIES = (
     "q_events_hourly_window",
     "q_events_bounce_rate",
     "q_events_cooccurrence",
+    # integer-moment inference statistics on exact-quarter values
+    "q_events_welch",
+    "q_drift_ks",
 )
 
 

@@ -39,6 +39,12 @@ QUERIES = (
     "q_percentiles_quantity",
     "q_histogram_price",
     "q_approx_distinct_orders",
+    # integer-moment statistics on random cents material: Tukey/MAD
+    # fences, CORR/REGR_* moments, exact Gini cumsum
+    "q_outlier_iqr",
+    "q_outlier_mad",
+    "q_stats_regression",
+    "q_revenue_gini",
 )
 
 SEGMENTS = ["MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE", "AUTOMOBILE"]
