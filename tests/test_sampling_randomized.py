@@ -26,6 +26,11 @@ QUERIES = (
     "q_shard_order",
     "q_split_kfold",
     "q_sample_temperature",
+    # composed documents pipelines on the same random corpora
+    "q_mix_epochs",
+    "q_token_budget_select",
+    "q_curation_funnel",
+    "q_contamination_report",
 )
 
 
@@ -90,4 +95,8 @@ def test_placement_family_matches_duckdb_on_random_ids(
             for r in _duck_rows(root, qd.oracle)
         )
         assert got == want, f"{name} diverged ({id_style})"
-        assert got, f"{name} returned empty on a populated corpus"
+        # contamination against the fixed benchmark shingle set is
+        # legitimately empty on random prose — the row-set equality
+        # above is the check there
+        if name != "q_contamination_report":
+            assert got, f"{name} returned empty on a populated corpus"
