@@ -276,15 +276,13 @@ def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFram
     Normal-sized buckets have m=1, where the chunk machinery degenerates
     to the plain bucket join (no replication).
 
-    The chunked self-join is ``_chunked_pair_join`` (persisted sized
-    frame: both join sides consume the same banded signatures — a
-    broadcast on one side would recompute the whole shingle→hash
-    subtree twice; the persisted table is signature-sized, not
-    corpus-sized. Bucket sizes come from ONE window count over the band
-    partitioning the join shuffle needs anyway — a separate size
-    aggregate joined back would re-exchange the banded table, and the
-    bucket row-count table is corpus-sized at scale, so it cannot
-    broadcast).
+    The chunked self-join is ``_chunked_pair_join``. Its r11 form is
+    stats-first: one map-side-combined bucket-size aggregate picks the
+    regime, the common cold path joins the banded frame directly (both
+    sides shuffle on the band key, so exchange reuse evaluates the
+    shingle→hash subtree once), and only the adversarial hot path pays
+    the per-row bucket-count window + signature-sized cache the chunk
+    replication needs.
     """
     return (
         _chunked_pair_join(

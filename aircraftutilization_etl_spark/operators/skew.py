@@ -20,12 +20,37 @@ from pyspark.sql import functions as F
 # task absorbs without becoming a straggler. Below it, the whole join
 # output is a few million rows end-to-end and AQE's byte-based
 # coalescing (or its broadcast conversion) is strictly cheaper — the
-# r10 bench measured the unconditional pin costing ~4x on the LSH
-# candidate join whose ENTIRE pair volume was 22k rows. Above it, the
-# pin is load-bearing: byte-based coalescing is blind to the pair
+# r10 bench measured the unconditional pin costing ~3x on the LSH
+# candidate join whose ENTIRE pair volume was 22k rows (the figure
+# COVERAGE.md and SCALE.md record for the same measurement). Above it,
+# the pin is load-bearing: byte-based coalescing is blind to the pair
 # explosion inside the join stage (measured on the 7,500-title probe:
 # a ~28M-pair stage coalesced to 2 tasks, a 336 s straggler).
 PIN_TOTAL_PAIRS = 4_000_000
+
+
+def self_pair_stats(
+    keyed: DataFrame, key_cols: Sequence[str]
+) -> tuple[int, int]:
+    """(max bucket size, Σ_buckets f²) for the ``key_cols`` grouping —
+    the two O(1)-sized statistics ``chunked_self_pairs`` plans from.
+
+    One map-side-combined aggregate job (partial aggregation absorbs
+    the very Zipf head being measured, so the stats pass itself is
+    skew-immune); nothing is persisted. Exposed separately so call
+    sites can report the regime a corpus lands in (SCALE.md r11
+    simhash diagnosis) without building the join.
+    """
+    row = (
+        keyed.groupBy(*list(key_cols))
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .agg(
+            F.max("__f").alias("mx"),
+            F.sum(F.col("__f") * F.col("__f")).alias("s2"),
+        )
+        .collect()[0]
+    )
+    return int(row["mx"] or 0), int(row["s2"] or 0)
 
 
 def chunked_self_pairs(
@@ -46,18 +71,31 @@ def chunked_self_pairs(
     (certified per consumer by the unchanged DuckDB oracles), per-task
     work bounded by cap².
 
-    Adaptive physical plan, identical output in all regimes: the sized
-    frame (per-row bucket count ``__f`` from ONE window over the key
-    partitioning) is persisted — both join sides consume it — and a
-    driver O(1) aggregate over it (max f, Σf — the latter IS Σ_buckets
-    f², the total pair-meeting volume) picks the strategy the way the
-    quota/kmeans operators collect model-sized statistics:
+    EAGER BY CONTRACT: construction runs one O(1)-row statistics job
+    (:func:`self_pair_stats` — a map-side-combined groupBy aggregate,
+    NOT a materialization of the joined frame) so the physical strategy
+    is picked from the data, the way the quota/kmeans operators collect
+    model-sized statistics. Callers that only need the logical shape
+    (explain-only tooling) still pay that one small job. Adaptive
+    physical plan, identical output in all regimes:
 
-    - max f ≤ cap (the overwhelmingly common case — an honest corpus's
-      buckets are tiny): the chunk columns are provably all-zero, so
-      they are OMITTED and the join runs on the bare keys, leaving AQE
-      free to broadcast or coalesce the few-MB sides.
-    - max f > cap: the chunk machinery engages as described.
+    - max f ≤ cap and Σf² ≤ PIN_TOTAL_PAIRS (the overwhelmingly common
+      case — an honest corpus's buckets are tiny): the chunk columns
+      are provably all-zero, so they are OMITTED and the PLAIN
+      self-join on the bare keys is returned — no window pass, nothing
+      persisted, AQE free to broadcast or coalesce the few-MB sides.
+      (r11: this path previously still paid a bucket-count window over
+      a persisted frame it never used; dropping it removes the r10
+      ADVICE cache-accumulation leak for the common regime and the
+      cold-corpus overhead behind the q_dedup_simhash_pairs drift.)
+    - max f > cap: the chunk machinery engages. The per-row bucket
+      count ``__f`` (for m = ceil(f / cap)) comes from ONE window over
+      the key partitioning, and that frame IS persisted — both join
+      sides consume it, and without the cache the window subtree would
+      execute twice. The cache is plan-sized (ids + keys + payload),
+      lives exactly as long as the returned DataFrame (Spark's
+      ContextCleaner drops it when the plan is garbage-collected), and
+      only adversarial corpora ever reach this branch.
     - Σf² > PIN_TOTAL_PAIRS (either path): the join exchange is pinned
       with an explicit hash repartition on the join keys, because
       AQE's byte-based coalescing is blind to the pair explosion
@@ -82,39 +120,36 @@ def chunked_self_pairs(
     """
     payload = dict(payload or {})
     key_cols = list(key_cols)
-    bucket = Window.partitionBy(*key_cols)
-    sized = keyed.select(
-        F.col(id_col),
-        *key_cols,
-        *payload,
-        F.count(F.lit(1)).over(bucket).alias("__f"),
-    ).persist()
-    stats = sized.agg(
-        F.max("__f").alias("mx"), F.sum("__f").alias("s2")
-    ).collect()[0]
-    max_f = stats["mx"] or 0
-    sum_f2 = stats["s2"] or 0
+    max_f, sum_f2 = self_pair_stats(keyed, key_cols)
     pin = sum_f2 > PIN_TOTAL_PAIRS
     n_part = int(
         keyed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
 
     if max_f <= cap and not pin:
-        # no chunk columns at all: the join runs on the bare keys, so
-        # it can reuse the persisted frame's window partitioning with
-        # ZERO additional exchange (or broadcast-convert outright)
+        # plain path: no chunk columns, no window, nothing persisted —
+        # the join runs on the bare keys straight off the caller's
+        # frame and AQE broadcast-converts or coalesces freely
         join_keys = key_cols
-        a = sized.select(
+        base = keyed.select(F.col(id_col), *key_cols, *payload)
+        a = base.select(
             F.col(id_col).alias("id_a"),
             *key_cols,
             *[F.col(c).alias(n[0]) for c, n in payload.items()],
         )
-        b = sized.select(
+        b = base.select(
             F.col(id_col).alias("id_b"),
             *key_cols,
             *[F.col(c).alias(n[1]) for c, n in payload.items()],
         )
     else:
+        bucket = Window.partitionBy(*key_cols)
+        sized = keyed.select(
+            F.col(id_col),
+            *key_cols,
+            *payload,
+            F.count(F.lit(1)).over(bucket).alias("__f"),
+        ).persist()
         # the chunk construction also carries the pin when max f <= cap
         # (all m = 1, chunk columns provably zero): joining on
         # (keys, __ca, __cb) differs from the cached window layout, so

@@ -26,5 +26,6 @@ from . import classifier  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
 from . import relational_tpch2  # noqa: E402,F401
 from . import quota  # noqa: E402,F401
+from . import url  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QueryDef", "query"]

@@ -40,6 +40,15 @@ def hamilton_apportion(weights: dict, budget: int) -> dict:
     bit-for-bit reproducible. Each group receives floor or ceil of its
     exact share (the quota rule), and Σ == budget always.
     """
+    if budget < 0:
+        # ADVICE r10: floor division on a negative budget still sums to
+        # budget but hands every group a NEGATIVE allocation, which a
+        # downstream rn <= alloc filter reads as "keep nothing" for some
+        # groups and garbage for others — fail loudly at the kernel
+        raise ValueError(
+            f"hamilton_apportion requires a non-negative budget; got "
+            f"{budget}"
+        )
     wtot = sum(weights.values())
     if wtot <= 0:
         raise ValueError(
@@ -178,7 +187,8 @@ def budget_allocate(
     "q_quota_budget_allocation",
     f"""
     WITH counts AS (
-        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        SELECT source, COUNT(*) AS n_docs FROM documents
+        WHERE source IS NOT NULL GROUP BY source
     ),
     w AS (
         SELECT source, n_docs,
@@ -210,6 +220,7 @@ def budget_allocate(
                    PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         FROM documents
+        WHERE source IS NOT NULL
     )
     SELECT r.doc_id, r.source
     FROM rdocs r JOIN alloc a USING (source)
@@ -222,9 +233,17 @@ def q_quota_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest-remainder apportionment — the kept (doc_id, source) set is
     the semantic and the oracle hash pins both the integer allocation
     arithmetic and the md5 selection.
+
+    NULL strata (ADVICE r10): the catalog query excludes NULL-source
+    rows up front with the SAME predicate the oracle carries, so both
+    engines agree on every input; the raw ``budget_allocate`` operator
+    keeps its loud ValueError contract for unfiltered callers.
     """
     return budget_allocate(
-        table(spark, sf_dir, "documents"), TOTAL_BUDGET
+        table(spark, sf_dir, "documents").filter(
+            F.col("source").isNotNull()
+        ),
+        TOTAL_BUDGET,
     )
 
 
@@ -342,7 +361,8 @@ def budget_allocate_with_floor(
     "q_quota_floored_allocation",
     f"""
     WITH counts AS (
-        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        SELECT source, COUNT(*) AS n_docs FROM documents
+        WHERE source IS NOT NULL GROUP BY source
     ),
     fl AS (
         SELECT source, n_docs,
@@ -391,6 +411,7 @@ def budget_allocate_with_floor(
                    PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         FROM documents
+        WHERE source IS NOT NULL
     )
     SELECT r.doc_id, r.source
     FROM rdocs r JOIN alloc a USING (source)
@@ -404,9 +425,13 @@ def q_quota_floored_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest remainder — the floors-then-proportional corpus cut. The
     kept (doc_id, source) set is the semantic; the oracle hash pins the
     floor arithmetic, the remainder ranking, and the md5 selection.
+    NULL-source rows are excluded up front, matching the oracle's
+    predicate (ADVICE r10 — see q_quota_budget_allocation).
     """
     return budget_allocate_with_floor(
-        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "documents").filter(
+            F.col("source").isNotNull()
+        ),
         TOTAL_BUDGET_FLOORED,
         QUOTA_FLOOR,
     )
@@ -502,7 +527,9 @@ def budget_allocate_two_level(
     f"""
     WITH cells AS (
         SELECT lang, source, COUNT(*) AS n
-        FROM documents GROUP BY lang, source
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY lang, source
     ),
     langs AS (SELECT lang, SUM(n) AS n_lang FROM cells GROUP BY lang),
     lw AS (
@@ -570,6 +597,7 @@ def budget_allocate_two_level(
                    PARTITION BY lang, source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
     )
     SELECT r.doc_id, r.lang, r.source
     FROM rdocs r JOIN calloc a USING (lang, source)
@@ -583,10 +611,15 @@ def q_quota_budget_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     language's share across its sources (sqrt of cell size), md5-rank
     selection within each cell. The kept (doc_id, lang, source) set is
     the semantic; the oracle hash pins both Hamilton rounds, the
-    remainder tie-breaks, and the md5 selection.
+    remainder tie-breaks, and the md5 selection. NULL-strata rows
+    (lang or source) are excluded up front, matching the oracle's
+    predicate (ADVICE r10 — see q_quota_budget_allocation).
     """
     return budget_allocate_two_level(
-        table(spark, sf_dir, "documents"), TOTAL_BUDGET_TWO_LEVEL
+        table(spark, sf_dir, "documents").filter(
+            F.col("lang").isNotNull() & F.col("source").isNotNull()
+        ),
+        TOTAL_BUDGET_TWO_LEVEL,
     )
 
 
@@ -678,10 +711,15 @@ def budget_allocate_recency(
 @query(
     "q_quota_recency_decay",
     f"""
-    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+    WITH mx AS (
+        SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
     dc AS (
         SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
-        FROM events GROUP BY event_type, CAST(ts AS DATE)
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
     ),
     w AS (
         SELECT event_type,
@@ -718,6 +756,7 @@ def budget_allocate_recency(
                    ORDER BY ts DESC,
                             md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
     )
     SELECT r.event_id, r.event_type
     FROM rev r JOIN alloc a USING (event_type)
@@ -731,10 +770,14 @@ def q_quota_recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     apportionment), each type keeping its most recent events — the
     freshness-weighted corpus cut. The kept (event_id, event_type) set
     is the semantic; the oracle hash pins the decay arithmetic, the
-    apportionment, and the recency selection.
+    apportionment, and the recency selection. NULL-strata rows
+    (event_type or ts) are excluded up front, matching the oracle's
+    predicate (ADVICE r10 — see q_quota_budget_allocation).
     """
     return budget_allocate_recency(
-        table(spark, sf_dir, "events"),
+        table(spark, sf_dir, "events").filter(
+            F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+        ),
         EVENTS_RECENCY_BUDGET,
         RECENCY_HALF_LIFE_DAYS,
     )
