@@ -245,6 +245,20 @@ def lsh_bands(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # the cap, so the common path pays only the bucket-size join.
 LSH_BUCKET_CAP = 64
 
+# Chunk cap for the SIMHASH band self-join specifically (r11, the
+# q_dedup_simhash_pairs drift diagnosis): a 16-bit band slice is a tiny
+# key space, so band buckets grow LINEARLY with the corpus by pigeonhole
+# (max f = 404 at the sf0.1 bench corpus — chunking engages on honest
+# data, unlike minhash-LSH where only near-identical docs collide). The
+# right cap balances chunk replication (each hot-bucket member is
+# copied m = ceil(f / cap) times per side) against per-task pair work —
+# and simhash's per-pair verify is `bands` integer XOR+popcounts,
+# ~two orders cheaper than LSH's exact-Jaccard array_intersect, so its
+# task budget affords a 16x bigger pair block: 256² ≈ 65k popcount
+# pairs per task group (the SHINGLE_BUCKET_CAP arithmetic), vs m = 7
+# sevenfold replication the shared 64 cap was forcing at sf0.1.
+HAMMING_BUCKET_CAP = 256
+
 # Chunk cap for the raw-shingle self-joins (exact Jaccard/containment):
 # a stop-shingle shared by f documents genuinely owes f²/2 intersection
 # rows (exact set-overlap semantics — nothing can be dropped), so the
@@ -878,9 +892,9 @@ def simhash_hamming_pairs(
     # chunked band self-join: an adversarial corpus (thousands of
     # IDENTICAL prints) collapses every band into one bucket — the same
     # quadratic-single-task trap as LSH, guarded the same way (output
-    # unchanged, per-task work ≤ ~LSH_BUCKET_CAP²)
+    # unchanged, per-task work ≤ ~HAMMING_BUCKET_CAP² popcount pairs)
     cand = (
-        _chunked_pair_join(banded, ["band", "bkey"], id_col, LSH_BUCKET_CAP)
+        _chunked_pair_join(banded, ["band", "bkey"], id_col, HAMMING_BUCKET_CAP)
         .select("id_a", "id_b")
         .distinct()
     )

@@ -224,6 +224,139 @@ def canonical_url_expr(url: Column) -> Column:
     return F.concat(p["scheme"], F.lit("://"), host, port_c, path_c, query_c)
 
 
+def with_url_columns(
+    df,
+    doc_id: str = "doc_id",
+    source: str = "source",
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+    domain_col: str = "domain",
+):
+    """``df`` + (url, canonical_url, domain) via LAYERED projections.
+
+    The single-expression forms below are correct but, composed
+    (canonical(synthetic(url)) + domain(synthetic(url))), they inline
+    the synthetic-URL subtree into every one of its ~20 references —
+    the optimized plan for the straightforward composition measured
+    535 KB of plan text and ~1.8 MiB task binaries at sf0.1, costing
+    every consumer 2-4 s of pure planning/codegen before touching a
+    row. And layering alone is not enough: a consumer FILTER or join
+    key on ``domain`` is pushed below the projections with every alias
+    substituted (an 840 KB scan predicate measured on the blocklist
+    query), so each URL part here references the url EXACTLY ONCE (one
+    anchored regexp_extract per part, no nested split_part chains) —
+    the derivation stays compact even when Catalyst inlines it
+    wholesale into a pushed-down predicate. Pushing the domain filter
+    into the scan is exactly right at 100 TB (blocked rows never leave
+    the map stage); it just has to be a compact expression. Same rows,
+    same values as the single-expression forms — the fixture pins
+    assert all derivations agree (tests/test_url_fixtures.py) and the
+    DuckDB oracles pin the values.
+    """
+    l0 = df.select(
+        "*", synthetic_url_expr(doc_id, source).alias(url_col)
+    )
+    return with_canonical_columns(
+        l0, url_col=url_col, canonical_col=canonical_col,
+        domain_col=domain_col,
+    )
+
+
+def with_canonical_columns(
+    df,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+    domain_col: str = "domain",
+):
+    """``df`` (already carrying ``url_col``) + canonical_url + domain —
+    the canonicalization stage of :func:`with_url_columns`, exposed so
+    literal-URL fixtures and real URL columns use the identical layered
+    derivation."""
+    u = F.col(url_col)
+    # each part: ONE anchored regex over the url attribute (no-match
+    # regexp_extract yields '', which the CASE layer treats as absent)
+    l1 = df.select(
+        "*",
+        F.lower(F.regexp_extract(u, r"^([^:/?#]+)://", 1)).alias("__sch"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#:]*)", 1)),
+            r"^www\.",
+            "",
+        ).alias("__host"),
+        F.regexp_extract(
+            u, r"^[^:/?#]+://[^/?#:]*:([0-9]+)", 1
+        ).alias("__port"),
+        F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*(/[^?#]*)", 1).alias(
+            "__path"
+        ),
+        F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1).alias("__qstr"),
+    )
+    keep = F.filter(
+        F.split(F.col("__qstr"), "&"),
+        lambda x: (x != "")
+        & ~x.startswith("utm_")
+        & ~x.startswith("fbclid=")
+        & ~x.startswith("gclid=")
+        & ~x.startswith("ref="),
+    )
+    l2 = l1.select(
+        "*",
+        F.when(
+            (F.col("__port") == "")
+            | ((F.col("__sch") == "http") & (F.col("__port") == "80"))
+            | ((F.col("__sch") == "https") & (F.col("__port") == "443")),
+            F.lit(""),
+        )
+        .otherwise(F.concat(F.lit(":"), F.col("__port")))
+        .alias("__portc"),
+        F.when(
+            F.col("__path").endswith("/") & (F.length("__path") > 1),
+            F.substring(F.col("__path"), 1, F.length("__path") - 1),
+        )
+        .otherwise(F.col("__path"))
+        .alias("__pathc"),
+        keep.alias("__keep"),
+        F.split(F.col("__host"), r"\.").alias("__labs"),
+    )
+    n = F.size("__labs")
+    last2 = F.concat_ws(
+        ".", F.get("__labs", n - 2), F.get("__labs", n - 1)
+    )
+    l3 = l2.select(
+        "*",
+        F.concat(
+            F.col("__sch"),
+            F.lit("://"),
+            F.col("__host"),
+            F.col("__portc"),
+            F.col("__pathc"),
+            F.when(
+                F.size("__keep") > 0,
+                F.concat(F.lit("?"), F.array_join("__keep", "&")),
+            ).otherwise(F.lit("")),
+        ).alias(canonical_col),
+        (
+            F.when(n <= 1, F.col("__host"))
+            .when(
+                (n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES),
+                F.concat_ws(".", F.get("__labs", n - 3), last2),
+            )
+            .otherwise(last2)
+        ).alias(domain_col),
+    )
+    return l3.drop(
+        "__sch",
+        "__host",
+        "__port",
+        "__path",
+        "__qstr",
+        "__portc",
+        "__pathc",
+        "__keep",
+        "__labs",
+    )
+
+
 def registrable_domain_expr(url: Column) -> Column:
     """Registrable domain of an absolute URL column: the last two host
     labels, or three when the two-label tail is a bundled public-suffix

@@ -24,12 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.url import (
-    MULTI_LABEL_SUFFIXES,
-    canonical_url_expr,
-    registrable_domain_expr,
-    synthetic_url_expr,
-)
+from ..operators.url import MULTI_LABEL_SUFFIXES, with_url_columns
 from .catalog import query, table
 from .quota import budget_allocate
 
@@ -55,7 +50,11 @@ _SUFFIX_IN = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
 # derived independently (split_part/substr/CASE SQL, not the Spark
 # column tree).
 # ---------------------------------------------------------------------------
-URL_CTES = f"""
+# Generation CTEs (documents -> urls) and canonicalization CTEs
+# (urls -> cdocs) factored apart so the fixture tests can replay the
+# canonicalization chain over a literal VALUES table of hand-written
+# URLs (tests/test_url_fixtures.py).
+GEN_CTES = f"""
     gen AS (
         SELECT doc_id, lang, source, n_chars,
                md5(CAST(doc_id AS VARCHAR)) AS h,
@@ -110,7 +109,10 @@ URL_CTES = f"""
                || (CASE WHEN qjoin <> '' THEN '?' || qjoin ELSE '' END)
                || frag AS url
         FROM pieces
-    ),
+    )
+"""
+
+CANON_CTES = f"""
     parts AS (
         SELECT doc_id, lang, source, n_chars, url,
                lower(split_part(url, '://', 1)) AS sch,
@@ -194,23 +196,18 @@ URL_CTES = f"""
     )
 """
 
+URL_CTES = GEN_CTES + "," + CANON_CTES
+
 
 def _cdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + (url, canonical_url, domain) — the Spark twin of the
     oracle's ``cdocs`` CTE. A narrow per-row projection (no UDF, no
     shuffle); Catalyst prunes the scan to the columns a consumer keeps.
     """
-    d = table(spark, sf_dir, "documents")
-    url = synthetic_url_expr()
-    return d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        url.alias("url"),
-        canonical_url_expr(url).alias("canonical_url"),
-        registrable_domain_expr(url).alias("domain"),
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
     )
+    return with_url_columns(d)
 
 
 @query(

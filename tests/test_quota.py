@@ -387,3 +387,73 @@ def test_new_quota_plans_are_group_limited_broadcast_single_scan(spark):
         # the driver-side apportionment means the returned plan scans
         # the fact table exactly once
         assert plan.count("Location: InMemoryFileIndex") == 1, name
+
+
+def test_hamilton_negative_budget_raises():
+    """ADVICE r10: a negative budget floor-divides into negative
+    per-group allocations that downstream rn <= alloc filters silently
+    misread — the shared kernel must fail loudly instead."""
+    import pytest
+
+    from aircraftutilization_etl_spark.plans.quota import hamilton_apportion
+
+    with pytest.raises(ValueError, match="non-negative budget"):
+        hamilton_apportion({"a": 1, "b": 2}, -1)
+    # zero budget stays legal (allocates nothing, sums to 0)
+    assert hamilton_apportion({"a": 1, "b": 2}, 0) == {"a": 0, "b": 0}
+
+
+def test_null_strata_catalog_queries_agree_with_oracle(spark, tmp_path):
+    """ADVICE r10: on NULL-bearing strata the Spark allocators raised
+    while the oracles silently mis-weighted. Both now exclude NULL
+    strata with the same predicate — proven here on data the gate never
+    sees: a corpus WITH NULL lang/source/event_type rows, where the two
+    engines must return the identical kept set."""
+    import datetime as dt
+
+    import duckdb
+
+    from aircraftutilization_etl_spark.plans import CATALOG
+
+    docs = [
+        (i, f"t{i}", ["en", "de", None][i % 3], f"s{i % 4}", 100 + i)
+        for i in range(60)
+    ]
+    docs += [(100 + j, "tx", "en", None, 50) for j in range(6)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    evs = [
+        (
+            i,
+            [None, "click", "view"][i % 3],
+            dt.datetime(2024, 3, 1) + dt.timedelta(hours=i),
+        )
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        evs, "event_id long, event_type string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"parquet_scan('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    for name in (
+        "q_quota_budget_allocation",
+        "q_quota_floored_allocation",
+        "q_quota_budget_two_level",
+        "q_quota_recency_decay",
+    ):
+        got = sorted(
+            tuple(r) for r in CATALOG[name].spark(spark, str(tmp_path)).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(CATALOG[name].oracle).fetchall())
+        assert got == want, name
+        assert got, name  # NULL filtering must not empty the result

@@ -137,3 +137,35 @@ def test_empty_input_stays_lazyless_and_typed(spark):
     out = chunked_self_pairs(df, ["k"], "doc_id", cap=8)
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b"]
     assert out.count() == 0
+
+
+def test_self_pair_stats_values(spark):
+    from aircraftutilization_etl_spark.operators.skew import self_pair_stats
+
+    rows = [(i, "hot") for i in range(10)] + [(100 + i, f"c{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    mx, s2 = self_pair_stats(df, ["k"])
+    assert (mx, s2) == (10, 100 + 4)  # 10² + 4·1²
+    mx, s2 = self_pair_stats(
+        spark.createDataFrame([], "doc_id long, k string"), ["k"]
+    )
+    assert (mx, s2) == (0, 0)
+
+
+def test_cold_path_persists_nothing(spark):
+    """ADVICE r10: the guard used to persist a window-counted frame on
+    EVERY call and never unpersist it — repeated invocations
+    accumulated cached frames. The stats-first form caches only in the
+    hot branch (where both join sides genuinely consume the window),
+    so a cold-corpus plan must contain no InMemoryRelation."""
+    rows = [(i, f"k{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = chunked_self_pairs(df, ["k"], "doc_id", cap=64)
+    assert "InMemoryTableScan" not in _physical_plan(out)
+    # the hot branch does cache (shared by both replicated sides)
+    hot = spark.createDataFrame(
+        [(i, "hot") for i in range(100)], "doc_id long, k string"
+    )
+    out_hot = chunked_self_pairs(hot, ["k"], "doc_id", cap=8)
+    assert "InMemoryTableScan" in _physical_plan(out_hot)
+    spark.catalog.clearCache()
