@@ -407,3 +407,39 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_allocate(
         d, DOMAIN_BUDGET, key="doc_id", source_col="domain"
     )
+
+
+@query(
+    "q_domain_admission",
+    f"""
+    WITH {URL_CTES}
+    SELECT domain, doc_id, admitted_rank FROM (
+        SELECT domain, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY doc_id) AS admitted_rank
+        FROM cdocs)
+    WHERE admitted_rank <= {DOMAIN_CAP}
+    ORDER BY domain, doc_id
+    """,
+)
+def q_domain_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order per-domain admission: the first DOMAIN_CAP documents
+    of each registrable domain in arrival (doc_id) order — the batch
+    twin of ``streaming.curation_stream.domain_admission_stream``
+    (first-come semantics an ingest pipeline can actually decide,
+    vs q_domain_caps' whole-corpus md5 rank), catalog-exposed so the
+    streaming member's admission rule is itself DuckDB-oracled.
+
+    Scale: q_domain_caps' exact plan — one per-domain window whose
+    rn <= k constant filter lowers to the map-side WindowGroupLimit
+    (top-k heap per task, never a full per-domain sort); the streaming
+    form replaces the window with one carried long per domain.
+    """
+    from ..streaming.curation_stream import domain_admission_batch
+
+    d = _cdocs(spark, sf_dir).select("doc_id", "domain")
+    return (
+        domain_admission_batch(d, DOMAIN_CAP, ts_col="doc_id")
+        .select("domain", "doc_id", "admitted_rank")
+        .orderBy("domain", "doc_id")
+    )
