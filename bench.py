@@ -101,10 +101,9 @@ HEADLINE = [
     # rare-q-gram candidate join (ultra-frequent grams dropped) + exact
     # levenshtein verify (VERDICT r9 #7)
     "q_dedup_edit_distance",
-    # r11: the LSH twin of the simhash entry, so the adaptive chunk
-    # guard's two regimes (minhash bands: cold/plain; simhash bands:
-    # hot/chunked at sf0.1) both carry a timing trend (VERDICT r10 #7)
-    "q_dedup_minhash_lsh",
+    # (q_dedup_minhash_lsh — the chunk guard's cold/plain regime — has
+    # been a headline entry since r2, line above; simhash covers the
+    # hot/chunked regime, so both guard paths carry a timing trend)
     # r11: the URL/domain curation family's heavy member — synthesized
     # URL build + canonicalization + registrable domain + md5-rank
     # window + broadcast Hamilton filter in one plan
