@@ -194,3 +194,62 @@ def test_invalid_cap_raises(spark):
         domain_admission_batch(df, 0)
     with pytest.raises(ValueError, match="cap"):
         domain_admission_stream(df, 0)
+
+
+def test_random_caps_and_logs_match_batch(spark, tmp_path):
+    """Fuzz leg: random cap, random domain mix with duplicate
+    timestamps (the doc_id tiebreak must agree), random split — the
+    streamed admitted set must equal the batch twin every time."""
+    from aircraftutilization_etl_spark.streaming import curation_stream as cs
+
+    rng = random.Random(0xF00D)
+    for trial in range(2):
+        cap = rng.randint(1, 4)
+        doms = [f"d{i}" for i in range(rng.randint(2, 5))]
+        rows = []
+        for i in range(rng.randint(10, 40)):
+            # quantized ts -> deliberate ties within a domain
+            ts = BASE + dt.timedelta(minutes=rng.randint(0, 5))
+            rows.append((i, rng.choice(doms), ts))
+        # the stream folds per-batch in (ts, id) order, so equivalence
+        # needs the log split at (ts, id)-ordered boundaries
+        rows.sort(key=lambda r: (r[2], r[0]))
+        cut = rng.randint(1, len(rows) - 1)
+        chunks = [rows[:cut], rows[cut:]]
+
+        in_dir = tmp_path / f"fz{trial}" / "in"
+        in_dir.mkdir(parents=True)
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(in_dir / f"b{i}.parquet"))
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/b*.parquet")
+        )
+        out_dir = str(tmp_path / f"fz{trial}" / "out")
+        q = (
+            cs.domain_admission_stream(stream, cap)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / f"fz{trial}" / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+        got = sorted(
+            (r.domain, r.doc_id, r.admitted_rank)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        df = spark.createDataFrame(rows, SCHEMA)
+        want = sorted(
+            (r.domain, r.doc_id, r.admitted_rank)
+            for r in cs.domain_admission_batch(df, cap).collect()
+        )
+        assert got == want, f"trial {trial} cap {cap}"
+        assert got
