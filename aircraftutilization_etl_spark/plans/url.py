@@ -54,6 +54,14 @@ _SUFFIX_IN = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
 # (urls -> cdocs) factored apart so the fixture tests can replay the
 # canonicalization chain over a literal VALUES table of hand-written
 # URLs (tests/test_url_fixtures.py).
+#
+# cdocs is AS MATERIALIZED: without the hint, DuckDB inlines the whole
+# layered derivation into every downstream reference — a NOT IN mark-
+# join or ORDER BY on `domain` then re-derives url -> authpath -> host
+# -> domain per evaluation (~100 inlined url evals per row: measured
+# 309 s / OOM at the 50k-doc sf1-equivalent, 0.6 s materialized).
+# The Spark twin has the same disease and the same cure — see
+# operators/url.with_url_columns's layering note.
 GEN_CTES = f"""
     gen AS (
         SELECT doc_id, lang, source, n_chars,
@@ -168,7 +176,7 @@ CANON_CTES = f"""
                         ELSE '' END) AS canonical_url
         FROM canon0
     ),
-    cdocs AS (
+    cdocs AS MATERIALIZED (
         SELECT doc_id, lang, source, n_chars, url, canonical_url,
                CASE WHEN len(string_split(host, '.')) <= 1 THEN host
                     WHEN len(string_split(host, '.')) >= 3
