@@ -603,6 +603,21 @@ def novelty_scores(
 EDIT_GRAM_DF_FLOOR = 256
 EDIT_GRAM_DF_DENOM = 20
 
+# r11 (optimization): the rare-gram candidate join is restricted to
+# pairs with at least one SAFE side — both-unsafe pairs are exhaustively
+# covered by the blocked pass, so emitting them from the gram join too
+# only duplicated work (on the gram-poor sf0.1 bench corpus the ENTIRE
+# 1.5M-pair gram-join output was redundant, a serial 10 s stage). The
+# safe/unsafe flag rides a broadcast of the unsafe-id set, which is tiny
+# by construction (a string is unsafe only when shorter than
+# q·(max_dist+1) chars or saturated with stop-grams); this cap bounds
+# the broadcast at ~32 MB of bigint ids (the same order as the enforced
+# similarity-broadcast budget). Past it — a degenerate corpus where the
+# blocked pass is quadratically doomed regardless — the operator falls
+# back to the r10 shape (unrestricted gram join + distinct over the
+# union), which stays correct without the broadcast.
+EDIT_UNSAFE_BCAST_ROWS = 4_000_000
+
 
 def edit_distance_pairs(
     df: DataFrame,
@@ -699,21 +714,6 @@ def edit_distance_pairs(
         .select("id", "s")
         .persist()
     )
-    ga, gb = rare.alias("a"), rare.alias("b")
-    cand_long = (
-        ga.join(
-            gb,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.s").alias("s_b"),
-        )
-        .distinct()
-    )
     # Exhaustive pass over the unsafe set as a BLOCKED self-join, not a
     # broadcast nested loop: a BNL's parallelism is the streamed side's
     # partition count, and AQE coalesces the byte-small unsafe frame
@@ -733,10 +733,77 @@ def edit_distance_pairs(
     ).filter(
         F.abs(F.length(F.col("s_a")) - F.length(F.col("s_b"))) <= max_dist
     )
-    cand = cand_long.unionByName(cand_short).distinct()
+    # unsafe is persisted and already materialized by the stats job in
+    # chunked_self_pairs above, so this count is an O(1) cache read —
+    # the same eager model-sized-statistic pattern the chunk guard uses.
+    n_unsafe = unsafe.count()
+    if n_unsafe <= EDIT_UNSAFE_BCAST_ROWS:
+        # Candidate join restricted to pairs with ≥ 1 SAFE side (see
+        # EDIT_UNSAFE_BCAST_ROWS): side a carries only safe strings'
+        # rare grams; side b carries all. A true pair with safe side x
+        # keeps ≥ 1 of x's rare grams in partner y, and rarity is
+        # global, so (gram, y) is on side b — no true pair is lost.
+        # Safe-safe pairs join under a.id < b.id (met once per shared
+        # gram, as before); safe-unsafe under a.id != b.id (the unsafe
+        # partner never appears on side a, so once per shared gram
+        # too); least/greatest then normalizes the orientation. The
+        # two branches are now DISJOINT by construction (≥1-safe vs
+        # both-unsafe), so the union needs no global distinct.
+        marker = F.broadcast(
+            unsafe.select("id").withColumn("__u", F.lit(True))
+        )
+        rf = rare.join(marker, "id", "left")
+        ga, gb = rf.filter(F.col("__u").isNull()).alias("a"), rf.alias("b")
+        swap = F.col("a.id") > F.col("b.id")
+        cand_long = (
+            ga.join(
+                gb,
+                (F.col("a.gram") == F.col("b.gram"))
+                & F.when(
+                    F.col("b.__u").isNull(),
+                    F.col("a.id") < F.col("b.id"),
+                ).otherwise(F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+                F.when(swap, F.col("b.s")).otherwise(F.col("a.s")).alias(
+                    "s_a"
+                ),
+                F.when(swap, F.col("a.s")).otherwise(F.col("b.s")).alias(
+                    "s_b"
+                ),
+            )
+            .distinct()
+        )
+        cand = cand_long.unionByName(cand_short)
+    else:
+        # degenerate-corpus fallback (unsafe set too big to broadcast):
+        # the r10 shape — unrestricted gram join, distinct over the
+        # union absorbs the both-unsafe overlap with the blocked pass
+        ga, gb = rare.alias("a"), rare.alias("b")
+        cand_long = (
+            ga.join(
+                gb,
+                (F.col("a.gram") == F.col("b.gram"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.s").alias("s_a"),
+                F.col("b.s").alias("s_b"),
+            )
+            .distinct()
+        )
+        cand = cand_long.unionByName(cand_short).distinct()
+    # threshold form (Spark 3.5+): banded O(len·max_dist) DP with early
+    # exit instead of the full O(len²) matrix — returns the exact
+    # distance when ≤ max_dist and -1 past it, so the kept rows and
+    # their dist values are bit-identical to the unbounded form
     return (
-        cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("dist") <= max_dist)
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b", max_dist))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
 
