@@ -95,10 +95,27 @@ def _weights_df(spark, w_micros: list[int]):
     literal array would be semantically equivalent but costs a giant
     expression tree EVERY round (analysis time grows with the model,
     measured ~2x the whole round at 4096 weights); a tiny broadcast
-    join ships the same bytes through the stable join path instead."""
-    return spark.createDataFrame(
-        [(i, wm) for i, wm in enumerate(w_micros) if wm != 0],
-        "bucket long, __wm long",
+    join ships the same bytes through the stable join path instead.
+
+    Built as an inline-``VALUES`` LocalRelation, not
+    ``spark.createDataFrame``: a list-backed createDataFrame becomes a
+    pickled Python RDD whose DataFrame conversion launches
+    defaultParallelism Python-worker tasks — measured ~6.5 s of task
+    time per training round at local[32] for a ≤4096-row model frame
+    (guide §4: keep model-sized data off the Python boundary). The
+    VALUES form parses to a LocalRelation the broadcast exchange reads
+    driver-side: zero jobs, zero Python workers, identical rows/schema.
+    """
+    rows = [(i, wm) for i, wm in enumerate(w_micros) if wm != 0]
+    if not rows:
+        # round 1 (all-zero model): an empty frame with the same schema
+        return spark.range(0).select(
+            F.col("id").alias("bucket"), F.col("id").alias("__wm")
+        )
+    vals = ",".join(f"({i},{wm})" for i, wm in rows)
+    return spark.sql(
+        "SELECT CAST(col1 AS BIGINT) AS bucket, CAST(col2 AS BIGINT) "
+        f"AS __wm FROM VALUES {vals}"
     )
 
 

@@ -40,10 +40,20 @@ from pyspark.sql.window import Window
 from .similarity import quantize_embeddings
 
 
+def _int_array_lit(values) -> str:
+    """SQL text for a literal int array — parsed JVM-side in ONE
+    py4j call. Building the same tree with nested ``F.lit`` costs one
+    py4j round-trip per element (~1 ms each): a k=8 x d=64 centroid set
+    re-built per Lloyd round was ~0.5 s of pure driver chatter, the
+    m=16 x k=16 PQ codebook ~1 s per consumer (guide §5: the driver
+    should do almost no work). Same literals, same folded tree."""
+    return "array(" + ",".join(str(int(v)) for v in values) + ")"
+
+
 def _sq_dist_expr(vec_col: str, centroid: list[int]):
     """Exact BIGINT squared L2 distance between an int-code array column
     and one literal centroid — a codegen'd fold, no Python, no join."""
-    carr = F.array(*[F.lit(int(v)) for v in centroid])
+    carr = F.expr(_int_array_lit(centroid))
     return F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -96,6 +106,16 @@ def kmeans_int8(
       returns (assignment, centroids) so callers can rank cells per
       query (multi-probe IVF) without retraining.
     """
+    # Distribute before quantizing (r11 opt): every Lloyd pass below is
+    # interpreted higher-order-function work per row, and a small vector
+    # file scans as ONE task (profiled: the whole query ran single-task
+    # at sf0.1). When under-partitioned, spread the raw vectors across
+    # the cluster first — the persisted cache then keeps that
+    # partitioning for all three assign passes. At real corpus scale the
+    # scan already has >= defaultParallelism splits and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     codes = (
         quantize_embeddings(df, id_col, vec_col)
         .select(F.col(id_col), "qvec")
@@ -191,17 +211,16 @@ def _sq_dist_cols(a, b):
 
 
 def _codebook_lit(codebooks: list[list[list[int]]]):
-    """m×k×sd literal nested array — the broadcast model."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in c])
-                    for c in codebooks[s]
-                ]
-            )
-            for s in range(len(codebooks))
-        ]
+    """m×k×sd literal nested array — the broadcast model. One parsed
+    expression, not m·k·sd nested ``F.lit`` py4j calls (see
+    :func:`_int_array_lit`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_int_array_lit(c) for c in book) + ")"
+            for book in codebooks
+        )
+        + ")"
     )
 
 
@@ -233,6 +252,12 @@ def pq_scodes(
     scoring) consumes. Split out of :func:`pq_train` so a caller holding
     an already-trained codebook (the train-once production contract)
     can build the encoding input without re-running Lloyd rounds."""
+    # distribute an under-partitioned scan before the quantize+split
+    # projections — see kmeans_int8; the persisted cache keeps the
+    # spread for every downstream PQ pass (train, encode, LUTs)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     codes = quantize_embeddings(df, id_col, vec_col).select(
         F.col(id_col), "qvec"
     )

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.localrel import inline_values_df
+
 # Split thresholds are 4-hex-digit md5 prefixes: 16^4 = 65536 buckets,
 # so requested fractions are honored to ~0.0015%. Comparing the hex
 # PREFIX as a string is equivalent to comparing the bucket number but
@@ -378,8 +380,10 @@ def mix_epochs(
     from ``epochs_ppm`` are dropped (explicit mixes only — silence is
     the one thing a data card can't audit).
     """
-    spec = df.sparkSession.createDataFrame(
-        [(s, int(p)) for s, p in epochs_ppm.items()], f"{source_col} string, __eppm long"
+    spec = inline_values_df(
+        df.sparkSession,
+        [(s, int(p)) for s, p in epochs_ppm.items()],
+        f"{source_col} string, __eppm long",
     )
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     quota = counts.join(spec, source_col).select(

@@ -150,8 +150,16 @@ def bloom_might_contain(
 ):
     """Membership-test Column against a built filter — k AND-ed bit
     probes into a single array LITERAL (one plan node, not 2^14), all
-    JVM expressions, evaluated map-side before any shuffle."""
-    arr = F.lit(words)
+    JVM expressions, evaluated map-side before any shuffle.
+
+    The literal is ONE parsed expression: ``F.lit(list)`` builds the
+    array element-by-element over py4j (~1 ms per element — ~1.4 s of
+    pure driver time for the 2^17-bit/2048-word filter, measured r11;
+    guide §5), where a single ``F.expr`` string parse is ~10 ms
+    JVM-side for the identical folded literal."""
+    arr = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in words) + ")"
+    )
     tests = []
     for i in range(k_hashes):
         pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))

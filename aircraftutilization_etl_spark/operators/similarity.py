@@ -372,10 +372,24 @@ def with_srp_bands(
     if n_planes % band_bits:
         raise ValueError("n_planes must be a multiple of band_bits")
     v = _as_double(F.col(vec_col))
+    # plane literals as ONE parsed expression each: building ±1.0 arrays
+    # element-by-element with F.lit costs one py4j round-trip per
+    # component (~0.5 s of driver time for 8×64 planes; guide §5)
     bits = [
         F.when(
             F.round(
-                dot_expr(v, F.array(*[F.lit(x) for x in srp_plane(p, dim)])), 6
+                dot_expr(
+                    v,
+                    F.expr(
+                        "array("
+                        + ",".join(
+                            "1.0D" if x > 0 else "-1.0D"
+                            for x in srp_plane(p, dim)
+                        )
+                        + ")"
+                    ),
+                ),
+                6,
             )
             > 0,
             F.lit("1"),

@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.localrel import inline_values_df
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space —
 # the same regex DuckDB's RE2 and Java's regex engine agree on.
 BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -564,7 +566,8 @@ def bpe_merges(
     """
     merges, _ = _bpe_train(df, n_merges, text_col)
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return inline_values_df(
+        spark,
         merges,
         "rank int, left string, right string, merged string, pair_count bigint",
     )
@@ -1247,6 +1250,17 @@ def skipgram_pairs(
     until the count); the single shuffle is the (center, context)
     groupBy with map-side combine, bounded by distinct pair vocabulary.
     """
+    # Distribute the pair generation (r11 opt): the per-row window
+    # algebra below is interpreted higher-order-function work (~0.7 ms
+    # per document), and a small corpus scans as ONE task (profiled:
+    # a 1.4 s single-task stage at sf0.1). When the scan is
+    # under-partitioned, spread the raw text across the cluster first —
+    # at real corpus scale the scan already has >= defaultParallelism
+    # splits and this is a no-op (the _ensure_parallelism discipline of
+    # operators/similarity).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     w = df.select(F.col(id_col), words_expr(text_col).alias("__words"))
     pairs = F.flatten(
         F.transform(

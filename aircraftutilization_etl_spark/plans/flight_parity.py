@@ -327,6 +327,20 @@ def q_stream_flight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("vertical_rate"),
     )
+    # Pin the key exchange's width (r11 opt): AQE's byte-based partition
+    # coalescing sees a sub-MB shuffle and folds it to ONE partition —
+    # but the downstream stages are per-key Python work (two window
+    # sorts + the Arrow fold kernel), whose cost AQE cannot see, so the
+    # coalesce serialized ~2.4 s of fold CPU onto one core (profiled:
+    # two 1.2 s single-task stages). An explicit partition count — the
+    # same configured shuffle width the exchange would use anyway —
+    # keeps the fold parallel; this replaces (not adds to) the window's
+    # own exchange, so the one-exchange plan pin still holds.
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        nparts = spark.sparkContext.defaultParallelism
+    keyed = keyed.repartition(nparts, "icao24")
     w_sec = Window.partitionBy("icao24").orderBy("__sec", "event_id")
     ranked = keyed.withColumn("__rn", F.row_number().over(w_sec))
     step = (

@@ -20,6 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import inline_values_df
 from ..operators.sampling import stratified_sample
 from .catalog import query, table
 
@@ -165,8 +166,9 @@ def budget_allocate(
         {s: sqrt_weight(n) for s, n in counts}, total
     )
     src_type = docs.schema[source_col].dataType.simpleString()
-    alloc = d.sparkSession.createDataFrame(
-        sorted(base.items()), f"`{source_col}` {src_type}, alloc bigint"
+    alloc = inline_values_df(
+        d.sparkSession, sorted(base.items()),
+        f"`{source_col}` {src_type}, alloc bigint",
     )
     order = F.md5(F.col(key).cast("string"))
     rn_w = Window.partitionBy(source_col).orderBy(order, F.col(key))
@@ -341,8 +343,9 @@ def budget_allocate_with_floor(
         base = {s: 0 for s, _ in counts}
     alloc = {s: floors[s] + base[s] for s, _ in counts}
     src_type = docs.schema[source_col].dataType.simpleString()
-    alloc_df = d.sparkSession.createDataFrame(
-        sorted(alloc.items()), f"`{source_col}` {src_type}, alloc bigint"
+    alloc_df = inline_values_df(
+        d.sparkSession, sorted(alloc.items()),
+        f"`{source_col}` {src_type}, alloc bigint",
     )
     order = F.md5(F.col(key).cast("string"))
     rn_w = Window.partitionBy(source_col).orderBy(order, F.col(key))
@@ -503,7 +506,8 @@ def budget_allocate_two_level(
             alloc[(o, i)] = a
     out_type = docs.schema[outer_col].dataType.simpleString()
     in_type = docs.schema[inner_col].dataType.simpleString()
-    alloc_df = d.sparkSession.createDataFrame(
+    alloc_df = inline_values_df(
+        d.sparkSession,
         [(o, i, a) for (o, i), a in sorted(alloc.items())],
         f"`{outer_col}` {out_type}, `{inner_col}` {in_type}, alloc bigint",
     )
@@ -688,8 +692,9 @@ def budget_allocate_recency(
     # weight vector; hamilton_apportion raises readably on it
     base = hamilton_apportion(weights, total)
     src_type = ev.schema[source_col].dataType.simpleString()
-    alloc = d.sparkSession.createDataFrame(
-        sorted(base.items()), f"`{source_col}` {src_type}, alloc bigint"
+    alloc = inline_values_df(
+        d.sparkSession, sorted(base.items()),
+        f"`{source_col}` {src_type}, alloc bigint",
     )
     rn_w = Window.partitionBy(source_col).orderBy(
         F.col(ts_col).desc(),

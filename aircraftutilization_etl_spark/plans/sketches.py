@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import inline_values_df
 from .catalog import query, table
 
 
@@ -223,7 +224,7 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine (the sketch table is type-cardinality-sized, so both joins
     # broadcast; no per-pair jobs).
     out = (
-        spark.createDataFrame(pairs, "type_a string, type_b string")
+        inline_values_df(spark, pairs, "type_a string, type_b string")
         .join(
             F.broadcast(
                 sketches.select(

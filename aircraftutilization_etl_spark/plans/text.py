@@ -17,6 +17,7 @@ from ..operators.text import (
     stopword_ratio_expr,
     token_count_expr,
 )
+from ..functions.localrel import inline_values_df
 from .catalog import query, table
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -589,7 +590,8 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bm25_topk
 
     d = table(spark, sf_dir, "documents")
-    qt = spark.createDataFrame(
+    qt = inline_values_df(
+        spark,
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
         "query_id string, term string",
     )
