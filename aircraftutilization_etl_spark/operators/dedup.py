@@ -62,9 +62,24 @@ def with_shingle_array(
     small file, and the id-hash partitioning then satisfies the
     signature groupBy and pre-aligns the verification joins — no second
     shuffle downstream.
+
+    The partition count is EXPLICIT (r11 opt): a bare
+    ``repartition(col)`` is fair game for AQE's byte-based coalescing,
+    which folds a sub-MB text exchange to one partition and serializes
+    the per-row hash work on one core for every consumer that does not
+    cache the result (profiled: contamination_report ran its whole
+    shingle pass single-task). The pinned width is the configured
+    shuffle parallelism — exactly what the exchange would use anyway.
     """
     if distribute:
-        df = df.repartition(F.col(id_col))
+        spark = df.sparkSession
+        try:
+            nparts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except ValueError:
+            nparts = spark.sparkContext.defaultParallelism
+        df = df.repartition(nparts, F.col(id_col))
     w = df.select(F.col(id_col), words_expr(text_col).alias("__words"))
     shingle_list = F.transform(
         F.sequence(F.lit(0), F.size(F.col("__words")) - SHINGLE_N),
@@ -500,7 +515,14 @@ def with_simhash(
       Arrow-batched mapInPandas kernel: votes accumulate in one numpy
       matrix per batch, with a per-word digest cache exploiting natural
       vocabulary repetition (zero shuffles either way).
+
+    Both strategies are per-row compute over the scan, so an
+    under-partitioned small file would serialize them on one core —
+    spread the raw text first (r11 opt; no-op at corpus scale).
     """
+    from .distribute import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df, id_col)
     if bits <= 32:
         hashed = df.select(
             F.col(id_col),

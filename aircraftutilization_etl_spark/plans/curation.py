@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.contamination import benchmark_shingle_set, contamination_report
+from ..operators.distribute import ensure_scan_parallelism
 from ..operators.sampling import hash_split
 from ..operators.text import (
     fingerprint_expr,
@@ -143,7 +144,14 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     tagged = hash_split(d, "doc_id", {"train": 0.9, "benchmark": 0.1})
-    train = tagged.filter(F.col("split") == "train")
+    # spread the heavy per-row stage metrics (quality fold, stopword
+    # filter, fingerprint md5) across the cluster when the scan is a
+    # single small split — the contam join below broadcasts its small
+    # side, so without this the whole projection chain runs in the
+    # scan's own (possibly single) task. No-op at corpus scale.
+    train = ensure_scan_parallelism(
+        tagged.filter(F.col("split") == "train"), "doc_id"
+    )
     bench = tagged.filter(F.col("split") == "benchmark")
 
     contam = contamination_report(
