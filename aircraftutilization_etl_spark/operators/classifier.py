@@ -66,6 +66,12 @@ def hashed_features(
     exchange fewer for identical rows."""
     from pyspark.sql.window import Window
 
+    from .distribute import ensure_scan_parallelism
+
+    # the explode+md5 feature pass is per-row hash work over the raw
+    # text — spread an under-partitioned scan first (r11 opt; profiled
+    # as a 441 ms single-task stage at sf0.1, no-op at corpus scale)
+    df = ensure_scan_parallelism(df, id_col)
     words = df.select(
         F.col(id_col),
         F.explode(
