@@ -307,15 +307,24 @@ def lsh_candidate_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFram
 
     The chunked self-join is ``_chunked_pair_join``. Its r11 form is
     stats-first: one map-side-combined bucket-size aggregate picks the
-    regime, the common cold path joins the banded frame directly (both
-    sides shuffle on the band key, so exchange reuse evaluates the
-    shingle→hash subtree once), and only the adversarial hot path pays
-    the per-row bucket-count window + signature-sized cache the chunk
-    replication needs.
+    regime, the common cold path joins the banded frame directly, and
+    only the adversarial hot path pays the per-row bucket-count window
+    the chunk replication needs.
+
+    The banded frame is PERSISTED (r11 opt): it feeds three plan
+    branches (the stats aggregate + both self-join sides), and the
+    signature subtree above it — shingle explode, per-shingle md5, K
+    rotations, K string-MIN SortAggregates — is the single most
+    expensive kernel in the query (profiled: it executed once per
+    branch, 3x, ~2/3 of the query's task CPU). The cache is
+    band-sized (id, band, 32-char key — 4 rows/doc, never the text),
+    lives as long as the returned plan, and turns the kernel into a
+    compute-once pass.
     """
+    banded = lsh_bands(shingled, id_col).persist()
     return (
         _chunked_pair_join(
-            lsh_bands(shingled, id_col),
+            banded,
             ["band", "band_key"],
             id_col,
             LSH_BUCKET_CAP,
@@ -982,11 +991,21 @@ def simhash_hamming_pairs(
     # IDENTICAL prints) collapses every band into one bucket — the same
     # quadratic-single-task trap as LSH, guarded the same way (output
     # unchanged, per-task work ≤ ~HAMMING_BUCKET_CAP² popcount pairs)
-    cand = (
-        _chunked_pair_join(banded, ["band", "bkey"], id_col, HAMMING_BUCKET_CAP)
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # Candidates keep their per-band multiplicity here (≤ ``bands``
+    # rows per pair): deduplicating BEFORE verification paid a
+    # full-width exchange + hash aggregate over the candidate volume
+    # (profiled at bench scale: 438k candidate rows collapsing to 223
+    # final pairs — the distinct was ~a third of the query for a 2%
+    # multiplicity reduction), while the verify itself is ``bands``
+    # XOR+popcount intrinsics per row against signature-sized sides
+    # (id + ``bands`` longs — the planner broadcasts them at bench
+    # scale; at corpus scale they join id-keyed either way). So:
+    # verify first, then distinct over the filtered survivors —
+    # output identical, the dedup exchange now moves final-pair rows
+    # instead of candidate rows.
+    cand = _chunked_pair_join(
+        banded, ["band", "bkey"], id_col, HAMMING_BUCKET_CAP
+    ).select("id_a", "id_b")
     sa = bints.select(F.col(id_col).alias("id_a"), F.col("__bint").alias("__ba"))
     sb = bints.select(F.col(id_col).alias("id_b"), F.col("__bint").alias("__bb"))
     hamming = sum(
@@ -1001,6 +1020,7 @@ def simhash_hamming_pairs(
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
