@@ -620,14 +620,26 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     x corpus.
     """
     from ..operators.dedup import (
-        minhash_lsh_duplicates,
+        lsh_candidate_pairs,
         minhash_signatures,
+        verify_jaccard_pairs,
         with_shingle_array,
     )
 
     d = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_duplicates(d, JACCARD_THRESHOLD)
-    sigs = minhash_signatures(with_shingle_array(d))
+    # ONE persisted shingle frame for the whole audit (r11 opt): the
+    # composed form (minhash_lsh_duplicates + a second
+    # with_shingle_array for the signature matrix) built the shingle
+    # arrays from the raw scan twice — independent plans, so the
+    # pipeline's internal cache was invisible to the signature branch
+    # (profiled: the scan + shingle kernel executed 3-4x). The
+    # signature matrix is persisted too: it feeds both agreement join
+    # sides, and its kernel (16 rotation-MIN aggregates) is the same
+    # cost the LSH pipeline pays once — (pairs x K)-sized cache.
+    shingled = with_shingle_array(d).persist()
+    candidates = lsh_candidate_pairs(shingled)
+    pairs = verify_jaccard_pairs(candidates, shingled, JACCARD_THRESHOLD)
+    sigs = minhash_signatures(shingled).persist()
     ma = sigs.select(
         F.col("doc_id").alias("id_a"), "seed", F.col("minhash").alias("__ma")
     )

@@ -285,7 +285,11 @@ IVF_RECALL_SQL = f"""
     """
 
 
-def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    exact_topk: DataFrame | None = None,
+) -> DataFrame:
     """Measured recall@5 of the IVF ANN path against brute-force ground
     truth, per query, as integer ppm — the number that justifies (or
     vetoes) the probe=1 recall trade at any scale. Composes the two
@@ -304,9 +308,11 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
-    exact = cosine_topk(queries, e, TOP_K).select(
-        "query_id", F.col("neighbor_id").alias("exact_neighbor")
-    )
+    exact = (
+        exact_topk
+        if exact_topk is not None
+        else cosine_topk(queries, e, TOP_K)
+    ).select("query_id", F.col("neighbor_id").alias("exact_neighbor"))
     approx = ivf_topk(queries, e, TOP_K).select(
         "query_id", F.col("neighbor_id").alias("ivf_neighbor")
     )
@@ -386,7 +392,11 @@ SRP_RECALL_SQL = f"""
     """
 
 
-def q_emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_srp_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    exact_topk: DataFrame | None = None,
+) -> DataFrame:
     """Measured recall@5 of the hyperplane-LSH path against brute-force
     ground truth — the companion gauge to q_emb_ivf_recall: recall here
     tunes with bands × bits (2 × 4 in the catalog), and unlike IVF needs
@@ -401,9 +411,11 @@ def q_emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
-    exact = cosine_topk(queries, e, TOP_K).select(
-        "query_id", F.col("neighbor_id").alias("exact_neighbor")
-    )
+    exact = (
+        exact_topk
+        if exact_topk is not None
+        else cosine_topk(queries, e, TOP_K)
+    ).select("query_id", F.col("neighbor_id").alias("exact_neighbor"))
     approx = srp_topk(queries, e, TOP_K).select(
         "query_id", F.col("neighbor_id").alias("srp_neighbor")
     )
@@ -465,7 +477,11 @@ MRL_RECALL_SQL = f"""
     """
 
 
-def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_matryoshka_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    exact_topk: DataFrame | None = None,
+) -> DataFrame:
     """Dimension-truncation recall gauge (matryoshka-style): recall@5
     of cosine top-k computed on the first 32 of 64 dimensions against
     full-dimension ground truth, per query, integer ppm — the number
@@ -487,9 +503,11 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = lambda df: df.select(  # noqa: E731
         "vec_id", F.slice("embedding", 1, MRL_DIMS).alias("embedding")
     )
-    exact = cosine_topk(queries, e, TOP_K).select(
-        "query_id", F.col("neighbor_id").alias("exact_neighbor")
-    )
+    exact = (
+        exact_topk
+        if exact_topk is not None
+        else cosine_topk(queries, e, TOP_K)
+    ).select("query_id", F.col("neighbor_id").alias("exact_neighbor"))
     approx = cosine_topk(trunc(queries), trunc(e), TOP_K).select(
         "query_id", F.col("neighbor_id").alias("trunc_neighbor")
     )

@@ -324,9 +324,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_distinct), zero shuffles, streams with the scan. The oracle
     rebuilds the same gram list in DuckDB list algebra.
     """
+    from ..operators.distribute import ensure_scan_parallelism
     from ..operators.text import ngram_repetition_expr
 
-    d = table(spark, sf_dir, "documents")
+    # Spread the scan before the gram build (r11 opt): the per-row
+    # kernel (word split + 5-gram sequence/transform + array_distinct)
+    # is the single most expensive projection in the catalog (~10 s
+    # serialized at bench scale), and the global sort's range-sampling
+    # pass evaluates it a second time — profiled as TWO back-to-back
+    # single-task ~10 s stages on the scan's single split. The
+    # repartition parallelizes both passes; no-op at corpus scale.
+    d = ensure_scan_parallelism(table(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id", ngram_repetition_expr("text", 5).alias("rep_ratio")
     ).orderBy("doc_id")
