@@ -289,7 +289,15 @@ def perceptual_hash(media: DataFrame, n_blocks: int = PHASH_BLOCKS) -> DataFrame
     standard cheap screen before pixel-exact comparison in image dedup
     (real codecs swap into ``_decode_payload``; the hash algebra and
     plan shape are unchanged).
+
+    The kernel is seconds-heavy per-row Python, so an under-partitioned
+    small-file scan would serialize every asset through ONE Arrow task
+    (profiled: a single 7 s task at bench scale) — spread the raw rows
+    first (r11 opt; no-op at corpus scale).
     """
+    from .distribute import ensure_scan_parallelism
+
+    media = ensure_scan_parallelism(media, "asset_id")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
