@@ -3,11 +3,19 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "sf": ..., "n_queries": N}
 
-The stdout line is BOUNDED (~120 chars) regardless of catalog size: the
-driver tail-captures only the last 2000 chars of stdout, and an
-unbounded per-query dict broke its parser twice (BENCH_r07, BENCH_r09
-both parsed:null — VERDICT r9 #1). Per-query seconds and the sentinel
-noise block ride the side file(s) and stderr instead.
+The stdout line is BOUNDED regardless of catalog size: the driver
+tail-captures only the last 2000 chars of output, and an unbounded
+per-query dict broke its parser twice (BENCH_r07, BENCH_r09 both
+parsed:null — VERDICT r9 #1). r12 (VERDICT r11 #2): the driver's
+round-over-round PERF comparison needs per-query seconds in that tail
+(PERF_r11 read n_common: 0 because they rode only stderr/side files and
+were tail-truncated), so the stdout line carries a COMPACT per-query
+dict again — same keys, seconds rounded to ~3 significant digits,
+compact separators — but ONLY while the whole line fits a hard
+TAIL_BUDGET (< 2000); past the budget the dict is dropped and the line
+degrades to the bounded r10/r11 form rather than ever re-breaking the
+parser. Full-precision per-query seconds, errors and the sentinel noise
+block still ride the side file(s) and stderr.
 
 Each query executes fully via the noop sink (no driver collect overhead);
 times are per-query wall seconds.
@@ -245,18 +253,43 @@ def _sentinel_fields(per_query: dict[str, float], sf: object) -> dict:
     }
 
 
+# Hard stdout budget: the driver tail-captures the last 2000 chars of
+# combined output; the stdout JSON line is printed LAST, so it survives
+# whole iff its own length stays under the capture window (a truncated
+# line is exactly the r7/r9 parsed:null failure). 70 queries at current
+# name lengths render ~1950 chars with the compact encoding below.
+TAIL_BUDGET = 1990
+
+
+def _compact_seconds(v: float):
+    """Seconds at ~3 significant digits, never more than 4 chars for
+    values under 100 s — per-query resolution for the driver's PERF
+    comparison at a bounded byte cost (full 3-decimal values stay in
+    the side file)."""
+    if v >= 100:
+        return int(round(v))
+    if v >= 10:
+        return round(v, 1)
+    return round(v, 2)
+
+
 def _assemble_payloads(
     per_query: dict[str, float], errors: dict[str, str], sf_dir: str
 ) -> tuple[dict, dict]:
     """(stdout payload, side-file payload). The stdout payload MUST
     stay driver-parseable AND bounded: the driver tail-captures only
-    the last 2000 chars of stdout, and the per-query dict grew past
-    that twice (BENCH_r07, BENCH_r09 — both parsed:null). stdout
-    therefore carries ONLY metric/value/unit/sf/n_queries (~120 chars,
-    bounded forever; tests pin < 500) — plus partial_total/n_errors
-    when a query failed (value nulled so a partial total can never be
-    mistaken for a speedup). The per-query dict, the error details, and
-    the sentinel noise block ride the side file(s) and stderr."""
+    the last 2000 chars, and the per-query dict grew past that twice
+    (BENCH_r07, BENCH_r09 — both parsed:null). stdout carries
+    metric/value/unit/sf/n_queries — plus partial_total/n_errors when a
+    query failed (value nulled so a partial total can never be mistaken
+    for a speedup) — and, since r12 (VERDICT r11 #2), a COMPACT
+    per-query dict appended ONLY while the whole compact line fits
+    TAIL_BUDGET, so the driver's round-over-round comparison gets
+    per-query seconds without the line ever outgrowing the capture
+    window again (a catalog too big for the budget degrades to the
+    bounded r10/r11 form, never to a truncated line). Full-precision
+    per-query seconds, error details, and the sentinel noise block ride
+    the side file(s) and stderr."""
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -273,6 +306,12 @@ def _assemble_payloads(
         payload["partial_total"] = total
         payload["n_errors"] = len(errors)
         side["errors"] = errors
+    trial = dict(payload)
+    trial["queries"] = {
+        k: _compact_seconds(v) for k, v in per_query.items()
+    }
+    if len(json.dumps(trial, separators=(",", ":"))) <= TAIL_BUDGET:
+        payload = trial
     return payload, side
 
 
@@ -345,7 +384,11 @@ def main() -> int:
     # stalls, sometimes SUSTAINED across consecutive reps — two
     # agreeing-but-slow reps are not evidence of a regression). Three
     # reps base; when the spread is still >2x a stall likely spanned
-    # some of them, so up to two extra reps arbitrate.
+    # some of them, so up to two extra reps arbitrate. r12 (VERDICT r11
+    # #8): sub-second queries take FIVE base reps — they are nearly
+    # free, and at 3 reps their cross-round deltas sat under the host's
+    # ~1.8x single-pass noise floor, making per-query regression
+    # detection impossible for most of the catalog.
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -366,8 +409,10 @@ def main() -> int:
                     "noop"
                 ).save()
                 times.append(time.time() - t0)
-                if len(times) >= 3 and (
-                    max(times) / max(min(times), 1e-9) <= 2 or len(times) >= 5
+                base = 5 if min(times) < 1.0 else 3
+                if len(times) >= base and (
+                    max(times) / max(min(times), 1e-9) <= 2
+                    or len(times) >= base + 2
                 ):
                     break
             per_query[name] = round(min(times), 3)
@@ -393,7 +438,9 @@ def main() -> int:
                 file=sys.stderr,
             )
     print(json.dumps(side_block), file=sys.stderr)
-    print(json.dumps(payload))
+    # compact separators: the per-query dict fits TAIL_BUDGET only
+    # without json.dumps's default ", "/": " padding
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
     # a failed query is a real signal, but a partial bench is far more
     # useful than a dead one — exit 0 with the errors recorded inline

@@ -123,29 +123,49 @@ def test_sentinel_ratio_is_median_and_survives_gaps(bench, monkeypatch):
 
 
 def test_stdout_payload_stays_driver_parseable_and_bounded(bench, monkeypatch):
-    """Regression for r7's AND r9's parsed:null benches: the stdout
-    JSON line must carry ONLY the bounded key set
-    (metric/value/unit/sf/n_queries) and stay under 500 chars no matter
-    how large the headline catalog grows — per-query seconds, errors
-    and the sentinel block ride the side file."""
+    """Regression for r7's AND r9's parsed:null benches, updated for the
+    r12 per-query restoration (VERDICT r11 #2): the stdout JSON line
+    carries metric/value/unit/sf/n_queries plus a COMPACT per-query
+    dict, and its compact rendering must stay under TAIL_BUDGET no
+    matter how large the headline catalog grows — past the budget the
+    per-query dict is dropped (bounded degradation), never truncated.
+    Full-precision seconds, errors and the sentinel block ride the side
+    file."""
     monkeypatch.setattr(
         bench, "_prev_bench_queries", lambda d=None: (None, None, None)
     )
     payload, side = bench._assemble_payloads(
         {"q1": 1.5, "q2": 0.5}, {}, "/root/testdata/sf0.1"
     )
-    assert list(payload) == ["metric", "value", "unit", "sf", "n_queries"]
+    assert list(payload) == [
+        "metric", "value", "unit", "sf", "n_queries", "queries",
+    ]
     assert payload["value"] == 2.0 and payload["sf"] == 0.1
     assert payload["n_queries"] == 2
+    assert payload["queries"] == {"q1": 1.5, "q2": 0.5}
     assert side["queries"] == {"q1": 1.5, "q2": 0.5}
     assert {
         "sentinels",
         "sentinel_ratio_vs_prev",
         "sentinel_prev_bench",
     } <= set(side)
-    # a 1000-query catalog must still produce a <500-char stdout line
+    # the CURRENT headline catalog must fit the budget with the
+    # per-query dict included — that is the whole point of the r12 fix
+    cur = {name: 9.999 for name in bench.HEADLINE}
+    payload, _ = bench._assemble_payloads(cur, {}, "/root/testdata/sf0.1")
+    assert "queries" in payload
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) <= bench.TAIL_BUDGET < 2000
+    # compact seconds: ~3 significant digits, keys never renamed
+    assert payload["queries"][bench.HEADLINE[0]] == 10.0
+    assert bench._compact_seconds(0.256) == 0.26
+    assert bench._compact_seconds(12.34) == 12.3
+    assert bench._compact_seconds(123.456) == 123
+    # a 1000-query catalog overflows the budget -> the per-query dict
+    # is DROPPED from stdout (still in the side file), line stays small
     huge = {f"q_very_long_query_name_{i:04d}": 123.456 for i in range(1000)}
     payload, side = bench._assemble_payloads(huge, {}, "/root/testdata/sf0.1")
+    assert "queries" not in payload
     assert len(json.dumps(payload)) < 500
     assert payload["n_queries"] == 1000
     assert len(side["queries"]) == 1000
