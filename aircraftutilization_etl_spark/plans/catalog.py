@@ -73,9 +73,55 @@ def query(name: str, oracle: str | None):
     return wrap
 
 
+# Parquet-schema memo (r12, guide §5 — the driver should do almost no
+# work): schema INFERENCE is a fresh driver-side footer read per
+# ``spark.read.parquet`` call (~85 ms measured; the catalog issues
+# hundreds of table() calls per bench run, all inside the timed
+# plan-build region). The schema of a fixed file set is immutable
+# metadata, so it is memoized per (path, size, mtime_ns) stat
+# fingerprint and replayed through ``spark.read.schema(...)`` (~16 ms).
+# Every call still returns a FRESH DataFrame with fresh expression ids
+# (self-joins between two table() reads keep working exactly as
+# before), every scan still reads the parquet files — this caches
+# metadata, never data or results. A rewritten/regenerated table under
+# the same path moves the fingerprint and re-infers.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _stat_fingerprint(path: str) -> tuple:
+    """(path, size, mtime_ns) per data file under a parquet path (single
+    file or part-file dir) — changes whenever the table is rewritten."""
+    paths = [path]
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if not p.startswith((".", "_"))
+        )
+    out = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = _stat_fingerprint(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema'd scan of one synthetic table (never infers beyond parquet
-    footer metadata; Catalyst prunes columns/filters into the scan).
+    footer metadata — and only once per file fingerprint, see
+    ``_SCHEMA_MEMO``; Catalyst prunes columns/filters into the scan).
 
     ``events.ts`` is normalized to the engine's µs TimestampType
     whatever the generator wrote: TIMESTAMP(NANOS) parquet arrives as a
@@ -88,7 +134,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn(
@@ -97,4 +143,4 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif not isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
