@@ -9,6 +9,7 @@ formulated on the int8 grid (see operators/clustering.py).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -227,6 +228,7 @@ def q_emb_kmeans_recall(
     spark: SparkSession,
     sf_dir: str,
     exact_topk: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Measured recall@5 of IVF ANN probing the k-means-TRAINED cells —
     the third column of the ANN strategy comparison: q_emb_ivf_recall
@@ -242,9 +244,11 @@ def q_emb_kmeans_recall(
     comparison join is top-k-sized.
     """
     e = table(spark, sf_dir, "embeddings")
-    cells = kmeans_int8(e, k=K_CLUSTERS, iterations=KMEANS_ITERS).select(
-        "vec_id", F.col("cluster").alias("kcell")
-    )
+    if cells is None:
+        cells = kmeans_int8(
+            e, k=K_CLUSTERS, iterations=KMEANS_ITERS
+        ).select("vec_id", "cluster")
+    cells = cells.select("vec_id", F.col("cluster").alias("kcell"))
     with_cells = e.join(cells, "vec_id").select(
         "vec_id", "embedding", F.col("kcell").alias("label")
     )
@@ -622,6 +626,7 @@ def q_emb_pq_recall(
     spark: SparkSession,
     sf_dir: str,
     exact_topk: DataFrame | None = None,
+    pq: tuple | None = None,
 ) -> DataFrame:
     """Measured recall@5 of PQ-ADC against exact-cosine ground truth —
     the fourth column of the ANN strategy table (untrained IVF cells,
@@ -634,7 +639,9 @@ def q_emb_pq_recall(
     """
     from ..operators.clustering import pq_adc_topk
 
-    e, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
+    e, scodes, encoded, books = (
+        pq if pq is not None else _pq_pipeline(spark, sf_dir)
+    )
     adc = pq_adc_topk(scodes, encoded, books, N_QUERIES, TOP_K).select(
         "query_id", F.col("neighbor_id").alias("adc_neighbor")
     )
@@ -660,7 +667,10 @@ def q_emb_pq_recall(
         )
         .localCheckpoint(eager=True)
     )
-    scodes.unpersist()
+    if pq is None:
+        # a SHARED pipeline's caches belong to the caller (the recall
+        # report unpersists once after every leg has materialized)
+        scodes.unpersist()
     return out
 
 
@@ -809,17 +819,26 @@ _IVFPQ_CTES = f"""{_KMEANS_CTES},
     )"""
 
 
-def _ivfpq_spark(spark: SparkSession, sf_dir: str):
+def _ivfpq_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    pq: tuple | None = None,
+    cells: DataFrame | None = None,
+):
     from ..operators.clustering import ivfpq_adc_topk
 
-    e, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
-    cells = kmeans_int8(e, k=K_CLUSTERS, iterations=KMEANS_ITERS).select(
-        "vec_id", "cluster"
+    e, scodes, encoded, books = (
+        pq if pq is not None else _pq_pipeline(spark, sf_dir)
     )
+    if cells is None:
+        cells = kmeans_int8(
+            e, k=K_CLUSTERS, iterations=KMEANS_ITERS
+        ).select("vec_id", "cluster")
     out = ivfpq_adc_topk(
         scodes, encoded, books, cells, N_QUERIES, TOP_K
     ).localCheckpoint(eager=True)
-    scodes.unpersist()
+    if pq is None:
+        scodes.unpersist()
     return out
 
 
@@ -881,6 +900,8 @@ def q_emb_ivfpq_recall(
     spark: SparkSession,
     sf_dir: str,
     exact_topk: DataFrame | None = None,
+    pq: tuple | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Measured recall@5 of IVF-PQ against brute-force cosine ground
     truth — the honesty gauge for the compound approximation (coarse
@@ -898,7 +919,7 @@ def q_emb_ivfpq_recall(
     from ..operators.similarity import cosine_topk
 
     e = table(spark, sf_dir, "embeddings")
-    approx = _ivfpq_spark(spark, sf_dir)
+    approx = _ivfpq_spark(spark, sf_dir, pq=pq, cells=cells)
     exact = (
         exact_topk
         if exact_topk is not None
@@ -987,6 +1008,8 @@ def q_emb_ivfpq_probe2_recall(
     spark: SparkSession,
     sf_dir: str,
     exact_topk: DataFrame | None = None,
+    pq: tuple | None = None,
+    cells_model: tuple | None = None,
 ) -> DataFrame:
     """IVF-PQ at probe=2: each query additionally scores its
     second-nearest coarse cell — the dial every IVF deployment turns
@@ -1012,14 +1035,21 @@ def q_emb_ivfpq_probe2_recall(
     from pyspark.sql.window import Window as _W
 
     e = table(spark, sf_dir, "embeddings")
-    _, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
-    corpus_cells, cents = kmeans_int8(
-        e, k=K_CLUSTERS, iterations=KMEANS_ITERS, return_model=True
+    _, scodes, encoded, books = (
+        pq if pq is not None else _pq_pipeline(spark, sf_dir)
+    )
+    corpus_cells, cents = (
+        cells_model
+        if cells_model is not None
+        else kmeans_int8(
+            e, k=K_CLUSTERS, iterations=KMEANS_ITERS, return_model=True
+        )
     )
     if not cents:
         # empty corpus: no coarse cells to probe — typed empty per-query
         # recall frame (the report leg aggregates it to n_queries=0)
-        scodes.unpersist()
+        if pq is None:
+            scodes.unpersist()
         return spark.createDataFrame(
             [], "query_id long, n_hits bigint, recall_ppm bigint"
         )
@@ -1061,7 +1091,8 @@ def q_emb_ivfpq_probe2_recall(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    scodes.unpersist()
+    if pq is None:
+        scodes.unpersist()
     exact = (
         exact_topk
         if exact_topk is not None
@@ -1118,15 +1149,20 @@ _PQ_RERANK_CTES = f"""
     )"""
 
 
-def _pq_rerank_topk(spark: SparkSession, sf_dir: str):
+def _pq_rerank_topk(
+    spark: SparkSession, sf_dir: str, pq: tuple | None = None
+):
     """Shared Spark leg of the two-stage retrieval: PQ-ADC overfetch
     (RERANK_CANDIDATES) re-scored by exact cosine, ranked per query →
     (ranked_df, scodes). Caller materializes its projection and
-    unpersists scodes — the same contract as _pq_pipeline."""
+    unpersists scodes (unless a shared ``pq`` pipeline was passed in —
+    then the pipeline's owner manages the cache lifetime)."""
     from ..operators.clustering import pq_adc_topk
     from ..operators.similarity import _as_double, cosine_expr
 
-    e, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
+    e, scodes, encoded, books = (
+        pq if pq is not None else _pq_pipeline(spark, sf_dir)
+    )
     cands = pq_adc_topk(
         scodes, encoded, books, N_QUERIES, RERANK_CANDIDATES
     ).select("query_id", "neighbor_id")
@@ -1236,6 +1272,7 @@ def q_emb_pq_rerank_recall(
     spark: SparkSession,
     sf_dir: str,
     exact_topk: DataFrame | None = None,
+    pq: tuple | None = None,
 ) -> DataFrame:
     """Measured recall@5 of the two-stage PQ→exact-rerank run — the
     number that justifies the overfetch dial: reranking a 4×
@@ -1248,7 +1285,7 @@ def q_emb_pq_rerank_recall(
     Scale: identical legs to the rerank query plus the top-k-sized
     ground-truth comparison join.
     """
-    ranked, scodes = _pq_rerank_topk(spark, sf_dir)
+    ranked, scodes = _pq_rerank_topk(spark, sf_dir, pq=pq)
     rr = ranked.filter(F.col("rank") <= TOP_K).select(
         "query_id", F.col("neighbor_id").alias("rr_neighbor")
     )
@@ -1276,7 +1313,8 @@ def q_emb_pq_rerank_recall(
         .orderBy("query_id")
         .localCheckpoint(eager=True)
     )
-    scodes.unpersist()
+    if pq is None:
+        scodes.unpersist()
     return out
 
 
@@ -1453,15 +1491,46 @@ def q_emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via the legs' exact_topk parameter; every leg's standalone query
     # (its own declared oracle) is unchanged — the parameter defaults
     # to the leg computing its own truth.
+    #
+    # r12 (VERDICT r11 #5): the same sharing for the APPROXIMATE side's
+    # common prefixes. The four PQ legs each rebuilt the quantize +
+    # subvector-split frame and re-ran the encode aggregation, and
+    # three legs (probe1, probe2, kmeans_cells) each re-trained the
+    # SAME deterministic coarse quantizer (identical k/iterations/
+    # protocol — bit-identical cells by construction). One _pq_pipeline
+    # (scodes persisted by pq_scodes; the encoded codes persisted here)
+    # and ONE kmeans training now feed every leg through the legs' new
+    # pq/cells parameters — each parameter defaults to self-computed,
+    # so every standalone declared query is unchanged. The shared
+    # caches are released right after the loop: every PQ leg eagerly
+    # localCheckpoints its approximate result while building, so no
+    # lazy reference outlives the loop.
     e = table(spark, sf_dir, "embeddings")
     truth = (
         cosine_topk(e.filter(F.col("vec_id") < N_QUERIES), e, TOP_K)
         .select("query_id", "neighbor_id")
-        .persist()
+        # (queries x k)-sized: deserialized memory is the right class,
+        # declared explicitly (VERDICT r11 #3)
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    _, scodes, encoded, books = _pq_pipeline(spark, sf_dir)
+    # corpus-scale (one codes row per vector): serialized + spill
+    encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_cells, cents = kmeans_int8(
+        e, k=K_CLUSTERS, iterations=KMEANS_ITERS, return_model=True
+    )
+    cells = corpus_cells.select("vec_id", "cluster")
+    pq = (e, scodes, encoded, books)
+    leg_inputs: dict[str, dict] = {
+        "ivfpq_probe1": {"pq": pq, "cells": cells},
+        "ivfpq_probe2": {"pq": pq, "cells_model": (corpus_cells, cents)},
+        "kmeans_cells": {"cells": cells},
+        "pq_adc": {"pq": pq},
+        "pq_rerank": {"pq": pq},
+    }
     parts = []
     for method, fn, _sql in _recall_legs():
-        per_q = fn(spark, sf_dir, exact_topk=truth)
+        per_q = fn(spark, sf_dir, exact_topk=truth, **leg_inputs.get(method, {}))
         parts.append(
             per_q.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_queries"),
@@ -1476,6 +1545,10 @@ def q_emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_recall_ppm",
             )
         )
+    # every PQ leg has materialized (eager localCheckpoint) — release
+    # the shared kernel caches before the report's own action
+    scodes.unpersist()
+    encoded.unpersist()
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
