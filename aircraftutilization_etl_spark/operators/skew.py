@@ -15,6 +15,14 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Corpus-scale kernel caches declare the serialized spill-to-disk level
+# instead of the deserialized heap default (r12, VERDICT r11 #3 /
+# guide §5): identical bytes at bench scale, no storage-memory thrash
+# at 100 TB.
+from pyspark import StorageLevel
+
+CORPUS_CACHE = StorageLevel.MEMORY_AND_DISK
+
 # Pin the join's exchange (explicit hash repartition, which AQE will
 # not coalesce) only when the total pair volume Σf² exceeds what one
 # task absorbs without becoming a straggler. Below it, the whole join
@@ -149,7 +157,7 @@ def chunked_self_pairs(
             *key_cols,
             *payload,
             F.count(F.lit(1)).over(bucket).alias("__f"),
-        ).persist()
+        ).persist(CORPUS_CACHE)
         # the chunk construction also carries the pin when max f <= cap
         # (all m = 1, chunk columns provably zero): joining on
         # (keys, __ca, __cb) differs from the cached window layout, so

