@@ -168,6 +168,23 @@ def cooccurrence_pairs(
     sets = df.groupBy(key).agg(
         F.sort_array(F.collect_set(item)).alias("__items")
     )
+    # Spread the pair explode when the input is small (r12): the
+    # per-key sets are tiny in BYTES, so AQE's byte-based coalescing
+    # folds the post-aggregation side to ONE partition — and the
+    # |vocabulary|² pair explode (the expensive per-row kernel) then
+    # runs single-task (profiled: ~1 s single-task stages inside
+    # q_graph_pagerank). The spread is CONDITIONAL on the same
+    # input-size estimate ensure_scan_parallelism uses: at corpus
+    # scale the post-shuffle side is already wide and no extra
+    # exchange is added, preserving the map-side partial aggregation
+    # contract above untouched either way.
+    from .distribute import _estimated_scan_splits
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    est = _estimated_scan_splits(df)
+    if est is not None and est < target:
+        sets = sets.repartition(target, F.col(key))
     lhs = sets.select(F.explode("__items").alias("item_a"), "__items")
     pairs = lhs.select(
         "item_a",
@@ -637,15 +654,24 @@ def directed_cooccurrence(
     rules) — the pair canonicalization and its cost bound live in
     cooccurrence_pairs; this just mirrors the direction.
     """
+    # ONE explode instead of a two-branch union (r12): the union
+    # re-evaluated the whole cooccurrence subtree — sets aggregation +
+    # the |vocabulary|² pair explode, the expensive kernel — once per
+    # direction. Identical (src, dst, weight) multiset: every
+    # unordered pair emits exactly its two orientations.
     cooc = cooccurrence_pairs(df, key, item)
     return cooc.select(
-        F.col("item_a").alias("src"),
-        F.col("item_b").alias("dst"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("src"),
+                    F.col("item_b").alias("dst"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("src"),
+                    F.col("item_a").alias("dst"),
+                ),
+            )
+        ).alias("__e"),
         F.col("n_keys").alias(weight_alias),
-    ).unionByName(
-        cooc.select(
-            F.col("item_b").alias("src"),
-            F.col("item_a").alias("dst"),
-            F.col("n_keys").alias(weight_alias),
-        )
-    )
+    ).select("__e.src", "__e.dst", weight_alias)

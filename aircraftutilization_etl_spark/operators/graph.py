@@ -28,6 +28,7 @@ persisted, not rebuilt per round.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -66,7 +67,9 @@ def pagerank(
         raise ValueError("n_iterations must be >= 0")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    out_edges = e.join(deg, "src").persist()  # reused every iteration
+    # edge-scale cache: serialized + spill, reused every iteration
+    # (r12, VERDICT r11 #3 / guide §5)
+    out_edges = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     # derive nodes from the persisted edge table, not the raw input —
     # an expensive upstream (e.g. co-occurrence mining) runs once
     nodes = (
@@ -354,7 +357,9 @@ def bfs_depths(
     frontier is usually the small side, so AQE broadcasts it into the
     edge scan.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # edge-scale: serialized + spill
     if source_node is None:
         source = e.agg(F.min("src")).collect()[0][0]
     else:

@@ -18,6 +18,7 @@ from ..operators.text import (
     token_count_expr,
 )
 from ..functions.localrel import inline_values_df
+from ..operators.distribute import ensure_scan_parallelism
 from .catalog import query, table
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -69,7 +70,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row map over the scan — no shuffle at any corpus
     size; all expressions JVM-side (SURVEY.md 'UDFs are the slow path').
     """
-    d = table(spark, sf_dir, "documents")
+    # Spread an under-partitioned scan before the metric kernel (r12 —
+    # unlocked by rotating this query out of the frozen-sentinel set):
+    # the interpreted stopword fold ran as one ~0.6 s single-task stage
+    # on the scan's single split at bench scale; no-op at corpus scale.
+    d = ensure_scan_parallelism(
+        table(spark, sf_dir, "documents"), "doc_id"
+    )
     # Layered projection: each raw metric (notably the interpreted
     # stopword fold) is evaluated once per row; the output layer only
     # rounds/derives. Multi-reference of the raw aliases keeps

@@ -137,12 +137,26 @@ HEADLINE = [
 # window rank (top_customers), global sort percentile, streaming-twin
 # window agg (events_hourly), text kernel, dedup hash-group, Arrow/GEMM
 # lane (emb_cosine), and iterative shuffle rounds (pagerank).
+# r12 rotation (VERDICT r11 #7): q_graph_pagerank and q_text_quality
+# left the set — both carried known single-task stages (the
+# co-occurrence pair explode, the quality kernel on a one-split scan)
+# that the frozen-plan contract had made unoptimizable — and this
+# round restructures them. Swapped in: q_events_sessionize (per-key
+# window pass) and q_scd2_point_in_time (temporal join), both
+# plan-untouched for several rounds and left strictly alone this
+# round. NOTE for r12 ratio readers: this round also cut FIXED driver
+# plan-build cost shared by every query (schema/expression memos), so
+# the r12-vs-basis sentinel ratio reads host-speed x shared-driver-
+# cost-improvement, not host speed alone — the honest code-speed
+# comparison for r12 is the back-to-back old-HEAD vs new-HEAD bench
+# in OPTIMIZATION_r12.md; the basis committed at r12 end resets the
+# signal for later rounds.
 SENTINELS = (
     "q_top_customers_per_nation",
     "q_percentiles_quantity",
-    "q_text_quality",
+    "q_events_sessionize",
     "q_dedup_exact",
-    "q_graph_pagerank",
+    "q_scd2_point_in_time",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
