@@ -20,6 +20,41 @@ from __future__ import annotations
 import time
 
 
+def drain_available_now(query, deadline_s: float = 120, idle_batches: int = 3):
+    """Stop a stateful availableNow query once its sources are drained.
+
+    Pending ProcessingTimeTimeout state (the 20-min TTL) keeps no-data
+    batches firing after the backlog is consumed, so the query never
+    self-terminates at test scale — ``awaitTermination(120)`` just
+    burned its full timeout AND left the query running (the leaked
+    no-data batch loop churned ~1.4 batches/s in the shared session for
+    the rest of the module — the r12 suite profile measured the two
+    tests built on it at 483 s and 125 s). "Drained" = ``idle_batches``
+    consecutive COMMITTED no-data batches: availableNow serves backlog
+    files back-to-back while any remain, so a no-data batch proves the
+    backlog is consumed and every prior emission is committed.
+    """
+    deadline = time.time() + deadline_s
+    idle = 0
+    last_batch = -1
+    while time.time() < deadline and query.isActive:
+        exc = query.exception()
+        if exc is not None:
+            raise exc
+        prog = query.lastProgress
+        if prog and prog["batchId"] != last_batch:
+            last_batch = prog["batchId"]
+            if prog["numInputRows"] == 0:
+                idle += 1
+                if idle >= idle_batches:
+                    break
+            else:
+                idle = 0
+        time.sleep(0.2)
+    query.stop()
+    query.awaitTermination(60)
+
+
 def poll_stream_sink(
     query,
     read_rows,

@@ -15,6 +15,7 @@ import os
 
 import pandas as pd
 import pytest
+from stream_poll import drain_available_now
 
 from aircraftutilization_etl_spark.pipeline import FlightPipeline
 from aircraftutilization_etl_spark.streaming.flight_stream import (
@@ -254,7 +255,11 @@ class TestBatchStreamEquivalence:
             checkpoint_dir=str(tmp_path / "ckpt"),
             available_now=True,
         )
-        query.awaitTermination(120)
+        # drain-then-stop (see stream_poll): the pending 20-min TTL
+        # timers keep no-data batches firing, so the query never
+        # self-terminates here — awaitTermination(120) burned its full
+        # timeout and leaked the running query into the shared session
+        drain_available_now(query)
         stream_facts = spark.read.parquet(str(tmp_path / "facts_stream"))
 
         # batch_id is batch-pipeline lineage (state generation); streaming
@@ -305,7 +310,9 @@ class TestCheckpointRecovery:
             checkpoint_dir=str(ckpt),
             available_now=True,
         )
-        query.awaitTermination(120)
+        # drain-then-stop, not awaitTermination: pending TTL timers
+        # keep the availableNow query alive long past any test timeout
+        drain_available_now(query)
 
     def _facts(self, spark, path, cols):
         try:
