@@ -77,6 +77,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lineage is truncated per round (localCheckpoint) so the driver's
     plan stays O(1) in iteration count.
     """
+    from ..operators.distribute import ensure_scan_parallelism
+
     ev = table(spark, sf_dir, "events")
     ui = ev.select(
         "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
@@ -84,6 +86,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = directed_cooccurrence(ui, "user_id", "item").select(
         "src", "dst"
     )
+    # Spread the mined edges before the iterative driver when the input
+    # is small (r12, unlocked by the sentinel rotation): the pair-count
+    # exchange's output is tiny in bytes, so AQE coalesced everything
+    # downstream — the direction mirror, the degree aggregate, and the
+    # edge-cache build pagerank iterates over — onto ONE partition
+    # (profiled: an ~850 ms single-task stage per run). Keying the
+    # spread on src lets pagerank's degree aggregate and rank join
+    # reuse the partitioning; no-op at corpus scale (input-size
+    # estimate), where the join's own exchanges do the spreading.
+    edges = ensure_scan_parallelism(edges, "src")
     # item vocabulary is tiny relative to the event stream: keep the
     # per-iteration rank table on a few partitions
     return pagerank(edges, N_ITER, rank_partitions=4)
